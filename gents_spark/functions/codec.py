@@ -1,0 +1,248 @@
+"""Gorilla XOR + delta-of-delta payload codec (SURVEY.md §2.10 U3, M4).
+
+GenTS's only compression surface is the netCDF zlib level knob
+(``gents/timeseries.py:617-658, 692-710``).  The north_rule replaces it
+with a value-level time-series codec:
+
+- integer streams (token arrays, bucket counts/sums): delta-of-delta with
+  Gorilla-style variable-width buckets, zigzag-coded;
+- float streams (percentile series): Gorilla XOR with explicit
+  leading-zero/significant-bit windows.
+
+Implementation notes:
+
+- ENCODING is fully vectorized NumPy: bucket selection, zigzag, and the
+  variable-length bit-packing all happen as array ops (the classic
+  sequential bit-writer is replaced by a repeat/cumsum scatter into a
+  bit array + ``np.packbits``).  No per-element Python in encode.
+- The float XOR path writes a fresh (leading, sigbits) window per
+  non-zero XOR instead of Gorilla's "reuse previous window" control bit.
+  That drops the sequential encode dependency (few % larger output,
+  identical information) — the deviation is deliberate and documented.
+- DECODING of variable-length prefix codes is inherently sequential; it
+  runs per-array over ``np.unpackbits`` output.  Decode sits on the read
+  path of *payloads* (small per-bucket streams), not the ingest path.
+- Spark surface: pandas UDFs (Arrow-batched) — one Python call per
+  ~10k-row batch, never per row.
+
+Wire format (little-endian):
+  byte 0: mode (0 = packed, 1 = raw fallback)
+  bytes 1-4: uint32 element count n
+  mode 1: n * 8 bytes of raw int64/float64
+  mode 0 ints:   int64 first, int64 first_delta, then DoD prefix codes
+  mode 0 floats: uint64 first bits, then XOR prefix codes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC_RAW = 1
+_MAGIC_PACKED = 0
+
+# DoD buckets: (prefix value, prefix length, payload bits). Payloads are
+# zigzag(dod); bucket chosen as the smallest that fits.
+_DOD_BUCKETS = [
+    (0b0, 1, 0),       # dod == 0
+    (0b10, 2, 7),
+    (0b110, 3, 10),
+    (0b1110, 4, 14),
+    (0b11110, 5, 22),
+    (0b11111, 5, 36),  # max total 41 bits < 64 (bitpack invariant)
+]
+_MAX_ZZ = (1 << 36) - 1
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    return ((x.astype(np.int64) << 1) ^ (x.astype(np.int64) >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(np.int64)
+
+
+def _bitpack(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """Pack variable-length codes (value in ``codes``, bit-length in
+    ``lens``, MSB-first) into bytes — fully vectorized."""
+    if len(codes) == 0:
+        return b""
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    rep_idx = np.repeat(np.arange(len(codes)), lens)
+    k = np.arange(total) - np.repeat(starts, lens)  # bit index within code
+    shift = (np.repeat(lens, lens) - 1 - k).astype(np.uint64)
+    bits = ((codes[rep_idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, buf: bytes):
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        b = self.bits
+        p = self.pos
+        for i in range(n):
+            v = (v << 1) | int(b[p + i])
+        self.pos = p + n
+        return v
+
+
+def encode_i64(arr) -> bytes:
+    """Delta-of-delta encode an integer sequence."""
+    a = np.asarray(arr, dtype=np.int64)
+    n = len(a)
+    head = struct.pack("<BI", _MAGIC_PACKED, n)
+    if n == 0:
+        return head
+    if n == 1:
+        return head + struct.pack("<q", int(a[0]))
+    deltas = np.diff(a)
+    dod = np.diff(deltas) if n > 2 else np.empty(0, dtype=np.int64)
+    zz = _zigzag(dod)
+    if len(zz) and zz.max() > _MAX_ZZ:
+        return struct.pack("<BI", _MAGIC_RAW, n) + a.tobytes()
+    prefix = struct.pack("<qq", int(a[0]), int(deltas[0]))
+
+    codes = np.zeros(len(zz), dtype=np.uint64)
+    lens = np.zeros(len(zz), dtype=np.int64)
+    assigned = np.zeros(len(zz), dtype=bool)
+    for pval, plen, pay in _DOD_BUCKETS:
+        fits = ~assigned & (zz < (np.uint64(1) << np.uint64(pay)) if pay else (zz == 0))
+        codes[fits] = (np.uint64(pval) << np.uint64(pay)) | zz[fits]
+        lens[fits] = plen + pay
+        assigned |= fits
+    return head + prefix + _bitpack(codes, lens)
+
+
+def decode_i64(buf: bytes) -> np.ndarray:
+    mode, n = struct.unpack_from("<BI", buf, 0)
+    off = 5
+    if mode == _MAGIC_RAW:
+        return np.frombuffer(buf, dtype=np.int64, count=n, offset=off).copy()
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.array([struct.unpack_from("<q", buf, off)[0]], dtype=np.int64)
+    first, d0 = struct.unpack_from("<qq", buf, off)
+    off += 16
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    out[1] = first + d0
+    if n == 2:
+        return out
+    r = _BitReader(buf[off:])
+    delta = d0
+    val = out[1]
+    for i in range(2, n):
+        # read unary-ish prefix
+        if r.take(1) == 0:
+            dod = 0
+        else:
+            if r.take(1) == 0:
+                pay = 7
+            elif r.take(1) == 0:
+                pay = 10
+            elif r.take(1) == 0:
+                pay = 14
+            elif r.take(1) == 0:
+                pay = 22
+            else:
+                pay = 36
+            u = r.take(pay)
+            dod = (u >> 1) ^ -(u & 1)
+        delta += dod
+        val += delta
+        out[i] = val
+    return out
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (binary search)."""
+    x = x.astype(np.uint64)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    sh = np.zeros_like(x)
+    for b in (32, 16, 8, 4, 2, 1):
+        mask = (x >> np.uint64(b)) != 0
+        x = np.where(mask, x >> np.uint64(b), x)
+        sh = sh + np.where(mask, np.uint64(b), np.uint64(0))
+    nz = sh.astype(np.int64) + (x != 0).astype(np.int64)
+    return np.where(nz == 0, n, 64 - nz)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    lsb = x & (~x + np.uint64(1))
+    return np.where(x == 0, 64, 63 - _clz64(lsb))
+
+
+def encode_f64(arr) -> bytes:
+    """Gorilla-XOR encode a float64 sequence (fresh window per value)."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    n = len(a)
+    head = struct.pack("<BI", _MAGIC_PACKED, n)
+    if n == 0:
+        return head
+    bits = a.view(np.uint64)
+    prefix = struct.pack("<Q", int(bits[0]))
+    if n == 1:
+        return head + prefix
+    xors = bits[1:] ^ bits[:-1]
+    lz = np.minimum(_clz64(xors), 31)  # 5-bit field
+    tz = np.minimum(_ctz64(xors), 63)
+    sig = np.where(xors == 0, 0, 64 - lz - tz).astype(np.int64)
+    zero = xors == 0
+    payload = np.where(zero, np.uint64(0), xors >> tz.astype(np.uint64))
+    # Two interleaved codes per value so no single code exceeds 64 bits:
+    #   control: '0' (xor==0) | '1' + 5b lz + 6b (sig & 63)   [sig 64 -> 0]
+    #   payload: sig bits
+    ctrl = np.where(
+        zero,
+        np.uint64(0),
+        (np.uint64(1) << np.uint64(11))
+        | (lz.astype(np.uint64) << np.uint64(6))
+        | (sig.astype(np.uint64) & np.uint64(63)),
+    )
+    ctrl_len = np.where(zero, 1, 12)
+    codes = np.empty(2 * len(xors), dtype=np.uint64)
+    lens = np.empty(2 * len(xors), dtype=np.int64)
+    codes[0::2], lens[0::2] = ctrl, ctrl_len
+    codes[1::2], lens[1::2] = payload, sig
+    return head + prefix + _bitpack(codes, lens)
+
+
+def decode_f64(buf: bytes) -> np.ndarray:
+    mode, n = struct.unpack_from("<BI", buf, 0)
+    off = 5
+    if mode == _MAGIC_RAW:
+        return np.frombuffer(buf, dtype=np.float64, count=n, offset=off).copy()
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    first = struct.unpack_from("<Q", buf, off)[0]
+    off += 8
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    if n == 1:
+        return out.view(np.float64).copy()
+    r = _BitReader(buf[off:])
+    prev = first
+    for i in range(1, n):
+        if r.take(1) == 0:
+            out[i] = prev
+            continue
+        lz = r.take(5)
+        sig = r.take(6)
+        if sig == 0:
+            sig = 64  # 6-bit field wraps only when lz==0 and all bits differ
+        payload = r.take(sig)
+        xor = payload << (64 - lz - sig)
+        prev = prev ^ xor
+        out[i] = prev
+    return out.view(np.float64).copy()

@@ -1,0 +1,82 @@
+"""Arrow-batched Spark surface for the Gorilla/DoD codec.
+
+GenTS's execution model for custom work is "one Python process per file
+batch" (``gents/timeseries.py:879-891``); ours is "one vectorized pandas
+call per Arrow batch / per group" — never per row (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+)
+
+from gents_spark.functions.codec import (
+    decode_f64,
+    decode_i64,
+    encode_f64,
+    encode_i64,
+)
+from gents_spark.operators.rollup import TIER_UNITS, bucket_col
+
+
+@pandas_udf(BinaryType())
+def encode_tokens(tokens: pd.Series) -> pd.Series:
+    """array<int> -> DoD-compressed binary (batched; one call per Arrow batch)."""
+    return tokens.map(lambda a: encode_i64(a))
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def decode_tokens(payload: pd.Series) -> pd.Series:
+    return payload.map(lambda b: decode_i64(b).astype("int32"))
+
+
+@pandas_udf(BinaryType())
+def encode_f64_stream(values: pd.Series) -> pd.Series:
+    """array<double> -> Gorilla-XOR binary."""
+    return values.map(lambda a: encode_f64(a))
+
+
+@pandas_udf(BinaryType())
+def encode_i64_stream(values: pd.Series) -> pd.Series:
+    """array<long> -> DoD binary."""
+    return values.map(lambda a: encode_i64(a))
+
+
+def attach_payload(
+    finer: DataFrame,
+    coarser_tier: str,
+    value_col: str = "sum_tok",
+) -> DataFrame:
+    """Per (source, coarser bucket): encode the ordered finer-tier value
+    stream as a DoD payload — the tier row's ``payload`` column
+    (SURVEY.md §1.3 tier model).
+
+    The sort + encode happen inside one JVM aggregation + one pandas UDF
+    call: ``sort_array(collect_list(struct(ts, v)))`` keeps ordering
+    distributed (no driver collect), then the codec sees a clean int64
+    array per group.
+    """
+    unit = TIER_UNITS[coarser_tier]
+    grouped = finer.groupBy(
+        "source", bucket_col("bucket_start", coarser_tier).alias("bucket_start")
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket_start", value_col))),
+            lambda s: s[value_col].cast("long"),
+        ).alias("_stream")
+    )
+    return grouped.select(
+        "source",
+        "bucket_start",
+        F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")).alias(
+            "bucket_end"
+        ),
+        encode_i64_stream(F.col("_stream")).alias("payload"),
+    )

@@ -1,0 +1,64 @@
+"""Retention expiry: drop raw/fine tiers past their retention window (M2).
+
+GenTS has no retention (outputs live forever); north_rule requires tiered
+expiry — the classic downsampling contract: finer tiers are only kept for
+a bounded trailing window, coarser tiers longer.  "Generate before you
+delete": a tier chunk may only be expired once every coarser tier
+covering it is committed in the manifest (GenTS's integrity mindset,
+``gents/timeseries.py:136-142``).
+
+On Iceberg this is ``DELETE FROM tiers WHERE tier=... AND bucket_end <
+cutoff`` + ``expire_snapshots``; on the parquet sandbox layout
+(tier=X/chunk=YYYY-MM-DD) it is partition-directory removal — pure
+metadata, no data rewrite, which is the property that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from gents_spark.plans.manifest import DONE, read_manifest
+
+#: default retention horizon per tier (days of bucket age)
+DEFAULT_RETENTION_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": 36500}
+
+COARSER = {"raw": "1m", "1m": "1h", "1h": "1d", "1d": None}
+
+
+def expirable_chunks(
+    spark: SparkSession,
+    manifest_dir: str,
+    tier: str,
+    cutoff_date: str,
+) -> list[str]:
+    """Chunks (days) older than cutoff whose coarser tier is committed."""
+    m = read_manifest(spark, manifest_dir).filter(F.col("status") == DONE)
+    mine = m.filter((F.col("tier") == tier) & (F.col("chunk") < cutoff_date))
+    coarser = COARSER[tier]
+    if coarser is not None:
+        covered = m.filter(F.col("tier") == coarser).select("chunk").distinct()
+        mine = mine.join(covered, "chunk", "left_semi")
+    return sorted(r["chunk"] for r in mine.select("chunk").distinct().collect())
+
+
+def expire(
+    spark: SparkSession,
+    tiers_dir: str,
+    manifest_dir: str,
+    tier: str,
+    cutoff_date: str,
+) -> list[str]:
+    """Remove expired chunk partitions; returns removed chunk keys."""
+    datetime.strptime(cutoff_date, "%Y-%m-%d")  # validate
+    removed = []
+    for chunk in expirable_chunks(spark, manifest_dir, tier, cutoff_date):
+        path = os.path.join(tiers_dir, f"tier={tier}", f"chunk={chunk}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            removed.append(chunk)
+    return removed

@@ -1,0 +1,113 @@
+"""End-to-end tier pipeline: ingest -> raw agg -> gap-fill -> payloads ->
+checkpointed writes -> cascade -> retention (SURVEY.md §3.4 lifecycle).
+
+The GenTS lifecycle (``gents/cli.py:121-206``: discover -> filter -> slice
+-> plan orders -> parallel execute with integrity-skip) becomes a sequence
+of DataFrame jobs with a manifest checkpoint between tiers.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gents_spark.operators.gapfill import gapfill
+from gents_spark.operators.rollup import TIER_ORDER, rollup
+from gents_spark.operators.skew import hot_sources, salted_rollup
+from gents_spark.plans.manifest import read_tier, write_tier_chunks
+from gents_spark.timeparse import split_valid, with_event_time
+
+
+class TierPipeline:
+    """Configured run over one sequences table.
+
+    Parameters mirror the GenTS fluent surface (include/exclude sources ~
+    ``HFCollection.include/exclude``, hfcollection.py:784-835; tier list ~
+    slice config; resume ~ integrity skip).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        step_s: int = 10,
+        tiers: list[str] | None = None,
+        gapfill_mode: str | None = "locf",
+        include_sources: list[str] | None = None,
+        exclude_sources: list[str] | None = None,
+        salt_threshold_frac: float = 0.25,
+        n_salt: int = 16,
+    ):
+        self.spark = spark
+        self.step_s = step_s
+        self.tiers = tiers or TIER_ORDER
+        self.gapfill_mode = gapfill_mode
+        self.include_sources = include_sources
+        self.exclude_sources = exclude_sources
+        self.salt_threshold_frac = salt_threshold_frac
+        self.n_salt = n_salt
+
+    def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Validate + filter + derive event_time. Returns (raw, quarantined)."""
+        valid, bad = split_valid(sequences)
+        if self.include_sources:
+            valid = valid.filter(F.col("source").isin(self.include_sources))
+        if self.exclude_sources:
+            valid = valid.filter(~F.col("source").isin(self.exclude_sources))
+        raw = with_event_time(valid, step_s=self.step_s).select(
+            "source", "event_time", "n_tok"
+        )
+        return raw, bad
+
+    def run(
+        self,
+        sequences: DataFrame,
+        out_dir: str,
+        resume: bool = True,
+        run_id: str | None = None,
+        fail_after_chunks: int | None = None,
+    ) -> dict:
+        """Full raw->1m->1h->1d build with per-tier checkpointing.
+
+        Returns metrics: per-tier written/skipped chunk counts + row counts.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        tiers_dir = os.path.join(out_dir, "tiers")
+        manifest_dir = os.path.join(out_dir, "manifest")
+        raw, _bad = self.prepare(sequences)
+        raw = raw.persist()
+        try:
+            metrics: dict = {"run_id": run_id, "tiers": {}}
+            hot = hot_sources(raw, self.salt_threshold_frac)
+            for tier in self.tiers:
+                if hot:
+                    # additive stats via salted two-phase agg; exact
+                    # percentiles recomputed per (source,bucket) on top.
+                    additive = salted_rollup(raw, tier, n_salt=self.n_salt)
+                    pct = rollup(raw, tier).select(
+                        "source", "bucket_start", "p50_tok", "p95_tok", "p99_tok"
+                    )
+                    tier_df = additive.join(pct, ["source", "bucket_start"])
+                else:
+                    tier_df = rollup(raw, tier)
+                if self.gapfill_mode:
+                    tier_df = gapfill(tier_df, tier, mode=self.gapfill_mode)
+                else:
+                    tier_df = tier_df.withColumn("filled", F.lit(False))
+                m = write_tier_chunks(
+                    self.spark,
+                    tier_df,
+                    tier,
+                    tiers_dir,
+                    manifest_dir,
+                    run_id,
+                    resume=resume,
+                    fail_after_chunks=fail_after_chunks,
+                )
+                m["rows"] = read_tier(self.spark, tiers_dir, tier).count()
+                metrics["tiers"][tier] = m
+            return metrics
+        finally:
+            raw.unpersist()

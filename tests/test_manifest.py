@@ -1,0 +1,78 @@
+"""Checkpoint/lineage resume (M5) — analog of GenTS integrity-skip tests
+(``gents/tests/test_parallel.py:72-96``: completed outputs not reopened).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gents_spark.pipeline import TierPipeline
+from gents_spark.plans.manifest import read_manifest, read_tier
+from gents_spark.synth import synth_sequences
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    # STEP 1h below via pipeline(step_s=3600) -> ~2000h ≈ 84 days of data
+    return synth_sequences(spark, 2, 1000).persist()
+
+
+def _tiers_sorted(spark, out, tier):
+    return (
+        read_tier(spark, out + "/tiers", tier)
+        .orderBy("source", "bucket_start")
+        .collect()
+    )
+
+
+def test_full_run_then_resume_skips_everything(spark, seqs, tmp_path):
+    out = str(tmp_path / "run")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+    m1 = pipe.run(seqs, out, run_id="r1")
+    assert m1["tiers"]["1d"]["written"] > 0
+    assert m1["tiers"]["1d"]["skipped"] == 0
+
+    m2 = pipe.run(seqs, out, run_id="r2", resume=True)
+    assert m2["tiers"]["1d"]["written"] == 0
+    assert m2["tiers"]["1d"]["skipped"] == m1["tiers"]["1d"]["written"]
+
+
+def test_kill_and_resume_converges(spark, seqs, tmp_path):
+    """Crash after 3 chunks; resume; final table == uninterrupted run."""
+    out_a = str(tmp_path / "interrupted")
+    out_b = str(tmp_path / "clean")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(seqs, out_a, run_id="r1", fail_after_chunks=3)
+
+    m_resume = pipe.run(seqs, out_a, run_id="r2", resume=True)
+    assert m_resume["tiers"]["1d"]["skipped"] == 3  # completed chunks untouched
+
+    pipe.run(seqs, out_b, run_id="r3")
+    a = _tiers_sorted(spark, out_a, "1d")
+    b = _tiers_sorted(spark, out_b, "1d")
+    assert a == b
+
+
+def test_manifest_carries_lineage_metrics(spark, seqs, tmp_path):
+    out = str(tmp_path / "metrics")
+    TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None).run(
+        seqs, out, run_id="rX"
+    )
+    m = read_manifest(spark, out + "/manifest")
+    rows = m.collect()
+    assert all(r["status"] == "done" and r["run_id"] == "rX" for r in rows)
+    # manifest row counts must equal actual partition row counts
+    tier = read_tier(spark, out + "/tiers", "1d")
+    actual = {
+        r["chunk"]: r["n"]
+        for r in tier.groupBy(
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("chunk")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert actual[r["chunk"]] == r["n_rows"]

@@ -1,0 +1,79 @@
+"""Skew salting (M6) + retention expiry (M2) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from gents_spark.operators.retention import expirable_chunks, expire
+from gents_spark.operators.rollup import rollup
+from gents_spark.operators.skew import hot_sources, salted_rollup, with_salt
+from gents_spark.pipeline import TierPipeline
+from gents_spark.plans.manifest import read_tier
+from gents_spark.synth import synth_sequences
+from gents_spark.timeparse import with_event_time
+
+
+def test_salted_equals_unsalted(spark):
+    """FIXTURES.md `skewed`: one source holds ~50% of rows; salted
+    two-phase agg must equal the direct rollup exactly."""
+    df = synth_sequences(spark, 5, 2000, hot_source_frac=0.5)
+    raw = with_event_time(df, step_s=10)
+    a = (
+        salted_rollup(raw, "1m", n_salt=8)
+        .orderBy("source", "bucket_start")
+        .toPandas()
+    )
+    b = (
+        rollup(raw, "1m", with_percentiles=False)
+        .orderBy("source", "bucket_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_hot_source_detection(spark):
+    df = synth_sequences(spark, 5, 1000, hot_source_frac=0.5)
+    assert hot_sources(df, 0.3) == ["src_00"]
+    assert hot_sources(synth_sequences(spark, 5, 200), 0.3) == []
+
+
+def test_salt_spreads_hot_key(spark):
+    """The hot key's rows must land on n_salt distinct partial-agg keys."""
+    df = synth_sequences(spark, 3, 900, hot_source_frac=0.6)
+    n = (
+        with_salt(df, 8)
+        .filter(F.col("source") == "src_00")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8
+
+
+def test_retention_requires_coarser_cover(spark, tmp_path):
+    """'Generate before you delete': 1m chunks expire only where 1h is
+    committed (GenTS integrity mindset, timeseries.py:136-142)."""
+    out = str(tmp_path / "ret")
+    seqs = synth_sequences(spark, 2, 600)
+    # build only the 1m tier first
+    pipe_1m = TierPipeline(spark, step_s=3600, tiers=["1m"], gapfill_mode=None)
+    pipe_1m.run(seqs, out, run_id="r1")
+    # nothing expirable: no coarser (1h) tier committed yet
+    assert expirable_chunks(spark, out + "/manifest", "1m", "2099-01-01") == []
+    # now build 1h; everything old becomes expirable
+    TierPipeline(spark, step_s=3600, tiers=["1h"], gapfill_mode=None).run(
+        seqs, out, run_id="r2"
+    )
+    chunks = expirable_chunks(spark, out + "/manifest", "1m", "2026-01-05")
+    assert chunks and all(c < "2026-01-05" for c in chunks)
+
+    removed = expire(spark, out + "/tiers", out + "/manifest", "1m", "2026-01-05")
+    assert removed == chunks
+    for c in removed:
+        assert not os.path.isdir(os.path.join(out, "tiers", "tier=1m", f"chunk={c}"))
+    # remaining 1m data still readable; 1h untouched
+    assert read_tier(spark, out + "/tiers", "1m").count() > 0
+    assert read_tier(spark, out + "/tiers", "1h").count() > 0
