@@ -45,7 +45,7 @@ def salted_rollup(
     unit = TIER_UNITS[tier]
     v = F.col(value_col)
     phase1 = (
-        with_salt(df)
+        with_salt(df, n_salt)
         .groupBy(
             F.col(source_col).alias("source"),
             bucket_col(ts_col, tier).alias("bucket_start"),
