@@ -1,0 +1,536 @@
+"""Driver-facing query battery: SURVEY.md §2 operators over the shared
+testdata tables, each paired with a DuckDB oracle (ANSI SQL).
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded to 6 dp on BOTH sides (sum order across
+  partitions is otherwise non-deterministic in floating point);
+- money math is done in DECIMAL(15,2) (exact) and cast to double at the
+  end (exact below 2^53);
+- ranking always carries a unique integer tiebreak column;
+- time bucketing is ``date_trunc`` (identical semantics in both engines).
+
+The `events` table plays the sequences role (source := event_type,
+event_time := ts, metric := value) — the engine itself is exercised on
+the true `(doc_id, tokens, n_tok, source)` shape in tests/ via synth.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gents_spark.operators.gapfill import gapfill
+from gents_spark.operators.rollup import TIER_UNITS
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_tiers(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    """Continuous aggregate of events as (source, bucket) tier rows —
+    the flagship rollup (SURVEY.md §2.4 A8) on the shared table."""
+    ev = _t(spark, sf_dir, "events")
+    unit = TIER_UNITS[tier]
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc(unit, "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+            F.round(F.min("value"), 6).alias("min_val"),
+            F.round(F.max("value"), 6).alias("max_val"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_val"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_val"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_val"),
+        )
+    )
+
+
+def _tier_sql(unit: str) -> str:
+    return f"""
+        SELECT event_type AS source,
+               CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_start,
+               count(*) AS cnt,
+               round(sum(value), 6) AS sum_val,
+               round(min(value), 6) AS min_val,
+               round(max(value), 6) AS max_val,
+               round(quantile_cont(value, 0.5)::DOUBLE, 6)  AS p50_val,
+               round(quantile_cont(value, 0.95)::DOUBLE, 6) AS p95_val,
+               round(quantile_cont(value, 0.99)::DOUBLE, 6) AS p99_val
+        FROM events GROUP BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
+# A. timeseries engine operators (events as the sequences analog)
+# --------------------------------------------------------------------------
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _events_tiers(spark, sf_dir, "1m")
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _events_tiers(spark, sf_dir, "1h")
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _events_tiers(spark, sf_dir, "1d")
+
+
+def _agg_1h(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_val"))
+
+
+_GAPFILL_BASE_SQL = """
+    WITH t AS (
+        SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+               count(*) AS cnt, round(sum(value), 6) AS sum_val
+        FROM events GROUP BY 1, 2),
+    ext AS (SELECT source, min(bucket_start) AS lo, max(bucket_start) AS hi
+            FROM t GROUP BY 1),
+    spine AS (SELECT source,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+              FROM ext),
+    j AS (SELECT spine.source, spine.bucket_start, t.cnt, t.sum_val
+          FROM spine LEFT JOIN t
+            ON t.source = spine.source AND t.bucket_start = spine.bucket_start)
+"""
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    """J4/W5: spine join + LOCF (north_rule gap-fill, no GenTS analog)."""
+    t = _agg_1h(spark, sf_dir)
+    out = gapfill(t, "1h", mode="locf", fill_cols=["cnt", "sum_val"])
+    return out.select("source", "bucket_start", "filled", "cnt", "sum_val")
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    t = _agg_1h(spark, sf_dir)
+    out = gapfill(t, "1h", mode="linear", fill_cols=["sum_val"])
+    return out.select(
+        "source", "bucket_start", "filled",
+        F.round("sum_val", 6).alias("sum_val"),
+    )
+
+
+def q_year_bounds(spark, sf_dir):
+    """A1 (get_year_bounds, hfcollection.py:193-225): per-group time extent."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.year("ts")).alias("start_year"),
+        F.max(F.year("ts")).alias("end_year"),
+    )
+
+
+def q_time_spine(spark, sf_dir):
+    """A2 (MHFDataset.get_time_vals): distinct sorted bucket spine."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .distinct()
+        .orderBy("bucket_start")
+    )
+
+
+def q_timestep_delta(spark, sf_dir):
+    """A4 (hfcollection.py:727-742): delta of the last two timesteps."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(F.col("event_type").alias("source"), "ts").distinct()
+    w = Window.partitionBy("source").orderBy(F.desc("ts"))
+    r = d.withColumn("rn", F.row_number().over(w))
+    last = r.filter(F.col("rn") == 1).select("source", F.col("ts").alias("t1"))
+    prev = r.filter(F.col("rn") == 2).select("source", F.col("ts").alias("t2"))
+    return last.join(prev, "source").select(
+        "source",
+        (
+            F.unix_micros(F.col("t1").cast("timestamp"))
+            - F.unix_micros(F.col("t2").cast("timestamp"))
+        ).alias("delta_us"),
+    )
+
+
+def q_bucket_consistency(spark, sf_dir):
+    """A3 (is_time_consistent, mhfdataset.py:111-126): per-group bucket
+    count uniformity stats."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", "ts").alias("b"),
+    ).agg(F.count("*").alias("cnt"))
+    return per_bucket.groupBy("source").agg(
+        F.countDistinct("cnt").alias("distinct_counts"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+def q_modal_fingerprint(spark, sf_dir):
+    """F7/A7 (filter_by_variables, hfcollection.py:311-359): modal key per
+    group with deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+def q_argmax_top1(spark, sf_dir):
+    """O5 (np.argmax / max_by): top event per source, unique tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("source"),
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_filter_include_exclude(spark, sf_dir):
+    """F1/F2/F3 (include/exclude/include_years, hfcollection.py:784-877):
+    pattern include + anti-pattern exclude + time-range filter, predicate
+    pushed to the scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type").like("c%") | (F.col("event_type") == "view"))
+        & ~F.col("event_type").like("%error%")
+        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+    ).select("event_id", F.col("event_type").alias("source"), "ts")
+
+
+def q_range_label(spark, sf_dir):
+    """C7 (timeseries.py:487-505): per-group date-range string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.concat(
+            F.date_format(F.min("ts"), "yyyyMMdd"),
+            F.lit("-"),
+            F.date_format(F.max("ts"), "yyyyMMdd"),
+        ).alias("range_label")
+    )
+
+
+def q_tier_label(spark, sf_dir):
+    """C5/C6 (get_timestamp_format timeseries.py:276-311 +
+    append_timestep_dirs :728-768): frequency classification from the
+    median inter-event gap."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(F.col("event_type").alias("source"), "ts").distinct()
+    w = Window.partitionBy("source").orderBy("ts")
+    gaps = d.withColumn(
+        "gap",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w),
+    ).filter(F.col("gap").isNotNull())
+    med = gaps.groupBy("source").agg(
+        F.percentile("gap", F.lit(0.5)).alias("m")
+    )
+    return med.select(
+        "source",
+        F.when(F.col("m") < 60e6, "subminute")
+        .when(F.col("m") < 3600e6, "minutely")
+        .when(F.col("m") < 86400e6, "hourly")
+        .otherwise("daily")
+        .alias("tier_label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B. relational coverage (joins / semi / anti / top-k / wide agg)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style wide aggregation; DECIMAL-exact money math."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(15,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(15,2)") + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))
+                    * (CAST(1 AS DECIMAL(15,2)) + CAST(l_tax AS DECIMAL(15,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """Broadcast equi-join (small dim) + exact money agg (P8 analog:
+    secondary-var preload == broadcast side data)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """S10-style anti-join (manifest resume is the same shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_customers_with_recent_orders(spark, sf_dir):
+    """E3 semi-join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_topk_orders_per_segment(spark, sf_dir):
+    """Top-3 per group with unique tiebreak (O5 generalized)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+def q_distinct_union(spark, sf_dir):
+    """E1/E2 (np.unique of concatenated coords): union + distinct."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.select(F.year("o_orderdate").alias("y"))
+    b = li.select(F.year("l_shipdate").alias("y"))
+    return a.union(b).distinct().orderBy("y")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "gapfill_locf_1h": q_gapfill_locf_1h,
+    "gapfill_linear_1h": q_gapfill_linear_1h,
+    "year_bounds": q_year_bounds,
+    "time_spine": q_time_spine,
+    "timestep_delta": q_timestep_delta,
+    "bucket_consistency": q_bucket_consistency,
+    "modal_fingerprint": q_modal_fingerprint,
+    "argmax_top1": q_argmax_top1,
+    "filter_include_exclude": q_filter_include_exclude,
+    "range_label": q_range_label,
+    "tier_label": q_tier_label,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_segment": q_revenue_by_segment,
+    "customers_no_orders": q_customers_no_orders,
+    "customers_with_recent_orders": q_customers_with_recent_orders,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
+    "distinct_union": q_distinct_union,
+}
+
+ORACLES: dict[str, str] = {
+    "rollup_1m": _tier_sql("minute"),
+    "rollup_1h": _tier_sql("hour"),
+    "rollup_1d": _tier_sql("day"),
+    "gapfill_locf_1h": _GAPFILL_BASE_SQL
+    + """
+    SELECT source, bucket_start,
+           (cnt IS NULL) AS filled,
+           last_value(cnt IGNORE NULLS) OVER w AS cnt,
+           last_value(sum_val IGNORE NULLS) OVER w AS sum_val
+    FROM j
+    WINDOW w AS (PARTITION BY source ORDER BY bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "gapfill_linear_1h": _GAPFILL_BASE_SQL
+    + """
+    , k AS (
+      SELECT source, bucket_start, cnt, sum_val,
+             epoch(bucket_start) AS ei,
+             last_value(CASE WHEN cnt IS NOT NULL THEN epoch(bucket_start) END
+                        IGNORE NULLS) OVER wb AS ib,
+             first_value(CASE WHEN cnt IS NOT NULL THEN epoch(bucket_start) END
+                         IGNORE NULLS) OVER wf AS if_,
+             last_value(sum_val IGNORE NULLS) OVER wb AS vb,
+             first_value(sum_val IGNORE NULLS) OVER wf AS vf
+      FROM j
+      WINDOW wb AS (PARTITION BY source ORDER BY bucket_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY source ORDER BY bucket_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT source, bucket_start, (cnt IS NULL) AS filled,
+           round(CASE WHEN cnt IS NOT NULL THEN sum_val
+                      WHEN if_ IS NULL THEN vb
+                      ELSE vb + (vf - vb) * ((ei - ib) / (if_ - ib)) END,
+                 6) AS sum_val
+    FROM k
+    """,
+    "year_bounds": """
+        SELECT event_type AS source, min(ts) AS first_ts, max(ts) AS last_ts,
+               min(year(ts)) AS start_year, max(year(ts)) AS end_year
+        FROM events GROUP BY 1
+    """,
+    "time_spine": """
+        SELECT DISTINCT date_trunc('hour', ts) AS bucket_start
+        FROM events ORDER BY 1
+    """,
+    "timestep_delta": """
+        WITH d AS (SELECT DISTINCT event_type AS source, ts FROM events),
+        r AS (SELECT source, ts,
+                     row_number() OVER (PARTITION BY source ORDER BY ts DESC) AS rn
+              FROM d)
+        SELECT a.source, epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+        FROM r a JOIN r b ON a.source = b.source AND a.rn = 1 AND b.rn = 2
+    """,
+    "bucket_consistency": """
+        SELECT source, count(DISTINCT cnt) AS distinct_counts,
+               min(cnt) AS min_cnt, max(cnt) AS max_cnt, count(*) AS n_buckets
+        FROM (SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+        GROUP BY 1
+    """,
+    "modal_fingerprint": """
+        SELECT user_id, event_type AS modal_type, n FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type ASC) AS rn
+            FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1
+    """,
+    "argmax_top1": """
+        SELECT event_type AS source, event_id, round(value, 6) AS value FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value DESC, event_id ASC) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    "filter_include_exclude": """
+        SELECT event_id, event_type AS source, ts FROM events
+        WHERE (event_type LIKE 'c%' OR event_type = 'view')
+          AND event_type NOT LIKE '%error%'
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    "range_label": """
+        SELECT event_type AS source,
+               strftime(min(ts), '%Y%m%d') || '-' || strftime(max(ts), '%Y%m%d')
+                   AS range_label
+        FROM events GROUP BY 1
+    """,
+    "tier_label": """
+        WITH d AS (SELECT DISTINCT event_type AS source, ts FROM events),
+        g AS (SELECT source,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY source ORDER BY ts) AS gap
+              FROM d),
+        m AS (SELECT source, quantile_cont(gap, 0.5)::DOUBLE AS m
+              FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT source,
+               CASE WHEN m < 60000000 THEN 'subminute'
+                    WHEN m < 3600000000 THEN 'minutely'
+                    WHEN m < 86400000000 THEN 'hourly'
+                    ELSE 'daily' END AS tier_label
+        FROM m
+    """,
+    "pricing_summary": PRICING_SQL,
+    "revenue_by_segment": """
+        SELECT c_mktsegment AS segment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customers_with_recent_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    "topk_orders_per_segment": """
+        SELECT segment, o_orderkey, totalprice, rn FROM (
+            SELECT c_mktsegment AS segment, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn <= 3
+    """,
+    "distinct_union": """
+        SELECT DISTINCT y FROM (
+            SELECT year(o_orderdate) AS y FROM orders
+            UNION ALL
+            SELECT year(l_shipdate) AS y FROM lineitem)
+        ORDER BY y
+    """,
+}

@@ -56,8 +56,10 @@ class TierPipeline:
             valid = valid.filter(F.col("source").isin(self.include_sources))
         if self.exclude_sources:
             valid = valid.filter(~F.col("source").isin(self.exclude_sources))
+        # doc_id stays: it seeds the deterministic salt (dropped before any
+        # shuffle — the salt is computed map-side).
         raw = with_event_time(valid, step_s=self.step_s).select(
-            "source", "event_time", "n_tok"
+            "doc_id", "source", "event_time", "n_tok"
         )
         return raw, bad
 
