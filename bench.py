@@ -1,0 +1,131 @@
+"""Benchmark: headline queries + full tier pipeline at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "points_per_sec": ...,
+   "seqs_per_sec": ..., "cpus": ...}
+
+Stages:
+- pipeline: synthesize a FIXTURES.md-style sequences table (deterministic,
+  cached in /tmp across runs), run the full raw->1m->1h->1d build with
+  gap-fill + checkpointed writes; report rolled-up points/sec and
+  sequences/sec — the BASELINE.json headline metric.
+- query stages: representative SURVEY.md §2 operators over the sf dir,
+  materialized via the noop sink (full execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gents_spark.driver_queries import QUERIES  # noqa: E402
+from gents_spark.pipeline import TierPipeline  # noqa: E402
+from gents_spark.session import get_spark  # noqa: E402
+from gents_spark.synth import synth_sequences  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: bench sequences table: `long`+`skewed` fixture scaled (FIXTURES.md §Sizing)
+N_SOURCES = 8
+SEQS_PER_SOURCE = 150_000
+HOT_FRAC = 0.3
+STEP_S = 60
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h",
+    "gapfill_locf_1h",
+    "pricing_summary",
+    "revenue_by_segment",
+    "topk_orders_per_segment",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "token_count",
+    "ann_cosine_topk",
+]
+
+
+def bench_input_path() -> str:
+    return (
+        f"/tmp/gents_bench_input_{N_SOURCES}x{SEQS_PER_SOURCE}_h{HOT_FRAC}.parquet"
+    )
+
+
+def ensure_input(spark) -> str:
+    path = bench_input_path()
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = synth_sequences(
+            spark,
+            n_sources=N_SOURCES,
+            seqs_per_source=SEQS_PER_SOURCE,
+            n_tok_lo=8,
+            n_tok_hi=32,
+            hot_source_frac=HOT_FRAC,
+            num_partitions=64,
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="gents_spark-bench",
+        shuffle_partitions=max(2 * CPUS, 16),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    in_path = ensure_input(spark)
+    seqs = spark.read.parquet(in_path)
+    n_seqs = seqs.count()
+
+    out_dir = f"/tmp/gents_bench_out_{CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf")
+    metrics = pipe.run(seqs, out_dir, resume=False, run_id=f"bench{CPUS}")
+    t_pipe = time.time() - t0
+    timings["pipeline_raw_to_1d"] = round(t_pipe, 3)
+    points = sum(m["rows"] for m in metrics["tiers"].values())
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_tier_pipeline_plus_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "input_sequences": n_seqs,
+                "rolled_up_points": points,
+                "seqs_per_sec": round(n_seqs / t_pipe, 1),
+                "points_per_sec": round(points / t_pipe, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -368,6 +368,277 @@ def q_distinct_union(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# C. training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from gents_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), prefix_words=5)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from gents_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from gents_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from gents_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_token_count(spark, sf_dir):
+    from gents_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from gents_spark.operators.textstats import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from gents_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from gents_spark.operators.textstats import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from gents_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5, n_queries=20)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from gents_spark.operators.similarity import lsh_bucket_pairs
+
+    return lsh_bucket_pairs(_t(spark, sf_dir, "embeddings"), bits=8)
+
+
+def q_embedding_label_stats(spark, sf_dir):
+    from gents_spark.operators.similarity import label_stats
+
+    return label_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from gents_spark.operators.multimodal import payload_meta
+
+    return payload_meta(_t(spark, sf_dir, "documents"))
+
+
+_WH = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+_SHINGLE_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM w, unnest(range(1, len(ws) - 1)) AS t(i))
+"""
+
+_MINHASH_AB_SQL = [
+    (1103515245, 12345), (1103245, 54321), (69069, 7), (1664525, 1013904223),
+    (22695477, 1), (134775813, 10907), (214013, 2531011), (16843009, 826366247),
+    (3014898611, 1), (1220703125, 11), (32310901, 33), (48271, 3),
+]
+
+_SIG_SQL = _SHINGLE_SQL + """
+    , hashed AS (SELECT doc_id, {wh} % 2147483647 AS h FROM sh)
+    , sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+""".format(
+    wh=_WH.format(x="shingle"),
+    mins=", ".join(
+        f"min(({a}::BIGINT * h + {b}) % 2147483647) AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB_SQL)
+    ),
+)
+
+_EMB_Q_SQL = """
+    WITH q0 AS (SELECT vec_id, label,
+                       list_transform(embedding,
+                           e -> CAST(floor(e::DOUBLE * 1000) AS BIGINT)) AS qe
+                FROM embeddings),
+    qn AS (SELECT vec_id, label, qe,
+                  (SELECT sum(x*x) FROM unnest(qe) t(x)) AS n2
+           FROM q0),
+    base AS (SELECT * FROM qn WHERE n2 > 0)
+"""
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        WITH k AS (SELECT doc_id,
+                          md5(array_to_string((string_split(text,' '))[1:5], ' '))
+                              AS fp
+                   FROM documents)
+        SELECT doc_id, fp,
+               count(*) OVER (PARTITION BY fp) AS group_size,
+               min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+               (count(*) OVER (PARTITION BY fp) > 1) AS is_dup
+        FROM k
+    """,
+    "dedup_ngram_jaccard": _SHINGLE_SQL + """
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS n_common
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                     round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+                         AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT * FROM j WHERE jaccard >= 0.5
+    """,
+    "dedup_minhash_lsh": _SIG_SQL + """
+        , bands AS (
+            SELECT doc_id, 0 AS band, mh0||','||mh1||','||mh2 AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh3||','||mh4||','||mh5 FROM sig
+            UNION ALL
+            SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
+            UNION ALL
+            SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_common_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "dedup_simhash": f"""
+        WITH wds AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                     FROM documents),
+        h AS (SELECT doc_id, {_WH.format(x='w')} % 65536 AS wh FROM wds),
+        pb AS (SELECT doc_id, b, sum(((wh >> b) & 1) * 2 - 1) AS s
+               FROM h, unnest(range(0, 16)) t(b) GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM pb GROUP BY 1
+    """,
+    "token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
+                   AS n_bpe_tokens,
+               length(text) AS n_chars_seen
+        FROM documents
+    """,
+    "text_quality": """
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        c AS (SELECT doc_id, text, len(ws) AS n_words,
+                     len(list_filter(ws, x -> list_contains(
+                         ['the','a','of','and','in','value','data','row'], x)))
+                         AS n_stop
+              FROM w)
+        SELECT doc_id, n_words, n_stop,
+               round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+               round(length(replace(text, ' ', ''))::DOUBLE / n_words, 6)
+                   AS mean_word_len,
+               round(least(n_words, 100)::DOUBLE / 100.0
+                     * (1.0 - n_stop::DOUBLE / n_words), 6) AS quality
+        FROM c
+    """,
+    "lang_id": f"""
+        WITH wds AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                     FROM documents),
+        cls AS (SELECT doc_id,
+                       CAST({_WH.format(x='w')} % 5 AS INT) AS cls
+                FROM wds),
+        cnt AS (SELECT doc_id, cls, count(*) AS votes FROM cls GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY votes DESC, cls ASC) AS rn
+              FROM cnt)
+        SELECT doc_id, (['de','en','es','fr','zh'])[cls + 1] AS pred_lang, votes
+        FROM r WHERE rn = 1
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                           w -> {_WH.format(x='w')} % 1000000007)),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+    "ann_cosine_topk": _EMB_Q_SQL + """
+        , pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           (SELECT sum(x*y)
+                            FROM (SELECT unnest(a.qe) AS x, unnest(b.qe) AS y) z)
+                               AS dot,
+                           a.n2 AS na, b.n2 AS nb
+                    FROM base a, base b
+                    WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        scored AS (SELECT query_id, neighbor_id,
+                          dot / sqrt((na * nb)::DOUBLE) AS cos_raw
+                   FROM pairs),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC,
+                                                    neighbor_id ASC) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+        FROM r WHERE rank <= 5
+    """,
+    "ann_lsh_buckets": _EMB_Q_SQL + """
+        , raw AS (SELECT vec_id,
+                         concat(
+                             CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END)
+                             AS bucket
+                  FROM embeddings),
+        bb AS (SELECT base.*, raw.bucket FROM base JOIN raw USING (vec_id)),
+        sizes AS (SELECT bucket, count(*) AS n_members FROM bb GROUP BY 1),
+        pairs AS (SELECT a.bucket, a.vec_id AS doc_a, b.vec_id AS doc_b,
+                         (SELECT sum(x*y)
+                          FROM (SELECT unnest(a.qe) AS x, unnest(b.qe) AS y) z)
+                             / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
+                  FROM bb a JOIN bb b
+                    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                           ORDER BY cos_raw DESC,
+                                                    doc_a ASC, doc_b ASC) AS rn
+              FROM pairs)
+        SELECT r.bucket, sizes.n_members, doc_a, doc_b, round(cos_raw, 6) AS cos
+        FROM r JOIN sizes ON sizes.bucket = r.bucket WHERE rn = 1
+    """,
+    "embedding_label_stats": _EMB_Q_SQL + """
+        SELECT label, count(*) AS n_vectors, sum(n2) AS sum_sq_norm,
+               round(avg(sqrt(n2::DOUBLE)), 6) AS avg_norm
+        FROM base GROUP BY 1
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               upper(substr(hex(encode(text)), 1, 8)) AS header_hash
+        FROM documents
+    """,
+}
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -392,6 +663,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_recent_orders": q_customers_with_recent_orders,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "distinct_union": q_distinct_union,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -533,4 +816,5 @@ ORACLES: dict[str, str] = {
             SELECT year(l_shipdate) AS y FROM lineitem)
         ORDER BY y
     """,
+    **DEDUP_ORACLES,
 }

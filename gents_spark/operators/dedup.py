@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all declarative DataFrame ops (shuffle-conscious shapes):
+
+- exact: fingerprint groupBy — one shuffle on the fingerprint;
+- n-gram Jaccard: shingle explode + self-equi-join on shingle + pair agg
+  (the join key is the shingle, so common shingles dominate cost — at
+  100 TB you'd drop the top-frequency shingles first, like stop-shingle
+  filtering in industrial near-dup pipelines);
+- MinHash + LSH banding: per-doc signature (k min-aggs over one explode),
+  band keys, candidate pairs via band groupBy — avoids the all-pairs
+  product entirely (the scale path);
+- SimHash: per-bit majority vote over word hashes, one 16-bit key per
+  doc; near-dups collide on small Hamming distance.
+
+All hashing is md5-based (portable) so results pair 1:1 with SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gents_spark.operators.textstats import word_hash, words_col
+
+MINHASH_P = 2_147_483_647
+#: fixed (a, b) for k=12 universal-hash permutations (public constants,
+#: arbitrary odd multipliers)
+MINHASH_AB = [
+    (1103515245, 12345), (1103245, 54321), (69069, 7), (1664525, 1013904223),
+    (22695477, 1), (134775813, 10907), (214013, 2531011), (16843009, 826366247),
+    (3014898611, 1), (1220703125, 11), (32310901, 33), (48271, 3),
+]
+N_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def shingles_col(n: int = 3) -> F.Column:
+    """n-word shingles as strings; empty array when the doc is shorter
+    than n words (guarded — Spark's sequence(1,0) would count DOWN)."""
+    w = words_col()
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, prefix_words: int = 5) -> DataFrame:
+    """Exact dedup on a prefix fingerprint: group size, canonical doc
+    (min doc_id), is_dup flag per doc.  With prefix_words=None the key is
+    the full text md5."""
+    w = words_col()
+    key_src = (
+        F.concat_ws(" ", F.slice(w, 1, prefix_words))
+        if prefix_words
+        else F.col("text")
+    )
+    keyed = docs.select("doc_id", F.md5(key_src).alias("fp"))
+    win = Window.partitionBy("fp")
+    return keyed.select(
+        "doc_id",
+        "fp",
+        F.count("*").over(win).alias("group_size"),
+        F.min("doc_id").over(win).alias("canonical_doc_id"),
+        (F.count("*").over(win) > 1).alias("is_dup"),
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the dedup working set."""
+    return (
+        docs.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+
+    Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard) with doc_a<doc_b.
+    Integer set sizes make the join exact; jaccard rounded to 6 dp.
+    """
+    s = shingle_sets(docs, n)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """k=12 MinHash components per doc (columns mh0..mh11)."""
+    s = shingle_sets(docs, n).withColumn(
+        "h", F.pmod(word_hash(F.col("shingle")), F.lit(MINHASH_P))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return s.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH banding: 4 bands x 3 rows; candidate pairs = docs sharing >=1
+    band key.  Output (doc_a, doc_b, n_common_bands).
+
+    Scale shape: signatures job is one explode+groupBy; banding job is
+    groupBy(band_key) — never an all-pairs product.
+    """
+    sig = minhash_signatures(docs, n)
+    bands = []
+    for bnd in range(N_BANDS):
+        cols = [f"mh{bnd * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.concat_ws(",", *[F.col(c) for c in cols]).alias("key"),
+            )
+        )
+    allbands = bands[0]
+    for x in bands[1:]:
+        allbands = allbands.unionByName(x)
+    a = allbands.alias("a")
+    b = allbands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: majority vote per bit over word hashes."""
+    exploded = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    hashed = exploded.withColumn(
+        "wh", F.pmod(word_hash(F.col("w")), F.lit(1 << bits))
+    )
+    per_bit = (
+        hashed.select(
+            "doc_id",
+            "wh",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        )
+        .withColumn("vote", F.expr("(shiftright(wh, b) & 1) * 2 - 1"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (split / regexp / aggregate folds) — no
+Python UDFs — so they run inside whole-stage codegen and pair 1:1 with
+ANSI-SQL oracles.
+
+Word hashing uses the first 15 hex chars of md5 as a bigint (60 bits,
+overflow-safe) — reproducible in any engine, unlike engine-native hash().
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: deterministic 60-bit word hash (portable across engines)
+def word_hash(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MOD_P = 1_000_000_007
+
+#: synthetic lexicons: word -> class via md5 % 5 (the container has no
+#: real language corpora; the *mechanism* — lexicon scoring + argmax —
+#: is the operator under test)
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+STOPWORDS = ["the", "a", "of", "and", "in", "value", "data", "row"]
+
+BPE_ISH_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def words_col(text: str = "text") -> F.Column:
+    return F.split(F.col(text), " ")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (SURVEY task:
+    token counting for training-data budgeting)."""
+    return docs.select(
+        "doc_id",
+        F.size(words_col()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio quality heuristic; pure arithmetic so the
+    score is bitwise-reproducible."""
+    w = words_col()
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
+    mean_wlen = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words,
+        6,
+    )
+    quality = F.round(
+        F.least(n_words, F.lit(100)).cast("double")
+        / 100.0
+        * (F.lit(1.0) - n_stop.cast("double") / n_words),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Lexicon-scoring language ID: each word votes for the class its
+    hash falls in; argmax with deterministic tie-break."""
+    exploded = docs.select(
+        "doc_id", F.explode(words_col()).alias("w")
+    ).withColumn("cls", F.pmod(word_hash(F.col("w")), F.lit(5)).cast("int"))
+    counted = exploded.groupBy("doc_id", "cls").agg(F.count("*").alias("votes"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("votes"), F.asc("cls"))
+    best = (
+        counted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cls", "votes")
+    )
+    lang_map = F.array(*[F.lit(x) for x in LANGS])
+    return best.select(
+        "doc_id",
+        F.element_at(lang_map, F.col("cls") + 1).alias("pred_lang"),
+        "votes",
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling hash over the word stream
+    (h = (h*31 + word_hash) mod p) — document fingerprinting for
+    near-identity checks; a deterministic fold, no UDF."""
+    hashed = F.transform(words_col(), lambda x: F.pmod(word_hash(x), F.lit(MOD_P)))
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(MOD_P)),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
