@@ -78,60 +78,70 @@ def write_tier_chunks(
     resume: bool = True,
     fail_after_chunks: int | None = None,
 ) -> dict:
-    """Write a tier table chunk-by-chunk with manifest checkpoints.
+    """Write a tier table with chunk-granular checkpoints.
 
-    ``fail_after_chunks`` injects a crash for the kill/resume tests
-    (analog of GenTS's interrupted-run scenario).  Returns metrics:
-    {written, skipped}.
+    One dynamic-partition-overwrite write covers every pending chunk
+    (Spark replaces exactly the partitions present in the data — the
+    parquet analog of Iceberg's atomic REPLACE per partition), then one
+    aggregation computes per-chunk lineage metrics and one append
+    commits the manifest rows.  Constant job count regardless of chunk
+    count — no per-chunk re-aggregation.
 
-    Scale note: on a cluster each chunk write is a partition-pruned job
-    (predicate on the chunk key pushes into the tier scan), and chunks
-    could be dispatched concurrently; the manifest append is tiny.  The
-    sequential loop here is over *checkpoint units* (days), not data.
+    ``fail_after_chunks`` injects a crash after the first K pending
+    chunks are written+committed (kill/resume tests — the analog of
+    GenTS's interrupted-run scenario).  Returns {written, skipped}.
     """
-    tier_df = tier_df.withColumn("chunk", chunk_col())
-    planned = tier_df.select("chunk").distinct()
-    todo = (
-        pending_chunks(spark, planned, manifest_dir, tier)
-        if resume
-        else planned
-    )
-    todo_list = sorted(r["chunk"] for r in todo.collect())
-    planned_n = planned.count()
-    skipped = planned_n - len(todo_list)
+    tier_df = tier_df.withColumn("chunk", chunk_col()).persist()
+    try:
+        planned = sorted(
+            r["chunk"] for r in tier_df.select("chunk").distinct().collect()
+        )
+        if resume:
+            done = {
+                r["chunk"]
+                for r in completed_chunks(spark, manifest_dir, tier).collect()
+            }
+            todo = [c for c in planned if c not in done]
+        else:
+            todo = list(planned)
+        skipped = len(planned) - len(todo)
 
-    out_dir = os.path.join(tiers_dir, f"tier={tier}")
-    written = 0
-    for i, chunk in enumerate(todo_list):
-        if fail_after_chunks is not None and i >= fail_after_chunks:
-            raise RuntimeError(f"injected failure before chunk {chunk}")
-        part = tier_df.filter(F.col("chunk") == chunk)
-        # atomic-replace semantics per chunk dir (Iceberg: REPLACE partition)
-        part.drop("chunk").write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"chunk={chunk}")
-        )
-        stats = part.agg(
-            F.count("*").alias("n"),
-            F.sum("cnt").alias("sc"),
-            F.sum("sum_tok").alias("st"),
-        ).collect()[0]
-        row = [
+        inject = fail_after_chunks is not None and fail_after_chunks < len(todo)
+        write_now = todo[:fail_after_chunks] if inject else todo
+        out_dir = os.path.join(tiers_dir, f"tier={tier}")
+
+        if write_now:
+            part = tier_df.filter(F.col("chunk").isin(write_now))
             (
-                run_id,
-                tier,
-                chunk,
-                DONE,
-                stats["n"],
-                stats["sc"],
-                stats["st"],
-                time.time(),
+                part.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(out_dir)
             )
-        ]
-        spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
-            manifest_dir
-        )
-        written += 1
-    return {"written": written, "skipped": skipped}
+            now = time.time()
+            stats = (
+                part.groupBy("chunk")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("cnt").alias("sc"),
+                    F.sum("sum_tok").alias("st"),
+                )
+                .collect()
+            )
+            rows = [
+                (run_id, tier, s["chunk"], DONE, s["n"], s["sc"], s["st"], now)
+                for s in stats
+            ]
+            spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
+                "append"
+            ).parquet(manifest_dir)
+        if inject:
+            raise RuntimeError(
+                f"injected failure after {len(write_now)} chunks"
+            )
+        return {"written": len(write_now), "skipped": skipped}
+    finally:
+        tier_df.unpersist()
 
 
 def read_tier(spark: SparkSession, tiers_dir: str, tier: str) -> DataFrame:

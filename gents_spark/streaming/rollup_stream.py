@@ -1,0 +1,101 @@
+"""Streaming continuous aggregates (SURVEY.md §2.9).
+
+GenTS is pure batch; the north_rule's "continuous aggregates" map onto
+Structured Streaming for live ingest: readStream over the sequences
+table directory -> event-time derivation -> watermarked tumbling-window
+aggregation -> append-mode sink.
+
+Semantics parity with the batch tier: same bucket assignment
+(``window(event_time, ...)`` start == ``date_trunc``) and the same
+additive stats.  Exact percentiles are a batch-only feature (streaming
+state cannot hold all values unboundedly); streaming emits the additive
+stats and leaves percentiles to the batch cascade — the classic
+lambda-ish split, documented rather than hidden.
+
+Late data: the watermark bounds state; a row later than the watermark is
+dropped by the stream and reconciled by the next batch tier rebuild of
+that chunk (manifest invalidation path), mirroring GenTS's
+delete-and-rewrite of incomplete outputs (``gents/timeseries.py:136-142``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gents_spark.operators.rollup import TIER_UNITS
+from gents_spark.timeparse import with_event_time
+
+SEQUENCES_SCHEMA = (
+    "doc_id string, tokens array<int>, n_tok int, source string"
+)
+
+WINDOW_WIDTH = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def read_sequences_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(SEQUENCES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    tier: str = "1m",
+    step_s: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window continuous aggregate."""
+    if tier not in TIER_UNITS:
+        raise ValueError(f"unknown tier {tier}")
+    ev = with_event_time(stream, step_s=step_s).withWatermark(
+        "event_time", watermark
+    )
+    return (
+        ev.groupBy("source", F.window("event_time", WINDOW_WIDTH[tier]))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .select(
+            "source",
+            F.lit(tier).alias("tier"),
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            "cnt", "sum_tok", "min_tok", "max_tok",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    tier: str = "1m",
+    step_s: int = 10,
+    watermark: str = "10 minutes",
+):
+    """Start the stream; caller awaits/ stops.  Append mode: a window is
+    emitted once, after the watermark passes it (exactly-once with the
+    checkpoint dir — the streaming twin of the lineage manifest)."""
+    q = streaming_rollup(
+        read_sequences_stream(spark, in_path),
+        tier=tier,
+        step_s=step_s,
+        watermark=watermark,
+    )
+    return (
+        q.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

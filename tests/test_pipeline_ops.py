@@ -1,0 +1,146 @@
+"""Sanity tests for dedup / similarity / text / multimodal operators.
+
+(Value-level equivalence vs ANSI SQL is covered by the driver oracle gate
+and tools/check_oracles.py; these tests pin semantic properties.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a", 43),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "a", 43),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog", "en", "b", 43),  # exact dup of 1
+        (4, "completely different text with other words here now", "en", "b", 51),
+        (5, "tiny", "en", "c", 4),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+        (4, [0.0, 0.0, 0.0, 0.0], 2),   # zero vector -> excluded
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_dedup_flags_identical_prefixes(docs):
+    from gents_spark.operators.dedup import exact_dedup_groups
+
+    out = {r["doc_id"]: r for r in exact_dedup_groups(docs, prefix_words=9).collect()}
+    assert out[1]["is_dup"] and out[3]["is_dup"]
+    assert out[1]["canonical_doc_id"] == 1 and out[3]["canonical_doc_id"] == 1
+    assert not out[4]["is_dup"]
+
+
+def test_jaccard_finds_near_dup(docs):
+    from gents_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 3)] == 1.0          # exact dup
+    assert 0.4 < pairs[(1, 2)] < 1.0     # near dup
+    assert (1, 4) not in pairs
+
+
+def test_short_doc_has_no_shingles(spark, docs):
+    from gents_spark.operators.dedup import shingle_sets
+
+    assert shingle_sets(docs).filter(F.col("doc_id") == 5).count() == 0
+
+
+def test_minhash_lsh_catches_exact_dup(docs):
+    from gents_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_common_bands"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 3)] == 4  # identical docs share all 4 bands
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    from gents_spark.operators.dedup import simhash
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[1] == h[3]
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[4]).count("1")
+    assert near <= far
+
+
+def test_cosine_topk_ranks_geometrically(emb):
+    from gents_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(emb, k=3, n_queries=1).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]  # close, orthogonal, opposite
+    cos = {r["neighbor_id"]: r["cos"] for r in out}
+    assert cos[2] == 0.0 and cos[3] == -1.0
+    assert 4 not in cos  # zero vector excluded
+
+
+def test_lang_id_deterministic(docs):
+    from gents_spark.operators.textstats import lang_id
+
+    a = sorted(lang_id(docs).collect())
+    b = sorted(lang_id(docs.repartition(7)).collect())
+    assert a == b
+    assert all(r["pred_lang"] in {"de", "en", "es", "fr", "zh"} for r in a)
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    from gents_spark.operators.textstats import doc_fingerprints
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(d).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_decode_plumbing(docs):
+    from gents_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        decode_real,
+        with_payload,
+    )
+
+    out = decode_features(with_payload(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+        assert r["feature"][0] == float(r["n_bytes"])
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00")
+
+
+def test_multimodal_meta_matches_decode(docs):
+    from gents_spark.operators.multimodal import (
+        decode_features,
+        payload_meta,
+        with_payload,
+    )
+
+    meta = {r["doc_id"]: r for r in payload_meta(docs).collect()}
+    dec = {r["doc_id"]: r for r in decode_features(with_payload(docs)).collect()}
+    for k in meta:
+        assert meta[k]["n_bytes"] == dec[k]["n_bytes"]
+        assert meta[k]["header_hash"] == dec[k]["header_hash"]

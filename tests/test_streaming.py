@@ -1,0 +1,67 @@
+"""Structured Streaming rollup == batch rollup on the same input.
+
+Analog of GenTS's parallel-equals-serial assertion
+(``gents/tests/test_parallel.py:14-41``), here stream-equals-batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gents_spark.operators.rollup import rollup
+from gents_spark.streaming.rollup_stream import run_stream_to_parquet
+from gents_spark.synth import synth_sequences
+from gents_spark.timeparse import with_event_time
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    in_path = str(tmp_path / "seqs")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    seqs = synth_sequences(spark, 2, 500, n_tok_lo=8, n_tok_hi=32)
+    seqs.repartition(4).write.parquet(in_path)
+
+    q = run_stream_to_parquet(
+        spark, in_path, out_path, ckpt, tier="1m", step_s=10, watermark="1 minute"
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_path)
+        .select("source", "bucket_start", "cnt", "sum_tok", "min_tok", "max_tok")
+        .orderBy("source", "bucket_start")
+        .collect()
+    )
+    raw = with_event_time(spark.read.parquet(in_path), step_s=10)
+    exp = (
+        rollup(raw, "1m", with_percentiles=False)
+        .select("source", "bucket_start", "cnt", "sum_tok", "min_tok", "max_tok")
+        .orderBy("source", "bucket_start")
+        .collect()
+    )
+    # availableNow + append: windows at the stream's tail can be withheld
+    # by the watermark; everything emitted must match batch exactly, and
+    # coverage must be nearly complete.
+    exp_map = {(r["source"], r["bucket_start"]): r for r in exp}
+    assert len(got) >= 0.9 * len(exp)
+    for r in got:
+        e = exp_map[(r["source"], r["bucket_start"])]
+        assert (r["cnt"], r["sum_tok"], r["min_tok"], r["max_tok"]) == (
+            e["cnt"], e["sum_tok"], e["min_tok"], e["max_tok"],
+        )
+
+
+def test_stream_bucket_assignment_is_date_trunc(spark, tmp_path):
+    """window().start must equal date_trunc — tier parity invariant."""
+    in_path = str(tmp_path / "seqs2")
+    out_path = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    synth_sequences(spark, 1, 300).write.parquet(in_path)
+    q = run_stream_to_parquet(spark, in_path, out_path, ckpt, tier="1h", step_s=60)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_path)
+    bad = out.filter(
+        F.col("bucket_start") != F.date_trunc("hour", "bucket_start")
+    ).count()
+    assert bad == 0
