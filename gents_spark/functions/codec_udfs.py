@@ -53,22 +53,28 @@ def attach_payload(
     finer: DataFrame,
     coarser_tier: str,
     value_col: str = "sum_tok",
+    ts_col: str = "bucket_start",
 ) -> DataFrame:
-    """Per (source, coarser bucket): encode the ordered finer-tier value
+    """Per (source, coarser bucket): encode the ordered finer value
     stream as a DoD payload — the tier row's ``payload`` column
     (SURVEY.md §1.3 tier model).
+
+    ``finer`` is either a finer tier table (ts_col='bucket_start',
+    value_col='sum_tok') or the raw rows (ts_col='event_time',
+    value_col='n_tok') for the finest tier's payload.
 
     The sort + encode happen inside one JVM aggregation + one pandas UDF
     call: ``sort_array(collect_list(struct(ts, v)))`` keeps ordering
     distributed (no driver collect), then the codec sees a clean int64
-    array per group.
+    array per group.  Group size is time-bounded (finer buckets per
+    coarser bucket), so collect_list cannot blow memory.
     """
     unit = TIER_UNITS[coarser_tier]
     grouped = finer.groupBy(
-        "source", bucket_col("bucket_start", coarser_tier).alias("bucket_start")
+        "source", bucket_col(ts_col, coarser_tier).alias("bucket_start")
     ).agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("bucket_start", value_col))),
+            F.sort_array(F.collect_list(F.struct(ts_col, value_col))),
             lambda s: s[value_col].cast("long"),
         ).alias("_stream")
     )

@@ -39,6 +39,7 @@ class TierPipeline:
         exclude_sources: list[str] | None = None,
         salt_threshold_frac: float = 0.25,
         n_salt: int = 16,
+        payloads: bool = True,
     ):
         self.spark = spark
         self.step_s = step_s
@@ -48,6 +49,7 @@ class TierPipeline:
         self.exclude_sources = exclude_sources
         self.salt_threshold_frac = salt_threshold_frac
         self.n_salt = n_salt
+        self.payloads = payloads
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined)."""
@@ -83,6 +85,7 @@ class TierPipeline:
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
             hot = hot_sources(raw, self.salt_threshold_frac)
+            prev_tier: DataFrame | None = None
             for tier in self.tiers:
                 if hot:
                     # additive stats via salted two-phase agg; exact
@@ -94,6 +97,24 @@ class TierPipeline:
                     tier_df = additive.join(pct, ["source", "bucket_start"])
                 else:
                     tier_df = rollup(raw, tier)
+                if self.payloads:
+                    # Gorilla/DoD payload: the finer value stream encoded
+                    # per coarser bucket (raw n_tok stream for the finest
+                    # tier, finer-tier sum_tok stream above it).
+                    from gents_spark.functions.codec_udfs import attach_payload
+
+                    if prev_tier is None:
+                        pay = attach_payload(
+                            raw, tier, value_col="n_tok", ts_col="event_time"
+                        )
+                    else:
+                        pay = attach_payload(prev_tier, tier)
+                    tier_df = tier_df.join(
+                        pay.select("source", "bucket_start", "payload"),
+                        ["source", "bucket_start"],
+                        "left",
+                    )
+                prev_tier = tier_df
                 if self.gapfill_mode:
                     tier_df = gapfill(tier_df, tier, mode=self.gapfill_mode)
                 else:
