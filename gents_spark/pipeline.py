@@ -9,6 +9,7 @@ of DataFrame jobs with a manifest checkpoint between tiers.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 import pyspark.sql.functions as F
@@ -119,6 +120,7 @@ class TierPipeline:
                     tier_df = gapfill(tier_df, tier, mode=self.gapfill_mode)
                 else:
                     tier_df = tier_df.withColumn("filled", F.lit(False))
+                t0 = time.time()
                 m = write_tier_chunks(
                     self.spark,
                     tier_df,
@@ -130,6 +132,7 @@ class TierPipeline:
                     fail_after_chunks=fail_after_chunks,
                 )
                 m["rows"] = read_tier(self.spark, tiers_dir, tier).count()
+                m["seconds"] = round(time.time() - t0, 3)
                 metrics["tiers"][tier] = m
             return metrics
         finally:

@@ -112,8 +112,13 @@ def write_tier_chunks(
 
         if write_now:
             part = tier_df.filter(F.col("chunk").isin(write_now))
+            # One task per chunk(s): without this, every shuffle partition
+            # opens a file in every chunk dir -> O(partitions x chunks)
+            # tiny files.  Hash-repartitioning on the chunk key bounds it
+            # at one file per (chunk, task) with chunks co-located.
             (
-                part.write.mode("overwrite")
+                part.repartition(F.col("chunk"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("chunk")
                 .parquet(out_dir)
