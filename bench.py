@@ -92,6 +92,14 @@ def main() -> None:
     seqs = spark.read.parquet(in_path)
     n_seqs = seqs.count()
 
+    # untimed warm-up: JVM/codegen/Arrow paths (first-run overhead would
+    # otherwise dominate and mask the parallelism signal)
+    warm_dir = f"/tmp/gents_bench_warm_{CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf").run(
+        seqs.limit(20_000), warm_dir, resume=False, run_id="warm"
+    )
+
     out_dir = f"/tmp/gents_bench_out_{CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()

@@ -38,22 +38,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events_tiers(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
     """Continuous aggregate of events as (source, bucket) tier rows —
     the flagship rollup (SURVEY.md §2.4 A8) on the shared table."""
+    from gents_spark.operators.rollup import sorted_percentile
+
     ev = _t(spark, sf_dir, "events")
     unit = TIER_UNITS[tier]
-    return (
-        ev.groupBy(
-            F.col("event_type").alias("source"),
-            F.date_trunc(unit, "ts").alias("bucket_start"),
-        )
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 6).alias("sum_val"),
-            F.round(F.min("value"), 6).alias("min_val"),
-            F.round(F.max("value"), 6).alias("max_val"),
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_val"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_val"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_val"),
-        )
+    agg = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc(unit, "ts").alias("bucket_start"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 6).alias("sum_val"),
+        F.round(F.min("value"), 6).alias("min_val"),
+        F.round(F.max("value"), 6).alias("max_val"),
+        F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("_sv"),
+    )
+    return agg.select(
+        "source", "bucket_start", "cnt", "sum_val", "min_val", "max_val",
+        F.round(sorted_percentile(F.col("_sv"), 0.5), 6).alias("p50_val"),
+        F.round(sorted_percentile(F.col("_sv"), 0.95), 6).alias("p95_val"),
+        F.round(sorted_percentile(F.col("_sv"), 0.99), 6).alias("p99_val"),
     )
 
 

@@ -49,6 +49,24 @@ def bucket_col(ts_col: str, tier: str) -> F.Column:
     return F.date_trunc(TIER_UNITS[tier], F.col(ts_col))
 
 
+def sorted_percentile(sorted_arr: F.Column, p: float) -> F.Column:
+    """Exact linear-interpolation percentile over a pre-sorted array,
+    evaluating the same expression Spark's Percentile aggregate does
+    (pos = p*(n-1); (hi-pos)*v[lo] + (pos-lo)*v[hi]) — bitwise-identical
+    results, but as whole-stage-codegen projections instead of the
+    ObjectHashAggregate, which profiles ~10x slower on high-cardinality
+    groupings (one small array per bucket)."""
+    n = F.size(sorted_arr)
+    pos = F.lit(p) * (n - 1).cast("double")
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    vlo = F.element_at(sorted_arr, lo + 1).cast("double")
+    vhi = F.element_at(sorted_arr, hi + 1).cast("double")
+    return F.when(n == 0, F.lit(None).cast("double")).when(lo == hi, vlo).otherwise(
+        (hi.cast("double") - pos) * vlo + (pos - lo.cast("double")) * vhi
+    )
+
+
 def rollup(
     df: DataFrame,
     tier: str,
@@ -62,6 +80,13 @@ def rollup(
     Output schema (SURVEY.md §1.3 tier model):
     (source, tier, bucket_start, bucket_end, cnt, sum_tok, min_tok,
      max_tok, p50_tok, p95_tok, p99_tok)
+
+    Percentiles are exact (linear interpolation, Spark/Hive formula),
+    computed from a per-bucket ``sort_array(collect_list(...))`` — one
+    shuffle carrying the bucket's values (the same bytes the Percentile
+    aggregate would ship, since percentiles have no partial combine), but
+    all downstream math stays in codegen.  Bucket size is time-bounded,
+    so per-group arrays cannot blow memory.
     """
     unit = TIER_UNITS[tier]
     v = F.col(value_col)
@@ -72,11 +97,7 @@ def rollup(
         F.max(v).alias("max_tok"),
     ]
     if with_percentiles:
-        # exact percentile (linear interpolation) — matches the pandas /
-        # DuckDB quantile_cont oracle definition bit-for-bit on doubles.
-        aggs.append(
-            F.percentile(v.cast("double"), F.lit(PCTS)).alias("_pcts")
-        )
+        aggs.append(F.sort_array(F.collect_list(v.cast("double"))).alias("_sv"))
     out = (
         df.groupBy(
             F.col(source_col).alias("source"),
@@ -89,9 +110,9 @@ def rollup(
         )
     )
     if with_percentiles:
-        for i, name in enumerate(_PCT_NAMES):
-            out = out.withColumn(name, F.col("_pcts")[i])
-        out = out.drop("_pcts")
+        for p, name in zip(PCTS, _PCT_NAMES):
+            out = out.withColumn(name, sorted_percentile(F.col("_sv"), p))
+        out = out.drop("_sv")
     cols = ["source", "tier", "bucket_start", "bucket_end", "cnt", "sum_tok",
             "min_tok", "max_tok"]
     if with_percentiles:

@@ -40,8 +40,10 @@ class TierPipeline:
         exclude_sources: list[str] | None = None,
         salt_threshold_frac: float = 0.25,
         n_salt: int = 16,
-        payloads: bool = True,
+        payloads: str | None = "coarse",
     ):
+        if payloads not in (None, "coarse", "all"):
+            raise ValueError("payloads must be None, 'coarse', or 'all'")
         self.spark = spark
         self.step_s = step_s
         self.tiers = tiers or TIER_ORDER
@@ -86,7 +88,7 @@ class TierPipeline:
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
             hot = hot_sources(raw, self.salt_threshold_frac)
-            prev_tier: DataFrame | None = None
+            prev_tier_name: str | None = None
             for tier in self.tiers:
                 if hot:
                     # additive stats via salted two-phase agg; exact
@@ -98,24 +100,34 @@ class TierPipeline:
                     tier_df = additive.join(pct, ["source", "bucket_start"])
                 else:
                     tier_df = rollup(raw, tier)
-                if self.payloads:
+                if self.payloads and (
+                    prev_tier_name is not None or self.payloads == "all"
+                ):
                     # Gorilla/DoD payload: the finer value stream encoded
-                    # per coarser bucket (raw n_tok stream for the finest
-                    # tier, finer-tier sum_tok stream above it).
+                    # per coarser bucket — raw n_tok stream for the finest
+                    # tier (payloads='all' only: one pandas-UDF row per
+                    # bucket is wasteful at minute grain), the previously
+                    # WRITTEN tier's sum_tok stream above it.  Reading the
+                    # finer tier back from disk keeps each tier's job DAG
+                    # flat (composing from the in-memory lineage would
+                    # re-run every finer tier's full pipeline inside this
+                    # tier's plan).
                     from gents_spark.functions.codec_udfs import attach_payload
 
-                    if prev_tier is None:
+                    if prev_tier_name is None:
                         pay = attach_payload(
                             raw, tier, value_col="n_tok", ts_col="event_time"
                         )
                     else:
-                        pay = attach_payload(prev_tier, tier)
+                        finer = read_tier(self.spark, tiers_dir, prev_tier_name)
+                        if "filled" in finer.columns:
+                            finer = finer.filter(~F.col("filled"))
+                        pay = attach_payload(finer, tier)
                     tier_df = tier_df.join(
                         pay.select("source", "bucket_start", "payload"),
                         ["source", "bucket_start"],
                         "left",
                     )
-                prev_tier = tier_df
                 if self.gapfill_mode:
                     tier_df = gapfill(tier_df, tier, mode=self.gapfill_mode)
                 else:
@@ -134,6 +146,7 @@ class TierPipeline:
                 m["rows"] = read_tier(self.spark, tiers_dir, tier).count()
                 m["seconds"] = round(time.time() - t0, 3)
                 metrics["tiers"][tier] = m
+                prev_tier_name = tier
             return metrics
         finally:
             raw.unpersist()

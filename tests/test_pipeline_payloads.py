@@ -14,9 +14,9 @@ from gents_spark.synth import synth_sequences
 def test_tier_payloads_decode_to_finer_stream(spark, tmp_path):
     out = str(tmp_path / "p")
     seqs = synth_sequences(spark, 2, 900)  # step 10s -> 2.5h per source
-    TierPipeline(spark, step_s=10, tiers=["1m", "1h"], gapfill_mode=None).run(
-        seqs, out, run_id="pay"
-    )
+    TierPipeline(
+        spark, step_s=10, tiers=["1m", "1h"], gapfill_mode=None, payloads="all"
+    ).run(seqs, out, run_id="pay")
     t1m = read_tier(spark, out + "/tiers", "1m")
     t1h = read_tier(spark, out + "/tiers", "1h")
 
@@ -47,9 +47,9 @@ def test_tier_payloads_decode_to_finer_stream(spark, tmp_path):
 def test_raw_tier_payload_is_ntok_stream(spark, tmp_path):
     out = str(tmp_path / "p2")
     seqs = synth_sequences(spark, 1, 120)
-    TierPipeline(spark, step_s=10, tiers=["1m"], gapfill_mode=None).run(
-        seqs, out, run_id="pay2"
-    )
+    TierPipeline(
+        spark, step_s=10, tiers=["1m"], gapfill_mode=None, payloads="all"
+    ).run(seqs, out, run_id="pay2")
     t1m = read_tier(spark, out + "/tiers", "1m").collect()
     for r in t1m:
         dec = decode_i64(bytes(r["payload"]))
