@@ -32,9 +32,11 @@ from gents_spark.synth import synth_sequences  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: bench sequences table: `long`+`skewed` fixture scaled (FIXTURES.md §Sizing)
+#: bench sequences table: `long`+`skewed` fixture scaled (FIXTURES.md §Sizing).
+#: Sized so per-core compute dominates fixed job overheads — the regime
+#: where the N-vs-4N scaling measurement is meaningful.
 N_SOURCES = 8
-SEQS_PER_SOURCE = 150_000
+SEQS_PER_SOURCE = 1_200_000
 HOT_FRAC = 0.3
 STEP_S = 60
 

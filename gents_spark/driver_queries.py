@@ -361,6 +361,78 @@ def q_topk_orders_per_segment(spark, sf_dir):
     )
 
 
+def q_props_extract(spark, sf_dir):
+    """C-series scalar functions (SURVEY.md §2.8): regex field extraction
+    from a JSON-ish payload string + per-source aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.col("event_type").alias("source"))
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        )
+    )
+
+
+def q_collection_stats(spark, sf_dir):
+    """A6 (log_hfcollection_info, utils.py:124-206): one-row collection
+    summary with a deterministic argmax."""
+    ev = _t(spark, sf_dir, "events")
+    per_src = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("event_type"))
+    busiest = (
+        per_src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("busiest_source"),
+            F.col("n").alias("busiest_rows"),
+        )
+    )
+    totals = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_type").alias("n_sources"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return totals.crossJoin(busiest)
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: 3-table join, filtered agg, deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(15,2)") - dec("l_discount")))
+        .alias("_rev")
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "rn",
+        )
+    )
+
+
 def q_distinct_union(spark, sf_dir):
     """E1/E2 (np.unique of concatenated coords): union + distinct."""
     orders = _t(spark, sf_dir, "orders")
@@ -666,6 +738,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_recent_orders": q_customers_with_recent_orders,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "distinct_union": q_distinct_union,
+    "props_extract": q_props_extract,
+    "collection_stats": q_collection_stats,
+    "shipping_priority": q_shipping_priority,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -818,6 +893,46 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT year(l_shipdate) AS y FROM lineitem)
         ORDER BY y
+    """,
+    "props_extract": """
+        SELECT event_type AS source,
+               sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+               round(sum(k)::DOUBLE / count(*), 6) AS avg_k
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+              FROM events)
+        GROUP BY 1
+    """,
+    "collection_stats": """
+        WITH per_src AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        busiest AS (SELECT event_type AS busiest_source, n AS busiest_rows
+                    FROM per_src ORDER BY n DESC, event_type ASC LIMIT 1),
+        totals AS (SELECT count(*) AS n_rows,
+                          count(DISTINCT event_type) AS n_sources,
+                          count(DISTINCT user_id) AS n_users,
+                          min(ts) AS first_ts, max(ts) AS last_ts
+                   FROM events)
+        SELECT * FROM totals, busiest
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                        * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2))))
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority,
+               row_number() OVER (
+                   ORDER BY sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                                * (CAST(1 AS DECIMAL(15,2))
+                                   - CAST(l_discount AS DECIMAL(15,2)))) DESC,
+                            l_orderkey ASC) AS rn
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        QUALIFY rn <= 10
     """,
     **DEDUP_ORACLES,
 }

@@ -80,10 +80,7 @@ def gapfill(
     )
 
     if mode == "locf":
-        for c in fill_cols:
-            joined = joined.withColumn(
-                c, F.last(F.col(c), ignorenulls=True).over(w_back)
-            )
+        joined = _locf_chunked(joined, fill_cols)
     else:
         w_fwd = (
             Window.partitionBy("source")
@@ -122,3 +119,56 @@ def gapfill(
             F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")),
         )
     )
+
+
+def _locf_chunked(joined: DataFrame, fill_cols: list[str]) -> DataFrame:
+    """LOCF with (source, day-chunk) window partitioning — exactly equal
+    to a global per-source LOCF but parallel WITHIN a source.
+
+    A single per-source running window serializes each source into one
+    task; a long-retention source (years of minute buckets) becomes the
+    straggler.  Instead:
+
+      pass 1: LOCF within each (source, day) — wide parallelism;
+      pass 2: per-(source, day) last-known value (row at max bucket);
+      pass 3: running LOCF over the tiny day-summary table gives each
+              day its carry-in from all previous days;
+      pass 4: broadcast-join the carry-in back; coalesce.
+
+    This is the classic two-level scan decomposition of a prefix
+    operator (LOCF is a running ``last(ignorenulls)``, which is
+    associative) — the same trick as parallel prefix sums.
+    """
+    chunk = F.date_trunc("day", F.col("bucket_start")).alias("_gchunk")
+    joined = joined.withColumn("_gchunk", chunk)
+    w1 = (
+        Window.partitionBy("source", "_gchunk")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in fill_cols:
+        joined = joined.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w1))
+
+    summaries = joined.groupBy("source", "_gchunk").agg(
+        *[F.max_by(F.col(c), F.col("bucket_start")).alias(f"_last_{c}")
+          for c in fill_cols]
+    )
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("_gchunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        "source",
+        "_gchunk",
+        *[
+            F.last(F.col(f"_last_{c}"), ignorenulls=True)
+            .over(w2)
+            .alias(f"_carry_{c}")
+            for c in fill_cols
+        ],
+    )
+    out = joined.join(F.broadcast(carry), ["source", "_gchunk"], "left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_carry_{c}")))
+    return out.drop("_gchunk", *[f"_carry_{c}" for c in fill_cols])

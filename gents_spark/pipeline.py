@@ -143,7 +143,7 @@ class TierPipeline:
                     resume=resume,
                     fail_after_chunks=fail_after_chunks,
                 )
-                m["rows"] = read_tier(self.spark, tiers_dir, tier).count()
+                m["rows"] = m["rows_written"]
                 m["seconds"] = round(time.time() - t0, 3)
                 metrics["tiers"][tier] = m
                 prev_tier_name = tier

@@ -110,6 +110,7 @@ def write_tier_chunks(
         write_now = todo[:fail_after_chunks] if inject else todo
         out_dir = os.path.join(tiers_dir, f"tier={tier}")
 
+        rows_written = 0
         if write_now:
             part = tier_df.filter(F.col("chunk").isin(write_now))
             # One task per chunk(s): without this, every shuffle partition
@@ -137,6 +138,7 @@ def write_tier_chunks(
                 (run_id, tier, s["chunk"], DONE, s["n"], s["sc"], s["st"], now)
                 for s in stats
             ]
+            rows_written = sum(s["n"] for s in stats)
             spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
                 "append"
             ).parquet(manifest_dir)
@@ -144,7 +146,11 @@ def write_tier_chunks(
             raise RuntimeError(
                 f"injected failure after {len(write_now)} chunks"
             )
-        return {"written": len(write_now), "skipped": skipped}
+        return {
+            "written": len(write_now),
+            "skipped": skipped,
+            "rows_written": rows_written,
+        }
     finally:
         tier_df.unpersist()
 

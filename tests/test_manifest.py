@@ -76,3 +76,19 @@ def test_manifest_carries_lineage_metrics(spark, seqs, tmp_path):
     }
     for r in rows:
         assert actual[r["chunk"]] == r["n_rows"]
+
+
+def test_audit_layout_one_file_per_chunk(spark, seqs, tmp_path):
+    """S12 conformance: the chunk-repartitioned writer must produce a
+    bounded file count per chunk partition."""
+    from gents_spark.plans.audit import audit_tier_files, conformance_violations
+
+    out = str(tmp_path / "audit")
+    TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None).run(
+        seqs, out, run_id="audit"
+    )
+    audit = audit_tier_files(spark, out + "/tiers")
+    rows = audit.collect()
+    assert rows and all(r["tier"] == "1d" for r in rows)
+    assert conformance_violations(audit, max_files_per_chunk=4).count() == 0
+    assert all(r["total_bytes"] > 0 for r in rows)
