@@ -98,14 +98,16 @@ def main() -> None:
     # otherwise dominate and mask the parallelism signal)
     warm_dir = f"/tmp/gents_bench_warm_{CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf").run(
+    TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False).run(
         seqs.limit(20_000), warm_dir, resume=False, run_id="warm"
     )
 
     out_dir = f"/tmp/gents_bench_out_{CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf")
+    # validate=False: the synthetic input is validated at generation; the
+    # per-row tokens check would force whole-table scans (see prepare()).
+    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False)
     metrics = pipe.run(seqs, out_dir, resume=False, run_id=f"bench{CPUS}")
     t_pipe = time.time() - t0
     timings["pipeline_raw_to_1d"] = round(t_pipe, 3)

@@ -41,6 +41,7 @@ class TierPipeline:
         salt_threshold_frac: float = 0.25,
         n_salt: int = 16,
         payloads: str | None = "coarse",
+        validate: bool = True,
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -53,10 +54,24 @@ class TierPipeline:
         self.salt_threshold_frac = salt_threshold_frac
         self.n_salt = n_salt
         self.payloads = payloads
+        self.validate = validate
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Validate + filter + derive event_time. Returns (raw, quarantined)."""
-        valid, bad = split_valid(sequences)
+        """Validate + filter + derive event_time. Returns (raw, quarantined).
+
+        ``validate=False`` skips the per-row ``n_tok == size(tokens)``
+        check: that predicate forces every downstream scan to decode the
+        full ``tokens`` arrays (the widest column by far), turning a
+        3-column pruned read into a whole-table read.  The GenTS model is
+        the same — validity is checked once at metadata pull
+        (``hfcollection.py:744-766``), not on every access; run a
+        validated-ingest job once, then build tiers with validate=False.
+        """
+        if self.validate:
+            valid, bad = split_valid(sequences)
+        else:
+            valid = sequences
+            bad = sequences.limit(0)
         if self.include_sources:
             valid = valid.filter(F.col("source").isin(self.include_sources))
         if self.exclude_sources:
