@@ -36,7 +36,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: Sized so per-core compute dominates fixed job overheads — the regime
 #: where the N-vs-4N scaling measurement is meaningful.
 N_SOURCES = 8
-SEQS_PER_SOURCE = 1_200_000
+SEQS_PER_SOURCE = 150_000
 HOT_FRAC = 0.3
 STEP_S = 60
 

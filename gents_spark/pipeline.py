@@ -42,6 +42,7 @@ class TierPipeline:
         n_salt: int = 16,
         payloads: str | None = "coarse",
         validate: bool = True,
+        use_salting: bool = False,
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -55,6 +56,7 @@ class TierPipeline:
         self.n_salt = n_salt
         self.payloads = payloads
         self.validate = validate
+        self.use_salting = use_salting
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -102,12 +104,24 @@ class TierPipeline:
         raw = raw.persist()
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
-            hot = hot_sources(raw, self.salt_threshold_frac)
+            # Salting note: the tier groupBy keys on (source, bucket) — a
+            # HIGH-cardinality key even when one source is hot, because a
+            # hot source's rows spread over its many buckets (rows per
+            # key are time-bounded).  So the default single aggregation
+            # is already skew-safe here, and the exact-percentile pass
+            # cannot be salted regardless (needs all of a bucket's values
+            # together).  use_salting=True switches the additive stats to
+            # the two-phase salted plan (operators/skew.py) — the right
+            # tool when buckets are coarse relative to the data (e.g. a
+            # 1d-only build over a few hot sources).
+            hot = (
+                hot_sources(raw, self.salt_threshold_frac)
+                if self.use_salting
+                else []
+            )
             prev_tier_name: str | None = None
             for tier in self.tiers:
                 if hot:
-                    # additive stats via salted two-phase agg; exact
-                    # percentiles recomputed per (source,bucket) on top.
                     additive = salted_rollup(raw, tier, n_salt=self.n_salt)
                     pct = rollup(raw, tier).select(
                         "source", "bucket_start", "p50_tok", "p95_tok", "p99_tok"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,35 @@ MANIFEST_SCHEMA = (
 )
 
 DONE = "done"
+
+
+def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
+    """Driver-side manifest append (pyarrow).
+
+    The manifest is driver-scale data (one row per checkpoint chunk);
+    spinning a Spark job + Python worker per append costs ~2s/tier for
+    no benefit.  On Iceberg this is the metadata-commit path anyway.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[]] * 8
+    table = pa.table(
+        {
+            "run_id": pa.array(cols[0], pa.string()),
+            "tier": pa.array(cols[1], pa.string()),
+            "chunk": pa.array(cols[2], pa.string()),
+            "status": pa.array(cols[3], pa.string()),
+            "n_rows": pa.array(cols[4], pa.int64()),
+            "sum_cnt": pa.array([int(x) if x is not None else None for x in cols[5]], pa.int64()),
+            "sum_tok": pa.array([int(x) if x is not None else None for x in cols[6]], pa.int64()),
+            "checkpoint_ts": pa.array(cols[7], pa.float64()),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")
+    )
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
@@ -139,9 +169,7 @@ def write_tier_chunks(
                 for s in stats
             ]
             rows_written = sum(s["n"] for s in stats)
-            spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
-                "append"
-            ).parquet(manifest_dir)
+            _append_manifest_rows(manifest_dir, rows)
         if inject:
             raise RuntimeError(
                 f"injected failure after {len(write_now)} chunks"
