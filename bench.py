@@ -36,9 +36,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: Sized so per-core compute dominates fixed job overheads — the regime
 #: where the N-vs-4N scaling measurement is meaningful.
 N_SOURCES = 8
-SEQS_PER_SOURCE = 150_000
+SEQS_PER_SOURCE = 300_000
 HOT_FRAC = 0.3
 STEP_S = 60
+#: month-grain checkpoints: the synthetic span covers years of minutes,
+#: so day-grain would mean thousands of partition commits (driver-side
+#: file ops) — the knob GenTS exposes as slice width.
+CHUNK_GRAIN = "month"
 
 BENCH_QUERIES = [
     "rollup_1m",
@@ -98,7 +102,7 @@ def main() -> None:
     # otherwise dominate and mask the parallelism signal)
     warm_dir = f"/tmp/gents_bench_warm_{CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False).run(
+    TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False, chunk_grain=CHUNK_GRAIN).run(
         seqs.limit(20_000), warm_dir, resume=False, run_id="warm"
     )
 
@@ -107,7 +111,7 @@ def main() -> None:
     t0 = time.time()
     # validate=False: the synthetic input is validated at generation; the
     # per-row tokens check would force whole-table scans (see prepare()).
-    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False)
+    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False, chunk_grain=CHUNK_GRAIN)
     metrics = pipe.run(seqs, out_dir, resume=False, run_id=f"bench{CPUS}")
     t_pipe = time.time() - t0
     timings["pipeline_raw_to_1d"] = round(t_pipe, 3)

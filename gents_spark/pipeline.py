@@ -43,6 +43,7 @@ class TierPipeline:
         payloads: str | None = "coarse",
         validate: bool = True,
         use_salting: bool = False,
+        chunk_grain: str = "day",
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -57,6 +58,7 @@ class TierPipeline:
         self.payloads = payloads
         self.validate = validate
         self.use_salting = use_salting
+        self.chunk_grain = chunk_grain
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -78,11 +80,12 @@ class TierPipeline:
             valid = valid.filter(F.col("source").isin(self.include_sources))
         if self.exclude_sources:
             valid = valid.filter(~F.col("source").isin(self.exclude_sources))
-        # doc_id stays: it seeds the deterministic salt (dropped before any
-        # shuffle — the salt is computed map-side).
-        raw = with_event_time(valid, step_s=self.step_s).select(
-            "doc_id", "source", "event_time", "n_tok"
-        )
+        # doc_id is kept only for the salted path (it seeds the
+        # deterministic salt, computed map-side before any shuffle).
+        cols = ["source", "event_time", "n_tok"]
+        if self.use_salting:
+            cols = ["doc_id", *cols]
+        raw = with_event_time(valid, step_s=self.step_s).select(*cols)
         return raw, bad
 
     def run(
@@ -171,6 +174,7 @@ class TierPipeline:
                     run_id,
                     resume=resume,
                     fail_after_chunks=fail_after_chunks,
+                    chunk_grain=self.chunk_grain,
                 )
                 m["rows"] = m["rows_written"]
                 m["seconds"] = round(time.time() - t0, 3)

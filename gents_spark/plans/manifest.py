@@ -93,9 +93,20 @@ def pending_chunks(
     return planned.join(done, "chunk", "left_anti")
 
 
-def chunk_col(bucket_col: str = "bucket_start") -> F.Column:
-    """Checkpoint grain: one calendar day of buckets."""
-    return F.date_format(F.col(bucket_col), "yyyy-MM-dd")
+CHUNK_FORMATS = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+
+
+def chunk_col(bucket_col: str = "bucket_start", grain: str = "day") -> F.Column:
+    """Checkpoint grain: one calendar day/month/year of buckets.
+
+    The grain sets the resume granularity AND the partition-commit
+    count; pick it so a full build has O(10-100) chunks (a dynamic
+    partition-overwrite commit does driver-side file ops per chunk —
+    GenTS has the same knob in its year-width slice size,
+    ``gents/hfcollection.py:84-117``).  Retention cutoffs must then be
+    expressed at the same grain.
+    """
+    return F.date_format(F.col(bucket_col), CHUNK_FORMATS[grain])
 
 
 def write_tier_chunks(
@@ -107,6 +118,7 @@ def write_tier_chunks(
     run_id: str,
     resume: bool = True,
     fail_after_chunks: int | None = None,
+    chunk_grain: str = "day",
 ) -> dict:
     """Write a tier table with chunk-granular checkpoints.
 
@@ -121,7 +133,7 @@ def write_tier_chunks(
     chunks are written+committed (kill/resume tests — the analog of
     GenTS's interrupted-run scenario).  Returns {written, skipped}.
     """
-    tier_df = tier_df.withColumn("chunk", chunk_col()).persist()
+    tier_df = tier_df.withColumn("chunk", chunk_col(grain=chunk_grain)).persist()
     try:
         planned = sorted(
             r["chunk"] for r in tier_df.select("chunk").distinct().collect()
