@@ -31,12 +31,15 @@ from gents_spark.synth import synth_sequences  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: timed-pipeline repetitions; best-of-N reported (JIT/page-cache variance
+#: on this VM is large — steady-state throughput is the honest number)
+REPEATS = int(os.environ.get("BENCH_PIPELINE_REPEATS", "1"))
 
 #: bench sequences table: `long`+`skewed` fixture scaled (FIXTURES.md §Sizing).
 #: Sized so per-core compute dominates fixed job overheads — the regime
 #: where the N-vs-4N scaling measurement is meaningful.
 N_SOURCES = 8
-SEQS_PER_SOURCE = 300_000
+SEQS_PER_SOURCE = 600_000
 HOT_FRAC = 0.3
 STEP_S = 60
 #: month-grain checkpoints: the synthetic span covers years of minutes,
@@ -106,14 +109,20 @@ def main() -> None:
         seqs.limit(20_000), warm_dir, resume=False, run_id="warm"
     )
 
-    out_dir = f"/tmp/gents_bench_out_{CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
     # validate=False: the synthetic input is validated at generation; the
     # per-row tokens check would force whole-table scans (see prepare()).
-    pipe = TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False, chunk_grain=CHUNK_GRAIN)
-    metrics = pipe.run(seqs, out_dir, resume=False, run_id=f"bench{CPUS}")
-    t_pipe = time.time() - t0
+    pipe = TierPipeline(
+        spark, step_s=STEP_S, gapfill_mode="locf", validate=False,
+        chunk_grain=CHUNK_GRAIN,
+    )
+    t_pipe = None
+    for rep in range(max(REPEATS, 1)):
+        out_dir = f"/tmp/gents_bench_out_{CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        metrics = pipe.run(seqs, out_dir, resume=False, run_id=f"bench{CPUS}-{rep}")
+        t = time.time() - t0
+        t_pipe = t if t_pipe is None else min(t_pipe, t)
     timings["pipeline_raw_to_1d"] = round(t_pipe, 3)
     points = sum(m["rows"] for m in metrics["tiers"].values())
 

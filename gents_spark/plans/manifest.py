@@ -134,10 +134,23 @@ def write_tier_chunks(
     GenTS's interrupted-run scenario).  Returns {written, skipped}.
     """
     tier_df = tier_df.withColumn("chunk", chunk_col(grain=chunk_grain)).persist()
+    phases: dict[str, float] = {}
     try:
-        planned = sorted(
-            r["chunk"] for r in tier_df.select("chunk").distinct().collect()
+        # one job: materialize the tier into the cache AND produce the
+        # chunk plan + per-chunk lineage stats (row counts, value sums)
+        t0 = time.time()
+        stats_rows = (
+            tier_df.groupBy("chunk")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cnt").alias("sc"),
+                F.sum("sum_tok").alias("st"),
+            )
+            .collect()
         )
+        stats_by_chunk = {s["chunk"]: s for s in stats_rows}
+        planned = sorted(stats_by_chunk)
+        phases["plan"] = round(time.time() - t0, 2)
         if resume:
             done = {
                 r["chunk"]
@@ -154,6 +167,7 @@ def write_tier_chunks(
 
         rows_written = 0
         if write_now:
+            t0 = time.time()
             part = tier_df.filter(F.col("chunk").isin(write_now))
             # One task per chunk(s): without this, every shuffle partition
             # opens a file in every chunk dir -> O(partitions x chunks)
@@ -166,16 +180,9 @@ def write_tier_chunks(
                 .partitionBy("chunk")
                 .parquet(out_dir)
             )
+            phases["write"] = round(time.time() - t0, 2)
             now = time.time()
-            stats = (
-                part.groupBy("chunk")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum("cnt").alias("sc"),
-                    F.sum("sum_tok").alias("st"),
-                )
-                .collect()
-            )
+            stats = [stats_by_chunk[c] for c in write_now]
             rows = [
                 (run_id, tier, s["chunk"], DONE, s["n"], s["sc"], s["st"], now)
                 for s in stats
@@ -190,6 +197,7 @@ def write_tier_chunks(
             "written": len(write_now),
             "skipped": skipped,
             "rows_written": rows_written,
+            "phases": phases,
         }
     finally:
         tier_df.unpersist()

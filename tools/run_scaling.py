@@ -17,7 +17,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_PIPELINE_REPEATS=os.environ.get("BENCH_PIPELINE_REPEATS", "2"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -37,10 +41,15 @@ N4_CORES = 8
 
 
 def main() -> None:
-    # warm-up generates the cached input so neither timed run pays for it
-    run(N4_CORES)  # first run also warms OS page cache
-    r32 = run(N4_CORES)
-    r8 = run(N_CORES)
+    if len(sys.argv) == 3:
+        # assemble the report from pre-recorded bench JSON files:
+        #   run_scaling.py benchN.json bench4N.json
+        r8 = json.load(open(sys.argv[1]))
+        r32 = json.load(open(sys.argv[2]))
+    else:
+        run(N4_CORES)  # warm-up: generates cached input, warms page cache
+        r32 = run(N4_CORES)
+        r8 = run(N_CORES)
 
     # throughput basis: the full tier pipeline (the BASELINE.json metric)
     thr8 = r8["points_per_sec"]
