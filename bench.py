@@ -92,6 +92,12 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "48g",
+            # fair N-core measurement: GC threads default to ALL machine
+            # cores regardless of local[N], which silently donates extra
+            # cores to small-N runs and corrupts the scaling comparison
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={CPUS} -XX:ConcGCThreads={max(1, CPUS // 4)}"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -126,6 +132,28 @@ def main() -> None:
     timings["pipeline_raw_to_1d"] = round(t_pipe, 3)
     points = sum(m["rows"] for m in metrics["tiers"].values())
 
+    # ingest stage: validate + Gorilla/DoD-encode every tokens array
+    # (the "sequences/sec ingested" half of the BASELINE metric).  Runs
+    # in Arrow-batched pandas UDFs across separate Python worker
+    # processes — the execution shape of real multi-executor clusters.
+    import pyspark.sql.functions as F
+
+    from gents_spark.functions.codec_udfs import encode_tokens
+    from gents_spark.timeparse import split_valid
+
+    ingest_slice = seqs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    valid, _bad = split_valid(ingest_slice)
+    ingest_df = valid.select("doc_id", "source", "n_tok",
+                             encode_tokens("tokens").alias("tokens_payload"))
+    n_ingest = ingest_slice.count()
+    t_ingest = None
+    for _rep in range(max(REPEATS, 1)):
+        t0 = time.time()
+        ingest_df.write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        t_ingest = t if t_ingest is None else min(t_ingest, t)
+    timings["ingest_validate_encode"] = round(t_ingest, 3)
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -144,8 +172,9 @@ def main() -> None:
                 "cpus": CPUS,
                 "input_sequences": n_seqs,
                 "rolled_up_points": points,
-                "seqs_per_sec": round(n_seqs / t_pipe, 1),
+                "seqs_per_sec": round(n_ingest / t_ingest, 1),
                 "points_per_sec": round(points / t_pipe, 1),
+                "ingest_sequences": n_ingest,
             }
         )
     )
