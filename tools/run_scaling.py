@@ -118,8 +118,13 @@ Raw JSON:
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write(md)
-    print(json.dumps({"efficiency_points": eff, "efficiency_seqs": seq_eff,
-                      "local8": thr8, "local32": thr32, "report": path}))
+    print(json.dumps({
+        "efficiency_seqs_ingested": seq_eff,
+        "efficiency_points": pts_eff,
+        "seqs_per_sec": [r8["seqs_per_sec"], r32["seqs_per_sec"]],
+        "points_per_sec": [r8["points_per_sec"], r32["points_per_sec"]],
+        "report": path,
+    }))
 
 
 if __name__ == "__main__":
