@@ -88,6 +88,31 @@ class TierPipeline:
         raw = with_event_time(valid, step_s=self.step_s).select(*cols)
         return raw, bad
 
+    def _planned_chunks(self, raw: DataFrame) -> list[str]:
+        """All checkpoint chunks the raw time range touches."""
+        from datetime import timedelta
+
+        from gents_spark.plans.manifest import CHUNK_FORMATS
+
+        lo, hi = raw.agg(
+            F.min("event_time"), F.max("event_time")
+        ).collect()[0]
+        fmt = {"day": "%Y-%m-%d", "month": "%Y-%m", "year": "%Y"}[
+            self.chunk_grain
+        ]
+        assert CHUNK_FORMATS[self.chunk_grain]  # grains stay in sync
+        out = []
+        cur = lo
+        while cur.strftime(fmt) <= hi.strftime(fmt):
+            out.append(cur.strftime(fmt))
+            if self.chunk_grain == "day":
+                cur = cur + timedelta(days=1)
+            elif self.chunk_grain == "month":
+                cur = (cur.replace(day=1) + timedelta(days=32)).replace(day=1)
+            else:
+                cur = cur.replace(year=cur.year + 1, month=1, day=1)
+        return out
+
     def run(
         self,
         sequences: DataFrame,
@@ -122,6 +147,9 @@ class TierPipeline:
                 if self.use_salting
                 else []
             )
+            # chunk plan from the raw time range — ONE tiny job, shared by
+            # every tier; lets an all-done resume skip tier computation
+            planned_chunks = self._planned_chunks(raw)
             prev_tier_name: str | None = None
             for tier in self.tiers:
                 if hot:
@@ -175,6 +203,7 @@ class TierPipeline:
                     resume=resume,
                     fail_after_chunks=fail_after_chunks,
                     chunk_grain=self.chunk_grain,
+                    planned_chunks=planned_chunks,
                 )
                 m["rows"] = m["rows_written"]
                 m["seconds"] = round(time.time() - t0, 3)

@@ -119,6 +119,7 @@ def write_tier_chunks(
     resume: bool = True,
     fail_after_chunks: int | None = None,
     chunk_grain: str = "day",
+    planned_chunks: list[str] | None = None,
 ) -> dict:
     """Write a tier table with chunk-granular checkpoints.
 
@@ -136,8 +137,23 @@ def write_tier_chunks(
     tier_df = tier_df.withColumn("chunk", chunk_col(grain=chunk_grain)).persist()
     phases: dict[str, float] = {}
     try:
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["chunk"]
+                for r in completed_chunks(spark, manifest_dir, tier).collect()
+            }
+        if planned_chunks is not None:
+            # cheap plan: the caller derived the chunk universe from the
+            # raw time range — an all-done resume never computes the tier
+            planned = sorted(planned_chunks)
+            todo = [c for c in planned if c not in done]
+            skipped = len(planned) - len(todo)
+            if not todo:
+                return {"written": 0, "skipped": skipped,
+                        "rows_written": 0, "phases": phases}
         # one job: materialize the tier into the cache AND produce the
-        # chunk plan + per-chunk lineage stats (row counts, value sums)
+        # per-chunk lineage stats (row counts, value sums)
         t0 = time.time()
         stats_rows = (
             tier_df.groupBy("chunk")
@@ -149,17 +165,11 @@ def write_tier_chunks(
             .collect()
         )
         stats_by_chunk = {s["chunk"]: s for s in stats_rows}
-        planned = sorted(stats_by_chunk)
-        phases["plan"] = round(time.time() - t0, 2)
-        if resume:
-            done = {
-                r["chunk"]
-                for r in completed_chunks(spark, manifest_dir, tier).collect()
-            }
+        if planned_chunks is None:
+            planned = sorted(stats_by_chunk)
             todo = [c for c in planned if c not in done]
-        else:
-            todo = list(planned)
-        skipped = len(planned) - len(todo)
+            skipped = len(planned) - len(todo)
+        phases["plan"] = round(time.time() - t0, 2)
 
         inject = fail_after_chunks is not None and fail_after_chunks < len(todo)
         write_now = todo[:fail_after_chunks] if inject else todo
@@ -182,12 +192,19 @@ def write_tier_chunks(
             )
             phases["write"] = round(time.time() - t0, 2)
             now = time.time()
-            stats = [stats_by_chunk[c] for c in write_now]
-            rows = [
-                (run_id, tier, s["chunk"], DONE, s["n"], s["sc"], s["st"], now)
-                for s in stats
-            ]
-            rows_written = sum(s["n"] for s in stats)
+            # planned chunks with no tier rows (possible when the plan
+            # comes from the raw time range) commit as done with n=0
+            rows = []
+            rows_written = 0
+            for c in write_now:
+                s = stats_by_chunk.get(c)
+                if s is None:
+                    rows.append((run_id, tier, c, DONE, 0, 0, 0, now))
+                else:
+                    rows.append(
+                        (run_id, tier, c, DONE, s["n"], s["sc"], s["st"], now)
+                    )
+                    rows_written += s["n"]
             _append_manifest_rows(manifest_dir, rows)
         if inject:
             raise RuntimeError(
