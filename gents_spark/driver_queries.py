@@ -433,6 +433,49 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style 6-table join (li-orders-customer-supplier-nation-
+    region) with the local-supplier co-nation predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(15,2)") - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_part_brand_stats(spark, sf_dir):
+    """Wide-table aggregate over `part` (decimal-exact money stats)."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(15,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
 def q_distinct_union(spark, sf_dir):
     """E1/E2 (np.unique of concatenated coords): union + distinct."""
     orders = _t(spark, sf_dir, "orders")
@@ -738,6 +781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_recent_orders": q_customers_with_recent_orders,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "distinct_union": q_distinct_union,
+    "local_supplier_volume": q_local_supplier_volume,
+    "part_brand_stats": q_part_brand_stats,
     "props_extract": q_props_extract,
     "collection_stats": q_collection_stats,
     "shipping_priority": q_shipping_priority,
@@ -893,6 +938,32 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT year(l_shipdate) AS y FROM lineitem)
         ORDER BY y
+    """,
+    "local_supplier_volume": """
+        SELECT n_name AS nation,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                        * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "part_brand_stats": """
+        SELECT p_brand AS brand, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(15,2))) AS DOUBLE)
+                   AS sum_price,
+               min(p_size) AS min_size, max(p_size) AS max_size,
+               count(DISTINCT p_type) AS n_types
+        FROM part GROUP BY 1
     """,
     "props_extract": """
         SELECT event_type AS source,

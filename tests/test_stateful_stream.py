@@ -1,0 +1,63 @@
+"""applyInPandasWithState: state survives across micro-batches + restart."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gents_spark.streaming.stateful import running_source_totals
+from gents_spark.synth import synth_sequences
+from gents_spark.timeparse import parse_seq
+
+
+def _write_batch(spark, path, n_sources, per_source, offset):
+    df = parse_seq(synth_sequences(spark, n_sources, per_source)).select(
+        "source", (F.col("seq") + offset).alias("seq"), "n_tok"
+    )
+    df.write.mode("append").parquet(path)
+    return df
+
+
+def _run_stream(spark, in_path, out_path, ckpt):
+    stream = (
+        spark.readStream.schema("source string, seq long, n_tok int")
+        .parquet(in_path)
+    )
+    q = (
+        running_source_totals(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_path)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_state_accumulates_across_restarts(spark, tmp_path):
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, in_path, 2, 100, offset=0)
+    _run_stream(spark, in_path, out_path, ckpt)
+
+    _write_batch(spark, in_path, 2, 50, offset=1000)
+    _run_stream(spark, in_path, out_path, ckpt)  # restart from checkpoint
+
+    out = spark.read.parquet(out_path)
+    # latest totals per source must reflect BOTH batches (state carried)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"))
+    latest = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(latest) == 2
+    for r in latest:
+        assert r["cnt"] == 150          # 100 + 50
+        assert r["max_seq"] == 1049     # offset 1000 + 49
+        assert r["sum_tok"] > 0
