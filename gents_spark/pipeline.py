@@ -128,10 +128,12 @@ class TierPipeline:
         run_id = run_id or uuid.uuid4().hex[:12]
         tiers_dir = os.path.join(out_dir, "tiers")
         manifest_dir = os.path.join(out_dir, "manifest")
-        raw, _bad = self.prepare(sequences)
+        raw, bad = self.prepare(sequences)
         raw = raw.persist()
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
+            if self.validate:
+                metrics["quarantined_rows"] = bad.count()
             # Salting note: the tier groupBy keys on (source, bucket) — a
             # HIGH-cardinality key even when one source is hot, because a
             # hot source's rows spread over its many buckets (rows per
