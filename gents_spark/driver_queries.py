@@ -550,6 +550,16 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_bucket_pairs(_t(spark, sf_dir, "embeddings"), bits=8)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    from gents_spark.operators.similarity import embedding_near_dup_docs
+
+    return embedding_near_dup_docs(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+    )
+
+
 def q_embedding_label_stats(spark, sf_dir):
     from gents_spark.operators.similarity import label_stats
 
@@ -743,6 +753,18 @@ DEDUP_ORACLES: dict[str, str] = {
         SELECT r.bucket, sizes.n_members, doc_a, doc_b, round(cos_raw, 6) AS cos
         FROM r JOIN sizes ON sizes.bucket = r.bucket WHERE rn = 1
     """,
+    "embedding_near_dup": _EMB_Q_SQL + """
+        , docs AS (SELECT doc_id AS vec_id, source FROM documents),
+        bd AS (SELECT base.*, docs.source FROM base JOIN docs USING (vec_id)),
+        pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                         a.source AS source_a, b.source AS source_b,
+                         (SELECT sum(x*y)
+                          FROM (SELECT unnest(a.qe) AS x, unnest(b.qe) AS y) z)
+                             / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
+                  FROM bd a JOIN bd b ON a.vec_id < b.vec_id)
+        SELECT doc_a, doc_b, source_a, source_b, round(cos_raw, 6) AS cos
+        FROM pairs WHERE cos_raw >= 0.3
+    """,
     "embedding_label_stats": _EMB_Q_SQL + """
         SELECT label, count(*) AS n_vectors, sum(n2) AS sum_sq_norm,
                round(avg(sqrt(n2::DOUBLE)), 6) AS avg_norm
@@ -796,6 +818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
 }

@@ -141,6 +141,39 @@ def lsh_bucket_pairs(emb: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+def embedding_near_dup_docs(
+    docs: DataFrame, emb: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over documents:
+    join docs to their embedding vectors (doc_id == vec_id), emit doc
+    pairs whose quantized cosine >= threshold.
+
+    Scale path: at corpus scale this candidate set comes from the LSH
+    buckets (``lsh_bucket_pairs``) instead of the all-pairs product;
+    exact cosine then verifies candidates — the same two-stage shape as
+    MinHash->Jaccard in dedup.py.
+    """
+    base = with_quantized(emb).join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        (
+            _dot(F.col("a.q"), F.col("b.q"))
+            / F.sqrt((F.col("a.n2") * F.col("b.n2")).cast("double"))
+        ).alias("cos_raw"),
+    )
+    return pairs.filter(F.col("cos_raw") >= threshold).select(
+        "doc_a", "doc_b", "source_a", "source_b",
+        F.round("cos_raw", 6).alias("cos"),
+    )
+
+
 def label_stats(emb: DataFrame) -> DataFrame:
     """Per-label corpus stats on quantized norms (exact integers until
     the final rounded average)."""
