@@ -164,6 +164,124 @@ def decode_i64(buf: bytes) -> np.ndarray:
     return out
 
 
+def encode_i64_batch(arrays: list) -> list[bytes]:
+    """Delta-of-delta encode MANY integer sequences in one vectorized
+    pass — bit-for-bit identical output to ``encode_i64`` per array.
+
+    Per-array NumPy overhead (~10 small-array ops) dominates encode cost
+    on typical token arrays (tens of elements); this batches the bucket
+    selection and bit-packing across the whole Arrow batch:
+
+    - concatenate all arrays; compute deltas/dods segment-aware;
+    - one global bucket-select + code build;
+    - one global bitpack, with per-array byte alignment achieved by a
+      zero-length pad code per array (bits padded to the next byte, as
+      np.packbits does per array in the scalar path);
+    - slice the single packed buffer back into per-array payloads.
+
+    Arrays that need the raw fallback (|zigzag(dod)| >= 2^36) or the
+    n<=2 short paths are delegated to ``encode_i64``.
+    """
+    n_arr = len(arrays)
+    if n_arr == 0:
+        return []
+    arrs = [np.asarray(a, dtype=np.int64) for a in arrays]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+
+    out: list = [None] * n_arr
+    # the batched path wins ~10x on short arrays (global numpy prep +
+    # cheap big-int folds); beyond ~64 elements the scalar per-array
+    # numpy packer is faster — measured crossover, not a guess
+    big_idx = [i for i in range(n_arr) if 2 < lens[i] <= 64]
+    for i in range(n_arr):
+        if lens[i] <= 2 or lens[i] > 64:
+            out[i] = encode_i64(arrs[i])
+    if not big_idx:
+        return out
+
+    values = np.concatenate([arrs[i] for i in big_idx])
+    blens = lens[np.array(big_idx)]
+    ends = np.cumsum(blens)
+    starts = ends - blens
+
+    # segment-aware dods via explicit positions (no cross-boundary terms)
+    seg_id = np.repeat(np.arange(len(big_idx)), blens - 2)
+    dod_pos = (
+        np.arange(len(seg_id))
+        - np.repeat(np.cumsum(blens - 2) - (blens - 2), blens - 2)
+        + np.repeat(starts, blens - 2)
+    )
+    dods = (
+        values[dod_pos + 2] - 2 * values[dod_pos + 1] + values[dod_pos]
+    )
+    zz = _zigzag(dods)
+
+    # arrays needing raw fallback -> scalar path
+    if len(zz):
+        over = zz > _MAX_ZZ
+        bad_segs = set(seg_id[over].tolist()) if over.any() else set()
+    else:
+        bad_segs = set()
+    if bad_segs:
+        keep = [j for j in range(len(big_idx)) if j not in bad_segs]
+        for j in bad_segs:
+            out[big_idx[j]] = encode_i64(arrs[big_idx[j]])
+        if not keep:
+            return out
+        sub = [arrs[big_idx[j]] for j in keep]
+        encoded = encode_i64_batch(sub)
+        for j, e in zip(keep, encoded):
+            out[big_idx[j]] = e
+        return out
+
+    # global bucket select (same buckets as encode_i64)
+    codes = np.zeros(len(zz), dtype=np.uint64)
+    clens = np.zeros(len(zz), dtype=np.int64)
+    assigned = np.zeros(len(zz), dtype=bool)
+    for pval, plen, pay in _DOD_BUCKETS:
+        fits = ~assigned & (
+            zz < (np.uint64(1) << np.uint64(pay)) if pay else (zz == 0)
+        )
+        codes[fits] = (np.uint64(pval) << np.uint64(pay)) | zz[fits]
+        clens[fits] = plen + pay
+        assigned |= fits
+
+    # per-array packing: fold each array's codes into one Python int
+    # (MSB-first, zero-padded to a byte — identical to np.packbits) —
+    # ~18 shift-or ops per array beats any bit-expansion approach
+    code_list = codes.tolist()
+    len_list = clens.tolist()
+    seg_ends = np.cumsum(blens - 2).tolist()
+    firsts = values[starts].tolist()
+    d0s = (values[starts + 1] - values[starts]).tolist()
+
+    pos = 0
+    for j, i in enumerate(big_idx):
+        end = seg_ends[j]
+        head = struct.pack(
+            "<BIqq", _MAGIC_PACKED, int(blens[j]), firsts[j], d0s[j]
+        )
+        # blocked big-int fold: inner folds stay on small ints (<=64
+        # codes ~ <=2.6k bits); outer merges are a handful of linear
+        # big-int shifts — avoids both numpy per-bit expansion and the
+        # quadratic growth of a single monolithic fold
+        acc = 0
+        bits = 0
+        for b0 in range(pos, end, 64):
+            b1 = min(b0 + 64, end)
+            a = 0
+            nb = 0
+            for k in range(b0, b1):
+                a = (a << len_list[k]) | code_list[k]
+                nb += len_list[k]
+            acc = (acc << nb) | a
+            bits += nb
+        pos = end
+        padb = (-bits) % 8
+        out[i] = head + (acc << padb).to_bytes((bits + padb) // 8, "big")
+    return out
+
+
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (binary search)."""
     x = x.astype(np.uint64)

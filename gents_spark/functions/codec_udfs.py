@@ -28,8 +28,11 @@ from gents_spark.operators.rollup import TIER_UNITS, bucket_col
 
 @pandas_udf(BinaryType())
 def encode_tokens(tokens: pd.Series) -> pd.Series:
-    """array<int> -> DoD-compressed binary (batched; one call per Arrow batch)."""
-    return tokens.map(lambda a: encode_i64(a))
+    """array<int> -> DoD-compressed binary.  Whole-batch vectorized:
+    one NumPy pass encodes every array in the Arrow batch."""
+    from gents_spark.functions.codec import encode_i64_batch
+
+    return pd.Series(encode_i64_batch(list(tokens)), index=tokens.index)
 
 
 @pandas_udf(ArrayType(IntegerType()))
@@ -45,8 +48,10 @@ def encode_f64_stream(values: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def encode_i64_stream(values: pd.Series) -> pd.Series:
-    """array<long> -> DoD binary."""
-    return values.map(lambda a: encode_i64(a))
+    """array<long> -> DoD binary (whole-batch vectorized)."""
+    from gents_spark.functions.codec import encode_i64_batch
+
+    return pd.Series(encode_i64_batch(list(values)), index=values.index)
 
 
 def attach_payload(
