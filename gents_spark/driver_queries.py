@@ -658,7 +658,8 @@ DEDUP_ORACLES: dict[str, str] = {
         pb AS (SELECT doc_id, b, sum(((wh >> b) & 1) * 2 - 1) AS s
                FROM h, unnest(range(0, 16)) t(b) GROUP BY 1, 2)
         SELECT doc_id,
-               sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+               sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                   AS simhash
         FROM pb GROUP BY 1
     """,
     "token_count": """
@@ -766,7 +767,7 @@ DEDUP_ORACLES: dict[str, str] = {
         FROM pairs WHERE cos_raw >= 0.3
     """,
     "embedding_label_stats": _EMB_Q_SQL + """
-        SELECT label, count(*) AS n_vectors, sum(n2) AS sum_sq_norm,
+        SELECT label, count(*) AS n_vectors, sum(n2)::BIGINT AS sum_sq_norm,
                round(avg(sqrt(n2::DOUBLE)), 6) AS avg_norm
         FROM base GROUP BY 1
     """,
@@ -990,7 +991,7 @@ ORACLES: dict[str, str] = {
     """,
     "props_extract": """
         SELECT event_type AS source,
-               sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+               sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k,
                round(sum(k)::DOUBLE / count(*), 6) AS avg_k
         FROM (SELECT event_type,
                      CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k

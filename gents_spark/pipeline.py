@@ -97,6 +97,10 @@ class TierPipeline:
         lo, hi = raw.agg(
             F.min("event_time"), F.max("event_time")
         ).collect()[0]
+        if lo is None:
+            # Empty prepared input (all rows quarantined or filtered out):
+            # nothing to plan.
+            return []
         fmt = {"day": "%Y-%m-%d", "month": "%Y-%m", "year": "%Y"}[
             self.chunk_grain
         ]
@@ -152,6 +156,16 @@ class TierPipeline:
             # chunk plan from the raw time range — ONE tiny job, shared by
             # every tier; lets an all-done resume skip tier computation
             planned_chunks = self._planned_chunks(raw)
+            if not planned_chunks:
+                for tier in self.tiers:
+                    metrics["tiers"][tier] = {
+                        "written": 0,
+                        "skipped": 0,
+                        "rows_written": 0,
+                        "rows": 0,
+                        "seconds": 0.0,
+                    }
+                return metrics
             prev_tier_name: str | None = None
             for tier in self.tiers:
                 if hot:

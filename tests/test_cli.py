@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pyspark.sql.functions as F
+
 from gents_spark.cli import main, parse_arguments
 from gents_spark.plans.manifest import read_tier
 from gents_spark.synth import synth_sequences
@@ -46,6 +48,24 @@ def test_cli_dryrun_writes_nothing(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_cli_empty_after_quarantine(spark, tmp_path, capsys):
+    """All-invalid input (bad doc_id shape) yields zero-written metrics,
+    not a crash (round-1 ADVICE: _planned_chunks None.strftime)."""
+    in_path = str(tmp_path / "seqs_bad")
+    out = str(tmp_path / "out_bad")
+    bad = synth_sequences(spark, 1, 50).withColumn("doc_id", F.lit("nope"))
+    bad.write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "--gapfill", "none", "--master", "local[4]",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["quarantined_rows"] == 50
+    assert metrics["tiers"]["1m"]["written"] == 0
+    assert metrics["tiers"]["1m"]["rows_written"] == 0
 
 
 def test_cli_include_filter(spark, tmp_path, capsys):
