@@ -19,6 +19,6 @@ Everything is DataFrame/SQL; the only Python execution is vectorized
 pandas/Arrow UDFs (codec, multimodal stubs).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from gents_spark.session import get_spark  # noqa: F401

@@ -19,9 +19,13 @@ import json
 import sys
 import time
 
+from gents_spark import __version__
+from gents_spark.configs import PROFILES, resolve_profile
 from gents_spark.operators.rollup import TIER_ORDER
 from gents_spark.pipeline import TierPipeline
 from gents_spark.session import get_spark
+
+COMPRESSIONS = ["snappy", "zstd", "gzip", "lz4", "none"]
 
 
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
@@ -29,38 +33,86 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         prog="gents-spark",
         description="PySpark time-series rollup + retention engine",
     )
+    p.add_argument("--version", action="version",
+                   version=f"gents-spark {__version__}")
     p.add_argument("--input", required=True, help="sequences table path (parquet)")
     p.add_argument("--output", required=True, help="output dir (tiers + manifest)")
-    p.add_argument("--tiers", nargs="+", default=TIER_ORDER, choices=TIER_ORDER)
-    p.add_argument("--gapfill", choices=["locf", "linear", "none"], default="locf")
+    p.add_argument("--tiers", nargs="+", default=None, choices=TIER_ORDER,
+                   help="tiers to build (default: profile's, else all)")
+    p.add_argument("--gapfill", choices=["locf", "linear", "none"], default=None,
+                   help="gap-fill mode (default: profile's, else locf)")
     p.add_argument("--step-s", type=int, default=10,
                    help="seconds per doc_id sequence step (event-time derivation)")
     p.add_argument("--include-sources", nargs="*", default=None)
     p.add_argument("--exclude-sources", nargs="*", default=None)
+    p.add_argument("--profile", "-m", choices=sorted(PROFILES), default=None,
+                   help="named preset (GenTS --model analog): source filters "
+                        "+ compression + chunk grain defaults")
+    p.add_argument("--append-filters", action="store_true",
+                   help="extend the profile's include/exclude lists with the "
+                        "explicit ones instead of replacing them "
+                        "(GenTS --append)")
     p.add_argument("--resume", action="store_true",
                    help="skip chunks already committed in the manifest")
     p.add_argument("--overwrite", action="store_true",
                    help="ignore the manifest and rebuild everything")
     p.add_argument("--dryrun", action="store_true",
                    help="plan only: print chunk counts, write nothing")
-    p.add_argument("--n-salt", type=int, default=16)
+    p.add_argument("--chunk-grain", choices=["day", "month", "year"],
+                   default=None,
+                   help="checkpoint/partition grain (GenTS --slice analog; "
+                        "default: profile's, else day)")
+    p.add_argument("--compression", choices=COMPRESSIONS, default=None,
+                   help="parquet codec for tier outputs (GenTS "
+                        "apply_compression analog; default: profile's, "
+                        "else snappy)")
+    p.add_argument("--salted", action="store_true",
+                   help="two-phase salted aggregation for hot sources")
+    p.add_argument("--n-salt", type=int, default=16,
+                   help="salt fan-out when --salted")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v: spark WARN + run progress; -vv: spark INFO "
+                        "(GenTS -v analog)")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
 
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_arguments(argv)
+    prof = resolve_profile(
+        args.profile, args.include_sources, args.exclude_sources,
+        append_filters=args.append_filters,
+    )
     spark = get_spark(master=args.master, app_name="gents-spark-cli")
+    spark.sparkContext.setLogLevel(
+        "INFO" if args.verbose >= 2 else "WARN" if args.verbose == 1 else "ERROR"
+    )
     seqs = spark.read.parquet(args.input)
+    compression = args.compression or prof.compression
     pipe = TierPipeline(
         spark,
         step_s=args.step_s,
-        tiers=list(args.tiers),
-        gapfill_mode=None if args.gapfill == "none" else args.gapfill,
-        include_sources=args.include_sources,
-        exclude_sources=args.exclude_sources,
+        tiers=list(args.tiers) if args.tiers else list(prof.tiers),
+        gapfill_mode=(
+            None
+            if (args.gapfill or prof.gapfill) == "none"
+            else (args.gapfill or prof.gapfill)
+        ),
+        include_sources=prof.include_sources,
+        exclude_sources=prof.exclude_sources,
         n_salt=args.n_salt,
+        use_salting=args.salted,
+        chunk_grain=args.chunk_grain or prof.chunk_grain,
+        compression="uncompressed" if compression == "none" else compression,
     )
+    if args.verbose:
+        print(json.dumps({
+            "profile": args.profile, "tiers": pipe.tiers,
+            "chunk_grain": pipe.chunk_grain, "compression": pipe.compression,
+            "include_sources": pipe.include_sources,
+            "exclude_sources": pipe.exclude_sources,
+            "salted": pipe.use_salting,
+        }), file=sys.stderr)
     if args.dryrun:
         raw, bad = pipe.prepare(seqs)
         import pyspark.sql.functions as F
@@ -73,14 +125,18 @@ def main(argv: list[str] | None = None) -> int:
                 t: raw.select(
                     F.date_format(F.date_trunc("day", "event_time"), "yyyy-MM-dd")
                 ).distinct().count()
-                for t in args.tiers
+                for t in pipe.tiers
             },
         }
         print(json.dumps({"dryrun": plan}))
         return 0
     run_id = f"cli-{int(time.time())}"
+    # provenance: the full launching command rides into every manifest row
+    # (GenTS `gents_command`, cli.py:197, timeseries.py:900-913)
+    command = "gents-spark " + " ".join(argv if argv is not None else sys.argv[1:])
     metrics = pipe.run(
-        seqs, args.output, resume=args.resume and not args.overwrite, run_id=run_id
+        seqs, args.output, resume=args.resume and not args.overwrite,
+        run_id=run_id, command=command,
     )
     print(json.dumps(metrics))
     return 0

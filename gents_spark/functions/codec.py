@@ -53,6 +53,9 @@ _DOD_BUCKETS = [
     (0b11111, 5, 36),  # max total 41 bits < 64 (bitpack invariant)
 ]
 _MAX_ZZ = (1 << 36) - 1
+#: values beyond +/-2^60 risk silent int64 wrap in the two difference
+#: levels -> raw mode (token-count streams never get near this)
+_MAX_ABS = 1 << 60
 
 
 def _zigzag(x: np.ndarray) -> np.ndarray:
@@ -104,6 +107,12 @@ def encode_i64(arr) -> bytes:
         return head
     if n == 1:
         return head + struct.pack("<q", int(a[0]))
+    if bool((a > _MAX_ABS).any()) or bool((a < -_MAX_ABS).any()):
+        # Near-extreme int64 values: np.diff wraps silently, and a wrapped
+        # dod can alias to a small zigzag that passes the _MAX_ZZ check
+        # while decoding to the wrong value.  |v| <= 2^60 guarantees both
+        # difference levels are exact; beyond it, store raw.
+        return struct.pack("<BI", _MAGIC_RAW, n) + a.tobytes()
     deltas = np.diff(a)
     dod = np.diff(deltas) if n > 2 else np.empty(0, dtype=np.int64)
     zz = _zigzag(dod)
@@ -222,6 +231,13 @@ def encode_i64_batch(arrays: list) -> list[bytes]:
         bad_segs = set(seg_id[over].tolist()) if over.any() else set()
     else:
         bad_segs = set()
+    # near-extreme values wrap in the dods above without tripping _MAX_ZZ;
+    # delegate those arrays to encode_i64's raw fallback (same _MAX_ABS
+    # rule -> batch stays bit-identical to scalar)
+    val_over = (values > _MAX_ABS) | (values < -_MAX_ABS)
+    if val_over.any():
+        val_seg = np.repeat(np.arange(len(big_idx)), blens)
+        bad_segs |= set(val_seg[val_over].tolist())
     if bad_segs:
         keep = [j for j in range(len(big_idx)) if j not in bad_segs]
         for j in bad_segs:

@@ -36,9 +36,31 @@ def expirable_chunks(
     tier: str,
     cutoff_date: str,
 ) -> list[str]:
-    """Chunks (days) older than cutoff whose coarser tier is committed."""
+    """Chunks fully older than cutoff whose coarser tier is committed.
+
+    A chunk is expirable only when its entire covered range lies strictly
+    before the cutoff: lexicographic ``chunk < cutoff`` over-deletes for
+    coarse grains ('2026-01' < '2026-01-15' would expire the whole month,
+    including buckets after the 15th).  The chunk's grain is recovered
+    from its key length (10=day, 7=month, 4=year) and its exclusive end
+    date compared to the cutoff instead.
+    """
     m = read_manifest(spark, manifest_dir).filter(F.col("status") == DONE)
-    mine = m.filter((F.col("tier") == tier) & (F.col("chunk") < cutoff_date))
+    chunk_end = (
+        F.when(F.length("chunk") == 10, F.date_add(F.to_date("chunk"), 1))
+        .when(
+            F.length("chunk") == 7,
+            F.add_months(F.to_date(F.concat(F.col("chunk"), F.lit("-01"))), 1),
+        )
+        .otherwise(
+            F.add_months(
+                F.to_date(F.concat(F.col("chunk"), F.lit("-01-01"))), 12
+            )
+        )
+    )
+    mine = m.filter(
+        (F.col("tier") == tier) & (chunk_end <= F.to_date(F.lit(cutoff_date)))
+    )
     coarser = COARSER[tier]
     if coarser is not None:
         covered = m.filter(F.col("tier") == coarser).select("chunk").distinct()

@@ -44,6 +44,7 @@ class TierPipeline:
         validate: bool = True,
         use_salting: bool = False,
         chunk_grain: str = "day",
+        compression: str = "snappy",
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -59,6 +60,7 @@ class TierPipeline:
         self.validate = validate
         self.use_salting = use_salting
         self.chunk_grain = chunk_grain
+        self.compression = compression
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -124,6 +126,7 @@ class TierPipeline:
         resume: bool = True,
         run_id: str | None = None,
         fail_after_chunks: int | None = None,
+        command: str | None = None,
     ) -> dict:
         """Full raw->1m->1h->1d build with per-tier checkpointing.
 
@@ -220,6 +223,8 @@ class TierPipeline:
                     fail_after_chunks=fail_after_chunks,
                     chunk_grain=self.chunk_grain,
                     planned_chunks=planned_chunks,
+                    command=command,
+                    compression=self.compression,
                 )
                 m["rows"] = m["rows_written"]
                 m["seconds"] = round(time.time() - t0, 3)

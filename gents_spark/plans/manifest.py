@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_SCHEMA = (
     "run_id string, tier string, chunk string, status string, "
-    "n_rows long, sum_cnt long, sum_tok long, checkpoint_ts double"
+    "n_rows long, sum_cnt long, sum_tok long, checkpoint_ts double, "
+    "command string, engine_version string"
 )
 
 DONE = "done"
@@ -50,7 +51,7 @@ def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(manifest_dir, exist_ok=True)
-    cols = list(zip(*rows)) if rows else [[]] * 8
+    cols = list(zip(*rows)) if rows else [[]] * 10
     table = pa.table(
         {
             "run_id": pa.array(cols[0], pa.string()),
@@ -61,6 +62,10 @@ def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
             "sum_cnt": pa.array([int(x) if x is not None else None for x in cols[5]], pa.int64()),
             "sum_tok": pa.array([int(x) if x is not None else None for x in cols[6]], pa.int64()),
             "checkpoint_ts": pa.array(cols[7], pa.float64()),
+            # run provenance: the GenTS `gents_command` attribute stamped
+            # into every output (gents/cli.py:197, timeseries.py:900-913)
+            "command": pa.array(cols[8], pa.string()),
+            "engine_version": pa.array(cols[9], pa.string()),
         }
     )
     pq.write_table(
@@ -72,7 +77,9 @@ def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
     if os.path.isdir(manifest_dir) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(manifest_dir) for f in fs
     ):
-        return spark.read.parquet(manifest_dir)
+        # mergeSchema: manifests written before the provenance columns
+        # (command, engine_version) existed stay readable on resume
+        return spark.read.option("mergeSchema", "true").parquet(manifest_dir)
     return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
@@ -120,6 +127,8 @@ def write_tier_chunks(
     fail_after_chunks: int | None = None,
     chunk_grain: str = "day",
     planned_chunks: list[str] | None = None,
+    command: str | None = None,
+    compression: str = "snappy",
 ) -> dict:
     """Write a tier table with chunk-granular checkpoints.
 
@@ -187,11 +196,14 @@ def write_tier_chunks(
                 part.repartition(F.col("chunk"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
                 .partitionBy("chunk")
                 .parquet(out_dir)
             )
             phases["write"] = round(time.time() - t0, 2)
             now = time.time()
+            from gents_spark import __version__
+
             # planned chunks with no tier rows (possible when the plan
             # comes from the raw time range) commit as done with n=0
             rows = []
@@ -199,10 +211,14 @@ def write_tier_chunks(
             for c in write_now:
                 s = stats_by_chunk.get(c)
                 if s is None:
-                    rows.append((run_id, tier, c, DONE, 0, 0, 0, now))
+                    rows.append(
+                        (run_id, tier, c, DONE, 0, 0, 0, now,
+                         command, __version__)
+                    )
                 else:
                     rows.append(
-                        (run_id, tier, c, DONE, s["n"], s["sc"], s["st"], now)
+                        (run_id, tier, c, DONE, s["n"], s["sc"], s["st"],
+                         now, command, __version__)
                     )
                     rows_written += s["n"]
             _append_manifest_rows(manifest_dir, rows)

@@ -7,15 +7,47 @@ import json
 import pyspark.sql.functions as F
 
 from gents_spark.cli import main, parse_arguments
+from gents_spark.configs import resolve_profile
 from gents_spark.plans.manifest import read_tier
 from gents_spark.synth import synth_sequences
 
 
 def test_parse_defaults():
     a = parse_arguments(["--input", "/i", "--output", "/o"])
-    assert a.tiers == ["1m", "1h", "1d"]
-    assert a.gapfill == "locf"
-    assert not a.resume and not a.dryrun
+    # tiers/gapfill default at RESOLUTION time (profile-aware), not parse
+    assert a.tiers is None and a.gapfill is None
+    assert not a.resume and not a.dryrun and not a.salted
+    prof = resolve_profile(None, a.include_sources, a.exclude_sources)
+    assert prof.tiers == ["1m", "1h", "1d"]
+    assert prof.gapfill == "locf"
+    assert prof.compression == "snappy" and prof.chunk_grain == "day"
+
+
+def test_profile_resolution_override_and_append():
+    """GenTS --model/--append semantics (gents/cli.py:143-181): explicit
+    filters replace the profile's unless --append-filters."""
+    base = resolve_profile("webcrawl", None, None)
+    assert base.exclude_sources == ["spam", "boilerplate", "adult"]
+    assert base.compression == "zstd"
+    replaced = resolve_profile("webcrawl", None, ["junk"])
+    assert replaced.exclude_sources == ["junk"]
+    appended = resolve_profile("webcrawl", None, ["junk"], append_filters=True)
+    assert appended.exclude_sources == ["spam", "boilerplate", "adult", "junk"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_profile("nope", None, None)
+
+
+def test_cli_version(capsys):
+    import pytest
+
+    from gents_spark import __version__
+
+    with pytest.raises(SystemExit) as e:
+        parse_arguments(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
 
 
 def test_cli_end_to_end(spark, tmp_path, capsys):
@@ -48,6 +80,60 @@ def test_cli_dryrun_writes_nothing(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_cli_provenance_and_compression(spark, tmp_path, capsys):
+    """Manifest rows carry the launching command + engine version (GenTS
+    gents_command analog); --compression reaches the parquet codec."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gents_spark import __version__
+    from gents_spark.plans.manifest import read_manifest
+
+    in_path = str(tmp_path / "seqs_prov")
+    out = str(tmp_path / "out_prov")
+    synth_sequences(spark, 2, 200).write.parquet(in_path)
+    argv = [
+        "--input", in_path, "--output", out,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--compression", "zstd", "--master", "local[4]",
+    ]
+    assert main(argv) == 0
+    m = read_manifest(spark, out + "/manifest").collect()
+    assert m and all(r["engine_version"] == __version__ for r in m)
+    assert all("--compression zstd" in r["command"] for r in m)
+    f = glob.glob(out + "/tiers/tier=1d/chunk=*/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_cli_salted_wired(spark, tmp_path, capsys):
+    """--salted actually enables the two-phase salted aggregation path
+    (round-1 ADVICE: --n-salt was a silent no-op)."""
+    in_path = str(tmp_path / "seqs_salt")
+    out = str(tmp_path / "out_salt")
+    synth_sequences(spark, 3, 600, hot_source_frac=0.6).write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--salted", "--n-salt", "4", "--master", "local[4]",
+    ])
+    assert rc == 0
+    unsalted = str(tmp_path / "out_unsalted")
+    rc = main([
+        "--input", in_path, "--output", unsalted,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    a = read_tier(spark, out + "/tiers", "1d")
+    b = read_tier(spark, unsalted + "/tiers", "1d")
+    cols = ["source", "bucket_start", "cnt", "sum_tok", "min_tok", "max_tok"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
 
 
 def test_cli_empty_after_quarantine(spark, tmp_path, capsys):

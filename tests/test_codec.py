@@ -28,11 +28,33 @@ from gents_spark.synth import synth_sequences
 from gents_spark.timeparse import with_event_time
 
 
-@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=300))
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300))
 @settings(max_examples=200, deadline=None)
 def test_i64_roundtrip_property(xs):
     a = np.array(xs, dtype=np.int64)
     assert np.array_equal(decode_i64(encode_i64(a)), a)
+
+
+def test_extreme_i64_roundtrip_raw_fallback():
+    """Near-extreme int64 inputs wrap in np.diff; they must take the raw
+    path and round-trip exactly, scalar and batch agreeing bit-for-bit
+    (round-1 ADVICE)."""
+    from gents_spark.functions.codec import encode_i64_batch
+
+    cases = [
+        np.array([2**63 - 1, -(2**63), 2**63 - 1], dtype=np.int64),
+        np.array([-(2**63), 2**63 - 1, 0, -(2**63)], dtype=np.int64),
+        # wrapped dod aliases to a small zigzag without the guard
+        np.array([0, 2**62, -(2**62), 0], dtype=np.int64),
+        np.array([2**60 + 1] * 8, dtype=np.int64),
+        np.array([2**60] * 8, dtype=np.int64),  # boundary: still packed
+    ]
+    for a in cases:
+        enc = encode_i64(a)
+        assert np.array_equal(decode_i64(enc), a)
+    batch = encode_i64_batch([list(c) for c in cases])
+    for a, e in zip(cases, batch):
+        assert e == encode_i64(a)
 
 
 @given(

@@ -77,3 +77,23 @@ def test_retention_requires_coarser_cover(spark, tmp_path):
     # remaining 1m data still readable; 1h untouched
     assert read_tier(spark, out + "/tiers", "1m").count() > 0
     assert read_tier(spark, out + "/tiers", "1h").count() > 0
+
+
+def test_retention_coarse_grain_no_overdelete(spark, tmp_path):
+    """Month-grain chunks only expire when the WHOLE month is past the
+    cutoff (round-1 ADVICE: '2026-01' < '2026-01-15' lexicographic
+    over-deletion)."""
+    out = str(tmp_path / "retm")
+    seqs = synth_sequences(spark, 2, 2000)  # spans several days of 2026-01
+    for tiers, rid in ((["1m"], "r1"), (["1h"], "r2")):
+        TierPipeline(
+            spark, step_s=3600, tiers=tiers, gapfill_mode=None,
+            chunk_grain="month",
+        ).run(seqs, out, run_id=rid)
+    # cutoff mid-month: the 2026-01 month chunk contains buckets AFTER the
+    # cutoff, so nothing may expire
+    assert expirable_chunks(spark, out + "/manifest", "1m", "2026-01-15") == []
+    assert expire(spark, out + "/tiers", out + "/manifest", "1m", "2026-01-15") == []
+    assert read_tier(spark, out + "/tiers", "1m").count() > 0
+    # cutoff at/after month end: now it expires
+    assert expirable_chunks(spark, out + "/manifest", "1m", "2026-03-01")
