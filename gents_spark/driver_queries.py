@@ -757,12 +757,25 @@ DEDUP_ORACLES: dict[str, str] = {
     "embedding_near_dup": _EMB_Q_SQL + """
         , docs AS (SELECT doc_id AS vec_id, source FROM documents),
         bd AS (SELECT base.*, docs.source FROM base JOIN docs USING (vec_id)),
+        -- banded sign-LSH candidates (same deterministic banding as
+        -- operators/similarity.band_keys: 8 bands x 8 sign bits)
+        bits AS (SELECT vec_id, (i - 1) // 8 AS band, i,
+                        CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+                            AS bit
+                 FROM embeddings, unnest(range(1, 65)) t(i)),
+        keys AS (SELECT vec_id, band, string_agg(bit, '' ORDER BY i) AS key
+                 FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                 FROM keys a JOIN keys b
+                   ON a.band = b.band AND a.key = b.key
+                      AND a.vec_id < b.vec_id),
         pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                          a.source AS source_a, b.source AS source_b,
                          (SELECT sum(x*y)
                           FROM (SELECT unnest(a.qe) AS x, unnest(b.qe) AS y) z)
                              / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
-                  FROM bd a JOIN bd b ON a.vec_id < b.vec_id)
+                  FROM cand JOIN bd a ON a.vec_id = cand.va
+                            JOIN bd b ON b.vec_id = cand.vb)
         SELECT doc_a, doc_b, source_a, source_b, round(cos_raw, 6) AS cos
         FROM pairs WHERE cos_raw >= 0.3
     """,

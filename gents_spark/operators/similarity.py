@@ -141,35 +141,115 @@ def lsh_bucket_pairs(emb: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
-def embedding_near_dup_docs(
-    docs: DataFrame, emb: DataFrame, threshold: float = 0.9
+def band_keys(
+    emb: DataFrame,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate detection over documents:
-    join docs to their embedding vectors (doc_id == vec_id), emit doc
-    pairs whose quantized cosine >= threshold.
+    """(vec_id, band, key): per-band sign-bit LSH keys.
 
-    Scale path: at corpus scale this candidate set comes from the LSH
-    buckets (``lsh_bucket_pairs``) instead of the all-pairs product;
-    exact cosine then verifies candidates — the same two-stage shape as
-    MinHash->Jaccard in dedup.py.
+    Band ``b`` hashes dims ``[b*bits, (b+1)*bits)`` to their sign
+    pattern — banded random-hyperplane LSH with axis-aligned planes
+    (deterministic, hence oracle-reproducible).  A pair is a candidate
+    if ANY band key matches; more bands -> higher recall, more bits per
+    band -> smaller buckets.  Same banding shape as the MinHash path in
+    dedup.py.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[
+                        F.when(
+                            F.element_at(F.col(col), b * bits_per_band + i + 1)
+                            >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for i in range(bits_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return emb.select("vec_id", F.explode(entries).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """Distinct candidate pairs (va < vb) sharing >=1 band key.
+
+    The join is an equi-join on (band, key) — candidate volume is
+    sum over buckets of C(bucket_size, 2), never the full corpus product.
+    """
+    keys = band_keys(emb, bands=bands, bits_per_band=bits_per_band)
+    a = keys.select(F.col("vec_id").alias("va"), "band", "key")
+    b = keys.select(F.col("vec_id").alias("vb"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+
+
+def embedding_near_dup_docs(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over documents, two-stage:
+
+    1. candidates from banded sign-LSH (``lsh_candidate_pairs``) — an
+       equi-join on band keys, NO all-pairs product (the round-1 version
+       was a cross join: O(n^2) rows, dead at 10M docs);
+    2. exact quantized-cosine verification of candidates only.
+
+    Recall is the standard banded-LSH tradeoff (any-band sign agreement);
+    tests pin it against the exhaustive baseline on the fixture.
+    ``exhaustive=True`` keeps that O(n^2) baseline available for small
+    fixtures/recall measurement — never the scale path.
     """
     base = with_quantized(emb).join(
         docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("doc_a"),
-        F.col("b.vec_id").alias("doc_b"),
-        F.col("a.source").alias("source_a"),
-        F.col("b.source").alias("source_b"),
-        (
-            _dot(F.col("a.q"), F.col("b.q"))
-            / F.sqrt((F.col("a.n2") * F.col("b.n2")).cast("double"))
-        ).alias("cos_raw"),
+    a = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+        F.col("source").alias("source_a"),
     )
-    return pairs.filter(F.col("cos_raw") >= threshold).select(
-        "doc_a", "doc_b", "source_a", "source_b",
+    b = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+        F.col("source").alias("source_b"),
+    )
+    if exhaustive:
+        pairs = a.join(b, F.col("va") < F.col("vb"))
+    else:
+        cand = lsh_candidate_pairs(
+            emb, bands=bands, bits_per_band=bits_per_band
+        )
+        pairs = cand.join(a, "va").join(b, "vb")
+    scored = pairs.withColumn(
+        "cos_raw",
+        _dot(F.col("qa"), F.col("qb"))
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+    )
+    return scored.filter(F.col("cos_raw") >= threshold).select(
+        F.col("va").alias("doc_a"),
+        F.col("vb").alias("doc_b"),
+        "source_a",
+        "source_b",
         F.round("cos_raw", 6).alias("cos"),
     )
 

@@ -144,3 +144,66 @@ def test_multimodal_meta_matches_decode(docs):
     for k in meta:
         assert meta[k]["n_bytes"] == dec[k]["n_bytes"]
         assert meta[k]["header_hash"] == dec[k]["header_hash"]
+
+
+def test_near_dup_lsh_two_stage_recall(spark):
+    """Banded sign-LSH near-dup: candidates via equi-join (no all-pairs),
+    results a strict subset of the exhaustive baseline, recall >= 0.9 on
+    genuinely near-duplicate vectors (cos >= 0.9) — the regime the
+    operator exists for.  Deterministic synthetic corpus: 60 base unit
+    vectors + a small-angle perturbed copy of each."""
+    import math
+    import random
+
+    from gents_spark.operators.similarity import embedding_near_dup_docs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        w = [x + rng.gauss(0, 0.04) for x in v]  # cos(v,w) ~ 0.96
+        m = math.sqrt(sum(x * x for x in w))
+        w = [x / m for x in w]
+        rows.append((2 * i, v, 0))
+        rows.append((2 * i + 1, w, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    docs = emb.selectExpr("vec_id AS doc_id", "'s' AS source")
+
+    ex = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_docs(
+            docs, emb, threshold=0.9, exhaustive=True
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_docs(docs, emb, threshold=0.9).collect()
+    }
+    assert len(ex) >= 50  # the construction produced real near-dups
+    assert got <= ex  # verification stage is exact -> no false positives
+    assert len(got & ex) / len(ex) >= 0.9
+
+
+def test_near_dup_plan_has_no_cartesian(spark):
+    """The scale path must candidate-generate via the band-key equi-join:
+    no CartesianProduct/BroadcastNestedLoopJoin node in the plan
+    (round-1 VERDICT scale-killer #2)."""
+    from gents_spark.operators.similarity import embedding_near_dup_docs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64, 0), (1, [1.0] * 64, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs = emb.selectExpr("vec_id AS doc_id", "'s' AS source")
+    plan = (
+        embedding_near_dup_docs(docs, emb, threshold=0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
