@@ -73,44 +73,10 @@ def gapfill(
         tiers, ["source", "bucket_start"], "left"
     ).withColumn("filled", F.col("cnt").isNull())
 
-    w_back = (
-        Window.partitionBy("source")
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-
     if mode == "locf":
         joined = _locf_chunked(joined, fill_cols)
     else:
-        w_fwd = (
-            Window.partitionBy("source")
-            .orderBy("bucket_start")
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        idx = F.unix_timestamp("bucket_start")
-        known_idx_b = F.last(
-            F.when(~F.col("filled"), idx), ignorenulls=True
-        ).over(w_back)
-        known_idx_f = F.first(
-            F.when(~F.col("filled"), idx), ignorenulls=True
-        ).over(w_fwd)
-        joined = joined.withColumn("_ib", known_idx_b).withColumn("_if", known_idx_f)
-        for c in fill_cols:
-            vb = F.last(
-                F.when(~F.col("filled"), F.col(c)), ignorenulls=True
-            ).over(w_back)
-            vf = F.first(
-                F.when(~F.col("filled"), F.col(c)), ignorenulls=True
-            ).over(w_fwd)
-            frac = (idx - F.col("_ib")) / (F.col("_if") - F.col("_ib"))
-            interp = vb.cast("double") + (vf.cast("double") - vb.cast("double")) * frac
-            joined = joined.withColumn(
-                c,
-                F.when(~F.col("filled"), F.col(c))
-                .when(F.col("_if").isNull(), vb)  # trailing edge -> LOCF
-                .otherwise(interp),
-            )
-        joined = joined.drop("_ib", "_if")
+        joined = _linear_chunked(joined, fill_cols)
 
     return (
         joined.withColumn("tier", F.lit(tier))
@@ -119,6 +85,149 @@ def gapfill(
             F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")),
         )
     )
+
+
+def _linear_global(joined: DataFrame, fill_cols: list[str]) -> DataFrame:
+    """Reference linear interpolation with one global window per source.
+
+    One task per source — the straggler shape _linear_chunked exists to
+    avoid.  Kept only as the equality oracle for the chunked path.
+    """
+    w_back = (
+        Window.partitionBy("source")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("source")
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    idx = F.unix_timestamp("bucket_start")
+    known_idx_b = F.last(
+        F.when(~F.col("filled"), idx), ignorenulls=True
+    ).over(w_back)
+    known_idx_f = F.first(
+        F.when(~F.col("filled"), idx), ignorenulls=True
+    ).over(w_fwd)
+    joined = joined.withColumn("_ib", known_idx_b).withColumn("_if", known_idx_f)
+    for c in fill_cols:
+        vb = F.last(
+            F.when(~F.col("filled"), F.col(c)), ignorenulls=True
+        ).over(w_back)
+        vf = F.first(
+            F.when(~F.col("filled"), F.col(c)), ignorenulls=True
+        ).over(w_fwd)
+        frac = (idx - F.col("_ib")) / (F.col("_if") - F.col("_ib"))
+        interp = vb.cast("double") + (vf.cast("double") - vb.cast("double")) * frac
+        joined = joined.withColumn(
+            c,
+            F.when(~F.col("filled"), F.col(c))
+            .when(F.col("_if").isNull(), vb)  # trailing edge -> LOCF
+            .otherwise(interp),
+        )
+    return joined.drop("_ib", "_if")
+
+
+def _linear_chunked(joined: DataFrame, fill_cols: list[str]) -> DataFrame:
+    """Linear interpolation with (source, day-chunk) windows — exactly
+    equal to the global per-source interpolation but parallel WITHIN a
+    source (the same parallel-prefix decomposition as ``_locf_chunked``,
+    extended to BOTH directions: each chunk needs a carry-in from
+    preceding chunks AND a carry-forward from following ones).
+
+      pass 1: within each (source, day): last-known (idx, values) behind
+              each row and first-known ahead of it — wide parallelism;
+      pass 2: per-(source, day) summary: the day's last/first known
+              (idx, values);
+      pass 3: over the tiny day-summary table, per source: carry-in =
+              running last-known over preceding days, carry-forward =
+              running first-known over following days;
+      pass 4: broadcast-join carries back; flanking point = within-day
+              value if present else carry; interpolate.
+    """
+    idx = F.unix_timestamp("bucket_start")
+    known = ~F.col("filled")
+    joined = joined.withColumn(
+        "_gchunk", F.date_trunc("day", F.col("bucket_start"))
+    ).withColumn("_idx", idx)
+    w_back = (
+        Window.partitionBy("source", "_gchunk")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("source", "_gchunk")
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = joined.withColumn(
+        "_ib", F.last(F.when(known, F.col("_idx")), ignorenulls=True).over(w_back)
+    ).withColumn(
+        "_if", F.first(F.when(known, F.col("_idx")), ignorenulls=True).over(w_fwd)
+    )
+    for c in fill_cols:
+        joined = joined.withColumn(
+            f"_vb_{c}",
+            F.last(F.when(known, F.col(c)), ignorenulls=True).over(w_back),
+        ).withColumn(
+            f"_vf_{c}",
+            F.first(F.when(known, F.col(c)), ignorenulls=True).over(w_fwd),
+        )
+
+    # day summaries: the row at the day's max idx carries the day's
+    # last-known (_ib/_vb_*), the row at min idx its first-known (_if/_vf_*)
+    summ = joined.groupBy("source", "_gchunk").agg(
+        F.max_by("_ib", "_idx").alias("_last_idx"),
+        F.min_by("_if", "_idx").alias("_first_idx"),
+        *[F.max_by(f"_vb_{c}", "_idx").alias(f"_lastv_{c}") for c in fill_cols],
+        *[F.min_by(f"_vf_{c}", "_idx").alias(f"_firstv_{c}") for c in fill_cols],
+    )
+    w_prev = (
+        Window.partitionBy("source")
+        .orderBy("_gchunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("source")
+        .orderBy("_gchunk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = summ.select(
+        "source",
+        "_gchunk",
+        F.last("_last_idx", ignorenulls=True).over(w_prev).alias("_cin_idx"),
+        F.first("_first_idx", ignorenulls=True).over(w_next).alias("_cfwd_idx"),
+        *[
+            F.last(f"_lastv_{c}", ignorenulls=True)
+            .over(w_prev)
+            .alias(f"_cin_{c}")
+            for c in fill_cols
+        ],
+        *[
+            F.first(f"_firstv_{c}", ignorenulls=True)
+            .over(w_next)
+            .alias(f"_cfwd_{c}")
+            for c in fill_cols
+        ],
+    )
+    out = joined.join(F.broadcast(carry), ["source", "_gchunk"], "left")
+    ib = F.coalesce(F.col("_ib"), F.col("_cin_idx"))
+    fi = F.coalesce(F.col("_if"), F.col("_cfwd_idx"))
+    for c in fill_cols:
+        vb = F.coalesce(F.col(f"_vb_{c}"), F.col(f"_cin_{c}"))
+        vf = F.coalesce(F.col(f"_vf_{c}"), F.col(f"_cfwd_{c}"))
+        frac = (F.col("_idx") - ib) / (fi - ib)
+        interp = vb.cast("double") + (vf.cast("double") - vb.cast("double")) * frac
+        out = out.withColumn(
+            c,
+            F.when(~F.col("filled"), F.col(c))
+            .when(fi.isNull(), vb)  # trailing edge -> LOCF
+            .otherwise(interp),
+        )
+    drop = ["_gchunk", "_idx", "_ib", "_if", "_cin_idx", "_cfwd_idx"]
+    drop += [p.format(c) for c in fill_cols for p in ("_vb_{}", "_vf_{}", "_cin_{}", "_cfwd_{}")]
+    return out.drop(*drop)
 
 
 def _locf_chunked(joined: DataFrame, fill_cols: list[str]) -> DataFrame:

@@ -110,3 +110,60 @@ def test_linear_trailing_edge_is_locf(spark):
         for r in gapfill(t, "1m", mode="linear", fill_cols=["cnt", "sum_tok"]).collect()
     }
     assert lin["2026-01-01T00:02:00"] == (28.0, True)  # midpoint of 16..40
+
+
+def test_linear_chunked_equals_global(spark):
+    """_linear_chunked must equal the single-window-per-source reference
+    exactly — including gaps that span the (source, day) chunk boundary
+    (round-1 VERDICT scale-killer #3).  Fixture: 3 days of hourly
+    buckets, a gap crossing midnight, a multi-day all-gap day, and a
+    trailing-edge gap."""
+    from gents_spark.operators.gapfill import (
+        _linear_chunked,
+        _linear_global,
+        gapfill,
+    )
+
+    rows = []
+    # src_a: known at day1 22:00, then a gap until day2 03:00 (crosses
+    # midnight); day3 fully missing except 00:00; trailing gap after.
+    known = {
+        ("a", "2026-01-01 20:00:00"): 10,
+        ("a", "2026-01-01 22:00:00"): 20,
+        ("a", "2026-01-02 03:00:00"): 70,
+        ("a", "2026-01-03 00:00:00"): 40,
+        # day 2026-01-04 intentionally gap-only until 05:00
+        ("a", "2026-01-04 05:00:00"): 90,
+        ("b", "2026-01-01 00:00:00"): 5,
+        ("b", "2026-01-03 23:00:00"): 11,
+    }
+    for (s, ts), v in known.items():
+        rows.append((s, ts, 1, v, v, v))
+    tier = spark.createDataFrame(
+        rows,
+        "source string, bucket_start string, cnt long, sum_tok long, "
+        "min_tok long, max_tok long",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+
+    spine_join = (
+        bucket_spine(tier, "1h")
+        .join(tier, ["source", "bucket_start"], "left")
+        .withColumn("filled", F.col("cnt").isNull())
+    )
+    cols = ["source", "bucket_start", "filled", "cnt", "sum_tok",
+            "min_tok", "max_tok"]
+    a = (
+        _linear_chunked(spine_join, FILL_COLS)
+        .select(cols).orderBy("source", "bucket_start").collect()
+    )
+    b = (
+        _linear_global(spine_join, FILL_COLS)
+        .select(cols).orderBy("source", "bucket_start").collect()
+    )
+    assert len(a) == len(b) and len(a) > 80
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)
+    # sanity: gaps were actually filled across the midnight boundary
+    out = gapfill(tier, "1h", mode="linear")
+    filled = out.filter(F.col("filled")).count()
+    assert filled == len(a) - len(known)
