@@ -66,6 +66,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                    help="parquet codec for tier outputs (GenTS "
                         "apply_compression analog; default: profile's, "
                         "else snappy)")
+    p.add_argument("--percentiles", choices=["exact", "sketch", "auto"],
+                   default="exact",
+                   help="tier percentile path: exact collect_list, "
+                        "approx_percentile sketch (bounded memory on hot "
+                        "buckets), or auto probe")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -104,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         use_salting=args.salted,
         chunk_grain=args.chunk_grain or prof.chunk_grain,
         compression="uncompressed" if compression == "none" else compression,
+        percentile_mode=args.percentiles,
     )
     if args.verbose:
         print(json.dumps({

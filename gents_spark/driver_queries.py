@@ -92,6 +92,25 @@ def q_rollup_1d(spark, sf_dir):
     return _events_tiers(spark, sf_dir, "1d")
 
 
+def q_rollup_1h_sketch(spark, sf_dir):
+    """Sketch-percentile tier rollup (the 100 TB hot-bucket path).
+
+    approx_percentile is a mergeable Greenwald-Khanna sketch — bounded
+    task memory per bucket regardless of bucket size, rank error
+    <= 1/accuracy.  No DuckDB oracle: its approx_quantile is a different
+    algorithm, so values are gate-checked rows/schema-only here and the
+    error bound is pinned by tests/test_rollup.py against the exact path.
+    """
+    from gents_spark.operators.rollup import rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_time"),
+        F.col("value").cast("long").alias("n_tok"),
+    )
+    return rollup(ev, "1h", percentile_mode="sketch")
+
+
 def _agg_1h(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -800,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
+    "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "year_bounds": q_year_bounds,

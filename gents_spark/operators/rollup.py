@@ -67,6 +67,36 @@ def sorted_percentile(sorted_arr: F.Column, p: float) -> F.Column:
     )
 
 
+#: default sketch accuracy: relative rank error <= 1/SKETCH_ACCURACY
+#: (Greenwald-Khanna bound of Spark's approx_percentile aggregate)
+SKETCH_ACCURACY = 10_000
+#: buckets above this row count switch percentile_mode='auto' to the
+#: sketch: a 1m bucket of a pathologically hot source can hold 10^7+
+#: values, and the exact path's collect_list array would own one task's
+#: heap (round-1 VERDICT scale-killer #4)
+HOT_BUCKET_LIMIT = 5_000_000
+
+
+def max_bucket_count(
+    df: DataFrame,
+    tier: str,
+    source_col: str = "source",
+    ts_col: str = "event_time",
+) -> int:
+    """Largest (source, bucket) row count — the hot-bucket probe.
+
+    One map-side-combined count aggregation (same shuffle key as the
+    rollup itself); drives percentile_mode='auto'.
+    """
+    row = (
+        df.groupBy(F.col(source_col), bucket_col(ts_col, tier))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0]
+    )
+    return row[0] or 0
+
+
 def rollup(
     df: DataFrame,
     tier: str,
@@ -74,6 +104,9 @@ def rollup(
     ts_col: str = "event_time",
     value_col: str = "n_tok",
     with_percentiles: bool = True,
+    percentile_mode: str = "exact",
+    sketch_accuracy: int = SKETCH_ACCURACY,
+    hot_bucket_limit: int = HOT_BUCKET_LIMIT,
 ) -> DataFrame:
     """One continuous-aggregate tier from raw rows.
 
@@ -81,13 +114,29 @@ def rollup(
     (source, tier, bucket_start, bucket_end, cnt, sum_tok, min_tok,
      max_tok, p50_tok, p95_tok, p99_tok)
 
-    Percentiles are exact (linear interpolation, Spark/Hive formula),
-    computed from a per-bucket ``sort_array(collect_list(...))`` — one
-    shuffle carrying the bucket's values (the same bytes the Percentile
-    aggregate would ship, since percentiles have no partial combine), but
-    all downstream math stays in codegen.  Bucket size is time-bounded,
-    so per-group arrays cannot blow memory.
+    ``percentile_mode``:
+
+    - ``'exact'`` (default, the correctness-gate path): linear
+      interpolation (Spark/Hive formula) over a per-bucket
+      ``sort_array(collect_list(...))`` — one shuffle carrying the
+      bucket's values (the same bytes the Percentile aggregate would
+      ship, since exact percentiles have no partial combine), all
+      downstream math in codegen.  Requires bucket row counts to fit a
+      task's memory.
+    - ``'sketch'``: Spark's ``approx_percentile`` — a mergeable
+      Greenwald-Khanna quantile sketch with bounded state
+      (O(accuracy·log n) per bucket regardless of bucket size) and
+      map-side partial merge, so a 10^8-row hot bucket costs the same
+      task memory as a 10^3-row one.  Rank error <= 1/sketch_accuracy.
+      This is the 100 TB path the survey's t-digest note asks for.
+    - ``'auto'``: probe ``max_bucket_count``; exact when every bucket is
+      under ``hot_bucket_limit``, sketch otherwise.
     """
+    if percentile_mode not in ("exact", "sketch", "auto"):
+        raise ValueError(f"unknown percentile_mode: {percentile_mode}")
+    if with_percentiles and percentile_mode == "auto":
+        hot = max_bucket_count(df, tier, source_col, ts_col)
+        percentile_mode = "sketch" if hot > hot_bucket_limit else "exact"
     unit = TIER_UNITS[tier]
     v = F.col(value_col)
     aggs = [
@@ -97,7 +146,18 @@ def rollup(
         F.max(v).alias("max_tok"),
     ]
     if with_percentiles:
-        aggs.append(F.sort_array(F.collect_list(v.cast("double"))).alias("_sv"))
+        if percentile_mode == "exact":
+            aggs.append(
+                F.sort_array(F.collect_list(v.cast("double"))).alias("_sv")
+            )
+        else:
+            aggs.append(
+                F.approx_percentile(
+                    v.cast("double"),
+                    F.array(*[F.lit(p) for p in PCTS]),
+                    F.lit(sketch_accuracy),
+                ).alias("_qs")
+            )
     out = (
         df.groupBy(
             F.col(source_col).alias("source"),
@@ -110,9 +170,14 @@ def rollup(
         )
     )
     if with_percentiles:
-        for p, name in zip(PCTS, _PCT_NAMES):
-            out = out.withColumn(name, sorted_percentile(F.col("_sv"), p))
-        out = out.drop("_sv")
+        if percentile_mode == "exact":
+            for p, name in zip(PCTS, _PCT_NAMES):
+                out = out.withColumn(name, sorted_percentile(F.col("_sv"), p))
+            out = out.drop("_sv")
+        else:
+            for i, name in enumerate(_PCT_NAMES):
+                out = out.withColumn(name, F.element_at(F.col("_qs"), i + 1))
+            out = out.drop("_qs")
     cols = ["source", "tier", "bucket_start", "bucket_end", "cnt", "sum_tok",
             "min_tok", "max_tok"]
     if with_percentiles:

@@ -45,6 +45,7 @@ class TierPipeline:
         use_salting: bool = False,
         chunk_grain: str = "day",
         compression: str = "snappy",
+        percentile_mode: str = "exact",
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -61,6 +62,7 @@ class TierPipeline:
         self.use_salting = use_salting
         self.chunk_grain = chunk_grain
         self.compression = compression
+        self.percentile_mode = percentile_mode
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -173,12 +175,16 @@ class TierPipeline:
             for tier in self.tiers:
                 if hot:
                     additive = salted_rollup(raw, tier, n_salt=self.n_salt)
-                    pct = rollup(raw, tier).select(
+                    pct = rollup(
+                        raw, tier, percentile_mode=self.percentile_mode
+                    ).select(
                         "source", "bucket_start", "p50_tok", "p95_tok", "p99_tok"
                     )
                     tier_df = additive.join(pct, ["source", "bucket_start"])
                 else:
-                    tier_df = rollup(raw, tier)
+                    tier_df = rollup(
+                        raw, tier, percentile_mode=self.percentile_mode
+                    )
                 if self.payloads and (
                     prev_tier_name is not None or self.payloads == "all"
                 ):

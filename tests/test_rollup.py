@@ -110,3 +110,61 @@ def test_cascade_returns_all_tiers(raw):
     assert set(tiers) == set(TIER_ORDER)
     counts = {t: df.count() for t, df in tiers.items()}
     assert counts["1m"] >= counts["1h"] >= counts["1d"] > 0
+
+
+def test_sketch_percentiles_within_rank_error(spark):
+    """percentile_mode='sketch' (approx_percentile GK sketch): every
+    reported percentile must sit within the documented rank-error bound
+    of the exact rank interval, and additive stats must be identical to
+    the exact path.  Hot-bucket fixture: one bucket with 60k values —
+    the regime where collect_list memory is the scale risk."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.rollup import (
+        PCTS,
+        _PCT_NAMES,
+        max_bucket_count,
+        rollup,
+    )
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.lit("hot").alias("source"),
+        F.lit("2026-01-01 00:00:30").cast("timestamp").alias("event_time"),
+        (F.col("id") % 977).cast("int").alias("n_tok"),  # skewed-ish values
+    )
+    assert max_bucket_count(df, "1m") == n
+
+    exact = rollup(df, "1m").collect()[0]
+    sk = rollup(df, "1m", percentile_mode="sketch",
+                sketch_accuracy=10_000).collect()[0]
+    for c in ("cnt", "sum_tok", "min_tok", "max_tok"):
+        assert sk[c] == exact[c]
+
+    vals = sorted(((i % 977) for i in range(n)))
+    eps = 1.0 / 10_000
+    for p, name in zip(PCTS, _PCT_NAMES):
+        lo = vals[max(0, int((p - eps) * (n - 1)) - 1)]
+        hi = vals[min(n - 1, int((p + eps) * (n - 1)) + 1)]
+        assert lo <= sk[name] <= hi, (name, sk[name], lo, hi)
+
+
+def test_percentile_auto_mode_picks_by_bucket_size(spark):
+    """'auto' uses exact under the limit (bit-identical to exact mode)
+    and the sketch above it (schema unchanged either way)."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.rollup import rollup
+    from gents_spark.synth import synth_sequences
+    from gents_spark.timeparse import with_event_time
+
+    raw = with_event_time(synth_sequences(spark, 2, 400), step_s=10)
+    small_auto = rollup(raw, "1m", percentile_mode="auto",
+                        hot_bucket_limit=1000)
+    small_exact = rollup(raw, "1m")
+    assert sorted(map(tuple, small_auto.collect())) == sorted(
+        map(tuple, small_exact.collect())
+    )
+    hot_auto = rollup(raw, "1m", percentile_mode="auto", hot_bucket_limit=1)
+    assert hot_auto.columns == small_exact.columns
+    assert hot_auto.count() == small_exact.count()
