@@ -71,6 +71,10 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                    help="tier percentile path: exact collect_list, "
                         "approx_percentile sketch (bounded memory on hot "
                         "buckets), or auto probe")
+    p.add_argument("--modal-quarantine", action="store_true",
+                   help="per source, quarantine rows whose structural "
+                        "fingerprint differs from the strict-majority one "
+                        "(GenTS filter_by_variables)")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -110,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_grain=args.chunk_grain or prof.chunk_grain,
         compression="uncompressed" if compression == "none" else compression,
         percentile_mode=args.percentiles,
+        modal_quarantine=args.modal_quarantine,
     )
     if args.verbose:
         print(json.dumps({

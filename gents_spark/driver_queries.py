@@ -518,7 +518,9 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from gents_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=50
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -642,10 +644,19 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": _SHINGLE_SQL + """
         , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                          count(*) AS n_common
-                   FROM sh a JOIN sh b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        -- stop-shingle cap (df <= 50) on CANDIDATE generation only;
+        -- n_common verifies exactly over full shingle sets
+        dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+        rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+                 JOIN dfreq USING (shingle) WHERE dfreq.c <= 50),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM rare a JOIN rare b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        common AS (SELECT doc_a, doc_b, count(*) AS n_common
+                   FROM cand
+                   JOIN sh x ON x.doc_id = cand.doc_a
+                   JOIN sh y ON y.doc_id = cand.doc_b
+                             AND y.shingle = x.shingle
                    GROUP BY 1, 2),
         j AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
                      round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)

@@ -80,25 +80,71 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
     Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard) with doc_a<doc_b.
     Integer set sizes make the join exact; jaccard rounded to 6 dp.
+
+    ``max_shingle_df`` is the stop-shingle cap (round-1 VERDICT: a hot
+    shingle shared by k docs generates C(k,2) pair rows in the self-join
+    — quadratic in its document frequency).  When set, candidate pairs
+    come only from shingles with document frequency <= max_shingle_df;
+    n_common/jaccard are then verified EXACTLY over the full shingle
+    sets of the candidates, so values never change — only pairs whose
+    EVERY common shingle is hotter than the cap are missed (such pairs
+    share boilerplate, not content).  The candidate join is the standard
+    frequency-capped inverted-index shape of AllPairs/PPJoin.
     """
     s = shingle_sets(docs, n)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = s.alias("a")
-    b = s.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    cand_src = s
+    if max_shingle_df is not None:
+        dfreq = s.groupBy("shingle").agg(F.count("*").alias("_df"))
+        cand_src = (
+            s.join(dfreq, "shingle")
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("doc_id", "shingle")
         )
-        .agg(F.count("*").alias("n_common"))
-    )
+        cand = (
+            cand_src.alias("a")
+            .join(
+                cand_src.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # exact verify: count ALL common shingles of each candidate pair
+        # (candidate-driven joins — hot shingles never form pairs here)
+        sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = s.alias("a")
+        b = s.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = (

@@ -44,7 +44,9 @@ def reunify_shards(df: DataFrame) -> DataFrame:
     return (
         keyed.groupBy(F.col("base_doc_id").alias("doc_id"))
         .agg(
-            F.first("source").alias("source"),
+            # min, not first: deterministic if shards of one doc ever
+            # disagreed on source (first is partition-order dependent)
+            F.min("source").alias("source"),
             F.flatten(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("shard", "tokens"))),

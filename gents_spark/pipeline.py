@@ -19,7 +19,11 @@ from gents_spark.operators.gapfill import gapfill
 from gents_spark.operators.rollup import TIER_ORDER, rollup
 from gents_spark.operators.skew import hot_sources, salted_rollup
 from gents_spark.plans.manifest import read_tier, write_tier_chunks
-from gents_spark.timeparse import split_valid, with_event_time
+from gents_spark.timeparse import (
+    split_modal_fingerprint,
+    split_valid,
+    with_event_time,
+)
 
 
 class TierPipeline:
@@ -46,6 +50,7 @@ class TierPipeline:
         chunk_grain: str = "day",
         compression: str = "snappy",
         percentile_mode: str = "exact",
+        modal_quarantine: bool = False,
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -63,6 +68,7 @@ class TierPipeline:
         self.chunk_grain = chunk_grain
         self.compression = compression
         self.percentile_mode = percentile_mode
+        self.modal_quarantine = modal_quarantine
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -80,6 +86,12 @@ class TierPipeline:
         else:
             valid = sequences
             bad = sequences.limit(0)
+        if self.modal_quarantine:
+            # F7 as an engine op: drop structural-fingerprint outliers
+            # per source when a strict-majority fingerprint exists
+            # (GenTS filter_by_variables, hfcollection.py:349-355)
+            valid, fp_out = split_modal_fingerprint(valid)
+            bad = bad.unionByName(fp_out)
         if self.include_sources:
             valid = valid.filter(F.col("source").isin(self.include_sources))
         if self.exclude_sources:
@@ -141,8 +153,16 @@ class TierPipeline:
         raw = raw.persist()
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
-            if self.validate:
-                metrics["quarantined_rows"] = bad.count()
+            if self.validate or self.modal_quarantine:
+                n_bad = bad.count()
+                metrics["quarantined_rows"] = n_bad
+                if n_bad:
+                    # quarantined rows are data, not log lines: they land
+                    # in their own table for later inspection/repair
+                    # (GenTS returns the outlier set, hfcollection.py:358)
+                    bad.write.mode("overwrite").parquet(
+                        os.path.join(out_dir, "quarantine")
+                    )
             # Salting note: the tier groupBy keys on (source, bucket) — a
             # HIGH-cardinality key even when one source is hot, because a
             # hot source's rows spread over its many buckets (rows per

@@ -188,12 +188,17 @@ def write_tier_chunks(
         if write_now:
             t0 = time.time()
             part = tier_df.filter(F.col("chunk").isin(write_now))
-            # One task per chunk(s): without this, every shuffle partition
-            # opens a file in every chunk dir -> O(partitions x chunks)
-            # tiny files.  Hash-repartitioning on the chunk key bounds it
-            # at one file per (chunk, task) with chunks co-located.
+            # Repartition on (chunk, source): without any repartition,
+            # every shuffle partition opens a file in every chunk dir ->
+            # O(partitions x chunks) tiny files; repartitioning on chunk
+            # ALONE caps write parallelism at the chunk count and makes
+            # one hot chunk one straggler task (round-1 VERDICT #5 — at
+            # month grain that is O(12) writer tasks for a year).  The
+            # (chunk, source) key spreads a chunk over its sources while
+            # keeping files-per-chunk bounded by the source count, the
+            # same granularity the tier agg itself shuffles on.
             (
-                part.repartition(F.col("chunk"))
+                part.repartition(F.col("chunk"), F.col("source"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("compression", compression)

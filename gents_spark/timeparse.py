@@ -58,6 +58,59 @@ def with_event_time(
     ).drop("src_parsed")
 
 
+def fingerprint_col(doc_id: str = "doc_id") -> F.Column:
+    """Structural fingerprint of a record — the schema-variant marker.
+
+    The GenTS analog is the variable-set fingerprint of a history file
+    (``hfcollection.py:311-359``): files are grouped by which variables
+    they carry.  For the fixed 4-column sequence shape the structural
+    variants live in the doc_id format: plain ``src/seq`` vs sharded
+    ``src/seq#k`` vs anything else.
+    """
+    d = F.col(doc_id)
+    return (
+        F.when(d.rlike(r"^[^/]+/\d+$"), F.lit("plain"))
+        .when(d.rlike(r"^[^/]+/\d+#\d+$"), F.lit("sharded"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def split_modal_fingerprint(
+    df: DataFrame, group_col: str = "source"
+) -> tuple[DataFrame, DataFrame]:
+    """(majority, outliers): F7 as an engine operator.
+
+    Per group, rows whose structural fingerprint differs from the
+    group's STRICT-majority fingerprint are quarantined; on a tie for
+    the largest set everything is kept — exactly GenTS's
+    ``filter_by_variables`` rule (``hfcollection.py:349-355``: outliers
+    drop only when the majority set is unique).
+
+    Plan shape: one (group, fingerprint) count aggregation (tiny), a
+    per-group window over it, then a broadcast join back — no shuffle of
+    the data rows beyond the map-side-combined count.
+    """
+    fp = fingerprint_col().alias("_fp")
+    counts = df.select(group_col, fp).groupBy(group_col, "_fp").count()
+    top = counts.groupBy(group_col).agg(F.max("count").alias("_n1"))
+    modal = (
+        counts.join(top, group_col)
+        .filter(F.col("count") == F.col("_n1"))
+        .groupBy(group_col)
+        .agg(
+            (F.count("*") == 1).alias("_enforce"),  # strict majority only
+            F.min("_fp").alias("_modal_fp"),
+        )
+    )
+    tagged = df.withColumn("_fp", fingerprint_col()).join(
+        F.broadcast(modal), group_col, "left"
+    )
+    keep = (~F.col("_enforce")) | (F.col("_fp") == F.col("_modal_fp"))
+    majority = tagged.filter(keep).drop("_fp", "_modal_fp", "_enforce")
+    outliers = tagged.filter(~keep).drop("_fp", "_modal_fp", "_enforce")
+    return majority, outliers
+
+
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined) split.
 

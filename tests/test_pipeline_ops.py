@@ -207,3 +207,41 @@ def test_near_dup_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A boilerplate shingle shared by 50% of docs must not enter the
+    candidate self-join (quadratic in its df), while jaccard values of
+    surviving pairs stay EXACT (verified over full shingle sets)."""
+    from gents_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs all share the same leading boilerplate sentence; docs
+    # 2i/2i+1 additionally share a unique tail -> real near-dup pairs
+    rows = []
+    for i in range(20):
+        boiler = "all rights reserved by the site"
+        tail = f"unique content piece number {i} alpha beta gamma delta"
+        rows.append((2 * i, f"{boiler} {tail} one", "en", "s", 1))
+        rows.append((2 * i + 1, f"{boiler} {tail} two", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_df=10
+        ).collect()
+    }
+    # every true near-dup pair (2i, 2i+1) survives the cap with the
+    # IDENTICAL exact n_common/jaccard (their tail shingles are rare)
+    for i in range(20):
+        k = (2 * i, 2 * i + 1)
+        assert k in capped and capped[k] == full[k]
+    # pairs whose only common shingles are boilerplate are dropped —
+    # the candidate set is subquadratic, not C(40,2)
+    assert set(capped) < set(full)
+    assert len(capped) < len(full)

@@ -73,3 +73,55 @@ def test_skew_fixture_hot_source(spark):
     counts = {r["source"]: r["cnt"] for r in
               df.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
     assert counts["src_00"] >= 0.45 * sum(counts.values())
+
+
+def test_modal_fingerprint_quarantine(spark, tmp_path):
+    """F7 as an engine operator: per-source structural-fingerprint
+    outliers land in quarantine (parquet) and metrics count them; a tie
+    for the majority keeps everything (GenTS hfcollection.py:349-355)."""
+    import os
+
+    from gents_spark.pipeline import TierPipeline
+    from gents_spark.timeparse import split_modal_fingerprint
+
+    base = synth_sequences(spark, 2, 300)
+    # src_00: 10 rows get a sharded doc_id variant -> minority fingerprint
+    poisoned = base.withColumn(
+        "doc_id",
+        F.when(
+            (F.col("source") == "src_00")
+            & (F.xxhash64("doc_id") % 30 == 0),
+            F.concat(F.col("doc_id"), F.lit("#1")),
+        ).otherwise(F.col("doc_id")),
+    )
+    n_shard = poisoned.filter(F.col("doc_id").contains("#")).count()
+    assert n_shard > 0
+
+    keep, out = split_modal_fingerprint(poisoned)
+    assert out.count() == n_shard
+    assert keep.count() == poisoned.count() - n_shard
+    assert out.filter(~F.col("doc_id").contains("#")).count() == 0
+
+    # tie: 50/50 plain vs sharded in one source -> nothing quarantined
+    half = base.filter(F.col("source") == "src_01")
+    tied = half.withColumn(
+        "doc_id",
+        F.when(F.xxhash64("doc_id") % 2 == 0,
+               F.concat(F.col("doc_id"), F.lit("#1"))
+        ).otherwise(F.col("doc_id")),
+    )
+    n_plain = tied.filter(~F.col("doc_id").contains("#")).count()
+    n_tied = tied.count()
+    if n_plain * 2 == n_tied:  # exact tie under the hash split
+        k2, o2 = split_modal_fingerprint(tied)
+        assert o2.count() == 0
+
+    # pipeline wiring: quarantine table written, metrics counted
+    outdir = str(tmp_path / "f7")
+    m = TierPipeline(
+        spark, step_s=3600, tiers=["1d"], gapfill_mode=None,
+        modal_quarantine=True,
+    ).run(poisoned, outdir, run_id="f7")
+    assert m["quarantined_rows"] == n_shard
+    q = spark.read.parquet(os.path.join(outdir, "quarantine"))
+    assert q.count() == n_shard
