@@ -571,6 +571,15 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_bucket_pairs(_t(spark, sf_dir, "embeddings"), bits=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from gents_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        k=5, n_queries=20, n_centroids=16, n_probe=8,
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from gents_spark.operators.similarity import embedding_near_dup_docs
 
@@ -784,6 +793,39 @@ DEDUP_ORACLES: dict[str, str] = {
         SELECT r.bucket, sizes.n_members, doc_a, doc_b, round(cos_raw, 6) AS cos
         FROM r JOIN sizes ON sizes.bucket = r.bucket WHERE rn = 1
     """,
+    "ann_ivf_topk": _EMB_Q_SQL + """
+        , cents AS (SELECT vec_id AS cid, qe AS cq, n2 AS cn2
+                    FROM base WHERE vec_id < 16),
+        cc AS (SELECT b.vec_id, c.cid,
+                      (SELECT sum(x*y)
+                       FROM (SELECT unnest(b.qe) AS x, unnest(c.cq) AS y) z)
+                          / sqrt((b.n2 * c.cn2)::DOUBLE) AS cos_c
+               FROM base b, cents c),
+        rk AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_c DESC, cid ASC) AS crn
+               FROM cc),
+        assigned AS (SELECT vec_id, cid FROM rk WHERE crn = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM rk
+                   WHERE vec_id < 20 AND crn <= 8),
+        pairs AS (SELECT p.query_id, asg.vec_id AS neighbor_id
+                  FROM probes p JOIN assigned asg ON asg.cid = p.cid
+                  WHERE asg.vec_id <> p.query_id),
+        scored AS (SELECT pr.query_id, pr.neighbor_id,
+                          (SELECT sum(x*y)
+                           FROM (SELECT unnest(a.qe) AS x,
+                                        unnest(b.qe) AS y) z)
+                              / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
+                   FROM pairs pr
+                   JOIN base a ON a.vec_id = pr.query_id
+                   JOIN base b ON b.vec_id = pr.neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC,
+                                                    neighbor_id ASC) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+        FROM r WHERE rank <= 5
+    """,
     "embedding_near_dup": _EMB_Q_SQL + """
         , docs AS (SELECT doc_id AS vec_id, source FROM documents),
         bd AS (SELECT base.*, docs.source FROM base JOIN docs USING (vec_id)),
@@ -863,6 +905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,

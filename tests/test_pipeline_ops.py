@@ -245,3 +245,26 @@ def test_jaccard_stop_shingle_cap(spark):
     # the candidate set is subquadratic, not C(40,2)
     assert set(capped) < set(full)
     assert len(capped) < len(full)
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF-flat ANN: recall@5 >= 0.9 vs the exact scan at
+    n_probe=8/16 cells on the sf0.01 embeddings, and every reported
+    cos is the exact cosine (the probe prunes candidates, it never
+    approximates scores)."""
+    from gents_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ex_rows = cosine_topk(emb, k=5, n_queries=20).collect()
+    iv_rows = ivf_topk(
+        emb, k=5, n_queries=20, n_centroids=16, n_probe=8
+    ).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in ex_rows}
+    iv = {(r["query_id"], r["neighbor_id"]) for r in iv_rows}
+    assert len(iv & ex) / len(ex) >= 0.9
+    # scores of agreeing pairs are identical (exact verification)
+    ex_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in ex_rows}
+    for r in iv_rows:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in ex_cos:
+            assert r["cos"] == ex_cos[k]
