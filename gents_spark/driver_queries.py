@@ -92,6 +92,41 @@ def q_rollup_1d(spark, sf_dir):
     return _events_tiers(spark, sf_dir, "1d")
 
 
+def q_column_classes(spark, sf_dir):
+    """F6 (gents/meta.py:14-67): data-driven column classification of the
+    events table — which columns are time/key/identifier/measure."""
+    from gents_spark.operators.classify import classify_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return classify_columns(ev, ts_col="ts", group_col="event_type")
+
+
+_CLASSIFY_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_CLASSIFY_SQL = (
+    "WITH stats AS (SELECT count(*) AS n, "
+    + ", ".join(
+        f"count(DISTINCT {c}) AS nd_{c}" for c in _CLASSIFY_COLS
+    )
+    + " FROM events), per AS (SELECT event_type AS g, "
+    + ", ".join(f"count(DISTINCT {c}) AS d_{c}" for c in _CLASSIFY_COLS)
+    + " FROM events GROUP BY 1), mx AS (SELECT "
+    + ", ".join(f"max(d_{c}) AS mx_{c}" for c in _CLASSIFY_COLS)
+    + " FROM per) "
+    + " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", nd_{c}::BIGINT AS n_distinct,
+               mx_{c}::BIGINT AS max_group_distinct,
+               CASE WHEN '{c}' = 'ts' THEN 'time'
+                    WHEN '{c}' = 'event_type' THEN 'group_key'
+                    WHEN nd_{c} >= 0.95 * n THEN 'identifier'
+                    WHEN mx_{c} > 1 THEN 'time_varying'
+                    ELSE 'static' END AS "class"
+        FROM stats, mx"""
+        for c in _CLASSIFY_COLS
+    )
+)
+
+
 def q_rollup_1h_sketch(spark, sf_dir):
     """Sketch-percentile tier rollup (the 100 TB hot-bucket path).
 
@@ -873,6 +908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
+    "column_classes": q_column_classes,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "year_bounds": q_year_bounds,
@@ -915,6 +951,7 @@ ORACLES: dict[str, str] = {
     "rollup_1m": _tier_sql("minute"),
     "rollup_1h": _tier_sql("hour"),
     "rollup_1d": _tier_sql("day"),
+    "column_classes": _CLASSIFY_SQL,
     "gapfill_locf_1h": _GAPFILL_BASE_SQL
     + """
     SELECT source, bucket_start,

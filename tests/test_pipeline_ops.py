@@ -268,3 +268,35 @@ def test_ivf_topk_recall_and_shape(spark):
         k = (r["query_id"], r["neighbor_id"])
         if k in ex_cos:
             assert r["cos"] == ex_cos[k]
+
+
+def test_classify_columns_data_driven(spark):
+    """F6: classification is driven by the DATA — a constant-per-group
+    column classifies static, a varying one time_varying, a key-like one
+    identifier — with no per-column config."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gents_spark.operators.classify import (
+        classify_columns,
+        rollup_candidates,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("row_id"),                      # identifier
+        F.concat(F.lit("s"), (F.col("id") % 4)).alias("source"),
+        F.timestamp_add(
+            "SECOND", F.col("id"),
+            F.lit("2026-01-01").cast("timestamp"),
+        ).alias("event_time"),
+        (F.col("id") % 37).alias("n_tok"),                # time_varying
+        (F.col("id") % 4 * 100).alias("region_code"),     # static per grp
+    )
+    got = {r["column"]: r["class"] for r in classify_columns(df).collect()}
+    assert got == {
+        "row_id": "identifier",
+        "source": "group_key",
+        "event_time": "time",
+        "n_tok": "time_varying",
+        "region_code": "static",
+    }
+    assert rollup_candidates(classify_columns(df)) == ["n_tok"]
