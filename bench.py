@@ -44,7 +44,7 @@ WORK = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 #: Sized so per-core compute dominates fixed job overheads — the regime
 #: where the N-vs-4N scaling measurement is meaningful.
 N_SOURCES = 8
-SEQS_PER_SOURCE = 600_000
+SEQS_PER_SOURCE = int(os.environ.get("BENCH_SEQS_PER_SOURCE", "600000"))
 HOT_FRAC = 0.3
 STEP_S = 60
 #: month-grain checkpoints: the synthetic span covers years of minutes,

@@ -67,7 +67,9 @@ def main() -> None:
         )
         spark.sparkContext.addPyFile("dist/gents_spark.zip")
     in_path = ensure_input(spark)
-    shm_in = WORK + "/input.parquet"
+    # cache keyed by input basename — a stale fixed-name copy would
+    # silently pin every run to the first input size ever used
+    shm_in = WORK + "/" + shutil.os.path.basename(in_path)
     if not shutil.os.path.exists(shm_in):
         shutil.copytree(in_path, shm_in)
     seqs = spark.read.parquet(shm_in)

@@ -49,11 +49,31 @@ ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 
-def run_once(master: str) -> dict:
+def run_once(master: str, cpus: str) -> dict:
+    """One pipe_experiment subprocess, CPU-pinned via taskset.
+
+    Pinning is what makes the cluster-size comparison honest on a single
+    machine: without it the 'N=2 cores' configuration freely spills its
+    GC/netty/shuffle threads and pandas-UDF Python worker PROCESSES onto
+    all 32 idle machine cores, inflating N throughput and deflating the
+    measured N->4N efficiency.  taskset confines the whole process tree
+    (JVMs + Python workers) to exactly the advertised cores.
+    """
+    env = dict(
+        os.environ,
+        # 2x the driver-bench input: fixed per-run costs (job scheduling,
+        # chunk commits, manifest appends — ~15s) must stay a small
+        # fraction of wall at BOTH sizes or the measurement reports
+        # Amdahl overhead, not engine scaling
+        BENCH_SEQS_PER_SOURCE=os.environ.get(
+            "SCALING_SEQS_PER_SOURCE", "1200000"
+        ),
+    )
     out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools", "pipe_experiment.py"),
+        ["taskset", "-c", cpus, sys.executable,
+         os.path.join(ROOT, "tools", "pipe_experiment.py"),
          master, str(REPS), *COMMON],
-        capture_output=True, text=True, check=True, cwd=ROOT,
+        capture_output=True, text=True, check=True, cwd=ROOT, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -79,9 +99,9 @@ def main() -> None:
     else:
         runs_n, runs_4 = [], []
         for rnd in range(ROUNDS):
-            runs_n.append(run_once(N_MASTER))
+            runs_n.append(run_once(N_MASTER, "0-1"))
             print(f"round {rnd} N : {runs_n[-1]['times']}", file=sys.stderr)
-            runs_4.append(run_once(N4_MASTER))
+            runs_4.append(run_once(N4_MASTER, "0-7"))
             print(f"round {rnd} 4N: {runs_4[-1]['times']}", file=sys.stderr)
         rn, r4 = merge(runs_n), merge(runs_4)
         json.dump(rn, open("/tmp/scaling_N.json", "w"))
@@ -94,12 +114,15 @@ def main() -> None:
     md = f"""# BENCH — scaling evidence (N vs 4N executors)
 
 Protocol: identical job + identical input at two CLUSTER sizes —
-`{N_MASTER}` (N: 1 executor JVM x 2 cores) vs `{N4_MASTER}`
-(4N: 4 executor JVMs x 2 cores).  Process-isolated executors (own heap,
-cross-process shuffle, engine shipped as dist/gents_spark.zip via
+`{N_MASTER}` (N: 1 executor JVM x 2 cores, process tree pinned to 2
+physical cores via taskset) vs `{N4_MASTER}` (4N: 4 executor JVMs x 2
+cores, pinned to 8 physical cores).  Process-isolated executors (own
+heap, cross-process shuffle, engine shipped as dist/gents_spark.zip via
 addPyFile — the spark-submit --py-files path), so the measurement has
 the execution shape of a real multi-executor cluster, per the round-1
-verdict's prescription.
+verdict's prescription.  CPU pinning matters: unpinned, the "2-core"
+run spills GC/netty threads and pandas-UDF Python worker processes onto
+all 32 idle machine cores, inflating N and deflating the efficiency.
 
 Noise protocol: the sandbox VM shows heavy intermittent host CPU steal
 (an identical tmpfs tier write varies 6s->55s).  All benchmark IO on
