@@ -34,7 +34,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: timed-pipeline repetitions; best-of-N reported.  Default 2: this VM's
 #: host shows heavy intermittent CPU steal (identical runs vary 3x), so
 #: a single timed run mostly measures the host's mood
-REPEATS = int(os.environ.get("BENCH_PIPELINE_REPEATS", "2"))
+REPEATS = int(os.environ.get("BENCH_PIPELINE_REPEATS", "3"))
 #: benchmark work area: tmpfs if available — tier outputs/shuffle files
 #: on the virtio disk pick up host IO stalls (measured: a 6s tier write
 #: intermittently takes 55s+), which is noise, not engine throughput
