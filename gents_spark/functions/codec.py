@@ -198,18 +198,19 @@ def encode_i64_batch(arrays: list) -> list[bytes]:
     lens = np.array([len(a) for a in arrs], dtype=np.int64)
 
     out: list = [None] * n_arr
-    # two batched regimes, split at the measured crossover: short arrays
-    # (<=64 elems) pack via per-array big-int folds (global numpy prep,
-    # ~18 shift-ors per array); long arrays pack via ONE global bit
-    # expansion + packbits for the whole batch (_encode_long_batch) —
-    # per-row numpy overhead would dominate at 10^3+ tokens
+    # the batched path wins ~10x on short arrays (global numpy prep +
+    # cheap big-int folds); beyond ~64 elements the scalar per-array
+    # numpy packer is faster — measured crossover, not a guess.  A
+    # global-bitpack long-array variant was built and measured slower:
+    # per-array scalar packing reuses same-size malloc buffers, while
+    # one whole-batch bit expansion allocates multi-MB fresh arrays,
+    # which this VM faults in at ~400ns/page (np.arange(7.2M) alone
+    # takes seconds); scalar encode at 2k tokens is 0.3ms/row and
+    # embarrassingly parallel across executor cores anyway
     big_idx = [i for i in range(n_arr) if 2 < lens[i] <= 64]
-    long_idx = [i for i in range(n_arr) if lens[i] > 64]
     for i in range(n_arr):
-        if lens[i] <= 2:
+        if lens[i] <= 2 or lens[i] > 64:
             out[i] = encode_i64(arrs[i])
-    if long_idx:
-        _encode_long_batch([arrs[i] for i in long_idx], out, long_idx)
     if not big_idx:
         return out
 
@@ -301,106 +302,6 @@ def encode_i64_batch(arrays: list) -> list[bytes]:
         padb = (-bits) % 8
         out[i] = head + (acc << padb).to_bytes((bits + padb) // 8, "big")
     return out
-
-
-def _encode_long_batch(arrs: list, out: list, idxs: list) -> None:
-    """Batch DoD-encode arrays LONGER than the big-int-fold crossover
-    (>64 elems — the realistic training-sequence shape) into ``out``.
-
-    Same single-pipeline idea as the short-array path (one concat, one
-    segment-aware dod, one bucket select) but the packing is one GLOBAL
-    bit expansion + np.packbits for the whole batch: per-array byte
-    alignment is achieved by appending a zero pad pseudo-code per array,
-    then slicing the packed buffer at per-array byte offsets.  Replaces
-    one numpy call-chain PER ROW with one per BATCH — the fixed numpy
-    overhead (~50-100us/row) dominated per-row encode at 10^3+ tokens.
-    Output is bit-identical to ``encode_i64``.
-
-    Segments are processed in bounded chunks so the transient bit buffer
-    stays ~tens of MB regardless of Arrow batch size.
-    """
-    # chunk by total dod count: bit expansion allocates ~41 bytes/dod
-    max_dods = 2_000_000
-    start = 0
-    while start < len(arrs):
-        stop = start
-        tot = 0
-        while stop < len(arrs) and (tot == 0 or tot <= max_dods):
-            tot += len(arrs[stop]) - 2
-            stop += 1
-        _encode_long_chunk(
-            arrs[start:stop], out, idxs[start:stop]
-        )
-        start = stop
-
-
-def _encode_long_chunk(arrs: list, out: list, idxs: list) -> None:
-    blens = np.array([len(a) for a in arrs], dtype=np.int64)
-    values = np.concatenate(arrs)
-    ends = np.cumsum(blens)
-    starts = ends - blens
-    n_dod = blens - 2
-    seg_id = np.repeat(np.arange(len(arrs)), n_dod)
-    dod_pos = (
-        np.arange(int(n_dod.sum()))
-        - np.repeat(np.cumsum(n_dod) - n_dod, n_dod)
-        + np.repeat(starts, n_dod)
-    )
-    dods = values[dod_pos + 2] - 2 * values[dod_pos + 1] + values[dod_pos]
-    zz = _zigzag(dods)
-
-    # raw/short fallbacks -> scalar (same rules as encode_i64)
-    bad = np.zeros(len(arrs), dtype=bool)
-    over = zz > _MAX_ZZ
-    if over.any():
-        bad[np.unique(seg_id[over])] = True
-    val_over = (values > _MAX_ABS) | (values < -_MAX_ABS)
-    if val_over.any():
-        val_seg = np.repeat(np.arange(len(arrs)), blens)
-        bad[np.unique(val_seg[val_over])] = True
-    if bad.any():
-        keep = [j for j in range(len(arrs)) if not bad[j]]
-        for j in range(len(arrs)):
-            if bad[j]:
-                out[idxs[j]] = encode_i64(arrs[j])
-        if not keep:
-            return
-        _encode_long_chunk(
-            [arrs[j] for j in keep], out, [idxs[j] for j in keep]
-        )
-        return
-
-    codes = np.zeros(len(zz), dtype=np.uint64)
-    clens = np.zeros(len(zz), dtype=np.int64)
-    assigned = np.zeros(len(zz), dtype=bool)
-    for pval, plen, pay in _DOD_BUCKETS:
-        fits = ~assigned & (
-            zz < (np.uint64(1) << np.uint64(pay)) if pay else (zz == 0)
-        )
-        codes[fits] = (np.uint64(pval) << np.uint64(pay)) | zz[fits]
-        clens[fits] = plen + pay
-        assigned |= fits
-
-    # per-array bit totals -> zero pad pseudo-code per array, then ONE
-    # global bit expansion + packbits; byte-slice per array
-    seg_starts_codes = np.cumsum(n_dod) - n_dod
-    seg_bits = np.add.reduceat(clens, seg_starts_codes)
-    pads = (-seg_bits) % 8
-    ins_pos = np.cumsum(n_dod)  # insert pad AFTER each segment's codes
-    codes_p = np.insert(codes, ins_pos, np.zeros(len(arrs), dtype=np.uint64))
-    lens_p = np.insert(clens, ins_pos, pads)
-    packed = np.frombuffer(_bitpack(codes_p, lens_p), dtype=np.uint8)
-
-    seg_bytes = ((seg_bits + pads) // 8).astype(np.int64)
-    byte_off = np.cumsum(seg_bytes) - seg_bytes
-    firsts = values[starts]
-    d0s = values[starts + 1] - values[starts]
-    for j, i in enumerate(idxs):
-        head = struct.pack(
-            "<BIqq", _MAGIC_PACKED, int(blens[j]), int(firsts[j]), int(d0s[j])
-        )
-        o = int(byte_off[j])
-        out[i] = head + packed[o : o + int(seg_bytes[j])].tobytes()
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
