@@ -92,6 +92,60 @@ def q_rollup_1d(spark, sf_dir):
     return _events_tiers(spark, sf_dir, "1d")
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each event attaches the latest SPARSE hourly tier row
+    at-or-before its timestamp (sparse right side so matches genuinely
+    cross bucket/day boundaries)."""
+    from gents_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("source"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("bucket_cnt"))
+        .filter(F.col("bucket_cnt") >= 8)  # sparse: force cross-bucket carry
+        .select(
+            "source",
+            "bucket_start",
+            F.col("bucket_start").alias("matched_bucket"),
+            "bucket_cnt",
+        )
+    )
+    return asof_join(
+        ev, hourly, key="source", left_ts="ts", right_ts="bucket_start",
+        right_cols=["matched_bucket", "bucket_cnt"],
+    ).select("event_id", "source", "ts", "value",
+             "matched_bucket", "bucket_cnt")
+
+
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted hourly average of event values (LOCF weighting)."""
+    from gents_spark.operators.counters import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("source"), "ts", "value"
+    )
+    return time_weighted_avg(ev, "1h", key="source")
+
+
+def q_counter_agg_1h(spark, sf_dir):
+    """Reset-aware counter aggregation of event values per hour."""
+    from gents_spark.operators.counters import counter_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("source"), "ts", "value"
+    )
+    return counter_agg(ev, "1h", key="source")
+
+
 def q_column_classes(spark, sf_dir):
     """F6 (gents/meta.py:14-67): data-driven column classification of the
     events table — which columns are time/key/identifier/measure."""
@@ -909,6 +963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1d": q_rollup_1d,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "column_classes": q_column_classes,
+    "asof_enrich": q_asof_enrich,
+    "twa_1h": q_twa_1h,
+    "counter_agg_1h": q_counter_agg_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "year_bounds": q_year_bounds,
@@ -952,6 +1009,61 @@ ORACLES: dict[str, str] = {
     "rollup_1h": _tier_sql("hour"),
     "rollup_1d": _tier_sql("day"),
     "column_classes": _CLASSIFY_SQL,
+    "asof_enrich": """
+        WITH hourly AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS matched_bucket,
+                   count(*) AS bucket_cnt
+            FROM events GROUP BY 1, 2 HAVING count(*) >= 8)
+        SELECT e.event_id, e.event_type AS source, e.ts,
+               round(e.value, 6) AS value,
+               h.matched_bucket, h.bucket_cnt
+        FROM events e
+        ASOF LEFT JOIN hourly h
+          ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    "twa_1h": """
+        WITH t AS (SELECT event_type AS source,
+                          date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                          epoch_us(ts) AS tsec, event_id AS id,
+                          value::DOUBLE AS v
+                   FROM events),
+        w AS (SELECT *, lead(tsec) OVER (PARTITION BY source, bucket_start
+                                         ORDER BY tsec, id) AS nxt
+              FROM t)
+        SELECT source, bucket_start,
+               bucket_start + INTERVAL 1 HOUR AS bucket_end,
+               round(sum(v * ((nxt - tsec)::DOUBLE))
+                     / sum((nxt - tsec)::DOUBLE), 6) AS twa,
+               count(*) AS n_points,
+               round(coalesce(sum((nxt - tsec)::DOUBLE), 0) / 1e6, 6)
+                   AS covered_s
+        FROM w GROUP BY 1, 2, 3
+    """,
+    "counter_agg_1h": """
+        WITH t AS (SELECT event_type AS source,
+                          date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                          epoch_us(ts) AS tsec, event_id AS id,
+                          value::DOUBLE AS v
+                   FROM events),
+        w AS (SELECT *,
+                     lag(v) OVER (PARTITION BY source, bucket_start
+                                  ORDER BY tsec, id) AS pv,
+                     row_number() OVER (PARTITION BY source, bucket_start
+                                        ORDER BY tsec, id) AS rna,
+                     row_number() OVER (PARTITION BY source, bucket_start
+                                        ORDER BY tsec DESC, id DESC) AS rnd
+              FROM t)
+        SELECT source, bucket_start,
+               round(sum(CASE WHEN pv IS NULL THEN 0
+                              WHEN v - pv >= 0 THEN v - pv
+                              ELSE v END), 6) AS increase,
+               sum(CASE WHEN pv IS NOT NULL AND v - pv < 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+               round(max(CASE WHEN rna = 1 THEN v END), 6) AS first_v,
+               round(max(CASE WHEN rnd = 1 THEN v END), 6) AS last_v
+        FROM w GROUP BY 1, 2
+    """,
     "gapfill_locf_1h": _GAPFILL_BASE_SQL
     + """
     SELECT source, bucket_start,

@@ -1,0 +1,112 @@
+"""As-of join + time-weighted average + counter aggregation semantics.
+
+(Engine-vs-DuckDB value equivalence is covered by the driver gate /
+tools/check_oracles.py; these pin hand-computed semantics.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gents_spark.operators.asof import asof_join
+from gents_spark.operators.counters import counter_agg, time_weighted_avg
+
+
+def _ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+def test_asof_join_carries_across_days(spark):
+    """Each left row takes the LATEST right row at-or-before it, including
+    ties (same ts) and matches carried across day-chunk boundaries; rows
+    before any right row stay null."""
+    left = spark.createDataFrame(
+        [
+            (1, "a", "2026-01-01 00:30:00"),
+            (2, "a", "2026-01-02 05:00:00"),  # right side silent on day 2
+            (3, "a", "2026-01-03 10:00:00"),  # after day-3 right row
+            (4, "a", "2026-01-01 00:00:00"),  # tie with right ts -> match
+            (5, "b", "2026-01-01 09:00:00"),  # b has no right rows -> null
+        ],
+        "event_id long, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 00:00:00", 10),
+            ("a", "2026-01-03 09:00:00", 30),
+        ],
+        "source string, bucket_start string, v int",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, key="source", left_ts="ts",
+            right_ts="bucket_start", right_cols=["v"],
+        ).collect()
+    }
+    assert out == {1: 10, 2: 10, 3: 30, 4: 10, 5: None}
+
+
+def test_twa_hand_computed(spark):
+    """Bucket with points (t=0s,v=10), (t=10s,v=20), (t=30s,v=0):
+    weights 10s and 20s -> twa = (10*10 + 20*20)/30 = 16.666667; the
+    last point carries no weight.  Single-point buckets yield NULL."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2026-01-01 00:00:00", 10.0),
+            (2, "a", "2026-01-01 00:00:10", 20.0),
+            (3, "a", "2026-01-01 00:00:30", 0.0),
+            (4, "b", "2026-01-01 00:00:05", 99.0),  # lone point
+        ],
+        "event_id long, source string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        r["source"]: r
+        for r in time_weighted_avg(ev, "1h", key="source").collect()
+    }
+    assert rows["a"]["twa"] == 16.666667
+    assert rows["a"]["covered_s"] == 30.0
+    assert rows["a"]["n_points"] == 3
+    assert rows["b"]["twa"] is None
+    assert rows["b"]["covered_s"] == 0.0
+
+
+def test_counter_agg_resets(spark):
+    """Counter 5 -> 8 -> 2 -> 6 in one bucket: increases 3 and 4, one
+    reset contributing the restarted value 2 -> increase = 9."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2026-01-01 00:00:00", 5.0),
+            (2, "a", "2026-01-01 00:10:00", 8.0),
+            (3, "a", "2026-01-01 00:20:00", 2.0),
+            (4, "a", "2026-01-01 00:30:00", 6.0),
+        ],
+        "event_id long, source string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = counter_agg(ev, "1h", key="source").collect()[0]
+    assert r["increase"] == 3.0 + 2.0 + 4.0
+    assert r["n_resets"] == 1
+    assert r["first_v"] == 5.0 and r["last_v"] == 6.0
+
+
+def test_asof_plan_no_range_explosion(spark):
+    """The as-of join must be the union-and-carry shape: no
+    CartesianProduct / BroadcastNestedLoopJoin (a naive l.ts >= r.ts
+    range join explodes O(|L| x |R|) per key)."""
+    left = spark.createDataFrame(
+        [(1, "a", "2026-01-01 00:00:00")],
+        "event_id long, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", 1)],
+        "source string, bucket_start string, v int",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    plan = (
+        asof_join(left, right, right_cols=["v"], left_ts="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
