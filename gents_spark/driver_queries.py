@@ -618,6 +618,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH duplicate pairs: pairs must
+    become transitive GROUPS before keep-one-representative dedup."""
+    from gents_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3)
+    return dup_clusters(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from gents_spark.operators.dedup import simhash
 
@@ -778,6 +787,30 @@ DEDUP_ORACLES: dict[str, str] = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """,
+    # recursive CTE needs the RECURSIVE keyword on the shared WITH
+    "dedup_clusters": _SIG_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+        , bands AS (
+            SELECT doc_id, 0 AS band, mh0||','||mh1||','||mh2 AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh3||','||mh4||','||mh5 FROM sig
+            UNION ALL
+            SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
+            UNION ALL
+            SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key
+                       AND a.doc_id < b.doc_id),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        -- transitive closure; cluster id = min reachable doc_id
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+        FROM reach GROUP BY 1
     """,
     "dedup_simhash": f"""
         WITH wds AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
@@ -991,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "token_count": q_token_count,
     "text_quality": q_text_quality,

@@ -233,3 +233,79 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             F.when(F.col("s") >= 0, F.expr("shiftleft(1, b)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs: (doc_id, cluster_id).
+
+    The dedup capstone — near-dup PAIRS must become GROUPS before a
+    keep-one-representative policy can apply (a~b, b~c => one cluster
+    {a,b,c} even if a!~c directly).  cluster_id = the minimum doc_id
+    reachable in the undirected pair graph.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in O(graph
+    diameter) rounds, each one equi-join + groupBy (shuffles on doc_id
+    only, never materializing paths).  This is the standard large-scale
+    connected-components shape (the reference analog is GenTS's group
+    assembly, hfcollection.py:145-190, which assumes key-equality
+    groups; near-dup grouping needs transitive closure).
+
+    Driver-side loop with a convergence check: iteration count is
+    bounded by the cluster diameter (tiny for dup clusters), NOT data
+    size; each iteration is fully distributed.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("b"),
+                        F.col("label").alias("nlabel"),
+                    ),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("nlabel").alias("min_neigh"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("min_neigh", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "doc_id", F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

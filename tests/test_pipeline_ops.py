@@ -300,3 +300,17 @@ def test_classify_columns_data_driven(spark):
         "region_code": "static",
     }
     assert rollup_candidates(classify_columns(df)) == ["n_tok"]
+
+
+def test_dup_clusters_transitive(spark):
+    """a~b, b~c, d~e: clusters {a,b,c} and {d,e} with min-id labels —
+    a CHAIN must collapse into one cluster even though its endpoints
+    never pair directly."""
+    from gents_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (9, 11), (4, 3)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {2: 2, 7: 2, 4: 2, 3: 2, 9: 9, 11: 9}
