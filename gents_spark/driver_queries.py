@@ -627,6 +627,20 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Keep-one-representative materialization over duplicate clusters —
+    the per-document keep/drop verdict a dedup pipeline filters on."""
+    from gents_spark.operators.dedup import (
+        dup_clusters,
+        keep_representatives,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dup_clusters(minhash_lsh_pairs(docs, n=3))
+    return keep_representatives(docs, clusters)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from gents_spark.operators.dedup import simhash
 
@@ -811,6 +825,32 @@ DEDUP_ORACLES: dict[str, str] = {
             SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
         FROM reach GROUP BY 1
+    """,
+    "dedup_keep": _SIG_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+        , bands AS (
+            SELECT doc_id, 0 AS band, mh0||','||mh1||','||mh2 AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh3||','||mh4||','||mh5 FROM sig
+            UNION ALL
+            SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
+            UNION ALL
+            SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key
+                       AND a.doc_id < b.doc_id),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        clus AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+                 FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+               (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep
+        FROM documents d LEFT JOIN clus c USING (doc_id)
     """,
     "dedup_simhash": f"""
         WITH wds AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
@@ -1025,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
     "token_count": q_token_count,
     "text_quality": q_text_quality,

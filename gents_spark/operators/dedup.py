@@ -309,3 +309,25 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+def keep_representatives(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Per-document keep/drop decision from duplicate clusters.
+
+    The final dedup step: every document keeps ``cluster_id`` (its own
+    id when unclustered) and ``keep`` — true for the cluster
+    representative (min doc_id) and for all unclustered docs.  A
+    training-data pipeline filters ``keep`` to materialize the deduped
+    corpus; one broadcast-size join against the cluster table (clusters
+    ~ #dup docs, tiny relative to the corpus).
+    """
+    c = clusters.select("doc_id", "cluster_id")
+    out = docs.select("doc_id").join(c, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )

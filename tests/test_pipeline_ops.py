@@ -314,3 +314,24 @@ def test_dup_clusters_transitive(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert out == {2: 2, 7: 2, 4: 2, 3: 2, 9: 9, 11: 9}
+
+
+def test_keep_representatives(spark):
+    """Every cluster keeps exactly its min-id member; unclustered docs
+    all keep; drop count == clustered docs minus clusters."""
+    from gents_spark.operators.dedup import dup_clusters, keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (8, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in keep_representatives(docs, dup_clusters(pairs)).collect()
+    }
+    assert out[2] == (2, True) and out[7] == (2, False) and out[4] == (2, False)
+    assert out[8] == (8, True) and out[9] == (8, False)
+    for i in (0, 1, 3, 5, 6):
+        assert out[i] == (i, True)
