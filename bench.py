@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "token_count",
     "ann_cosine_topk",
+    "asof_enrich",
+    "twa_1h",
 ]
 
 
