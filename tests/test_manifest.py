@@ -92,3 +92,47 @@ def test_audit_layout_one_file_per_chunk(spark, seqs, tmp_path):
     assert rows and all(r["tier"] == "1d" for r in rows)
     assert conformance_violations(audit, max_files_per_chunk=4).count() == 0
     assert all(r["total_bytes"] > 0 for r in rows)
+
+
+def test_resume_with_sketch_and_quarantine(spark, tmp_path):
+    """The round-2 pipeline features compose: sketch percentiles + modal
+    quarantine + kill/resume. A killed run resumes to exactly the chunks
+    a never-killed run writes, with the quarantine table intact."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.pipeline import TierPipeline
+    from gents_spark.synth import synth_sequences
+
+    seqs = synth_sequences(spark, 2, 400).withColumn(
+        "doc_id",
+        F.when(
+            F.xxhash64("doc_id") % 20 == 0,
+            F.concat(F.col("doc_id"), F.lit("#1")),
+        ).otherwise(F.col("doc_id")),
+    )
+    kw = dict(
+        step_s=3600, tiers=["1m"], gapfill_mode=None,
+        percentile_mode="sketch", modal_quarantine=True,
+    )
+    ref_dir = str(tmp_path / "ref")
+    ref = TierPipeline(spark, **kw).run(seqs, ref_dir, run_id="ref")
+
+    out = str(tmp_path / "killed")
+    try:
+        TierPipeline(spark, **kw).run(
+            seqs, out, run_id="k1", fail_after_chunks=2
+        )
+        raise AssertionError("injected failure did not fire")
+    except RuntimeError:
+        pass
+    m2 = TierPipeline(spark, **kw).run(seqs, out, resume=True, run_id="k2")
+    assert m2["tiers"]["1m"]["skipped"] >= 2  # the pre-kill chunks
+    t_ref = spark.read.parquet(ref_dir + "/tiers/tier=1m")
+    t_res = spark.read.parquet(out + "/tiers/tier=1m")
+    cols = ["source", "bucket_start", "cnt", "sum_tok", "min_tok", "max_tok"]
+    assert sorted(map(tuple, t_ref.select(cols).collect())) == sorted(
+        map(tuple, t_res.select(cols).collect())
+    )
+    assert m2["quarantined_rows"] == ref["quarantined_rows"] > 0
+    q = spark.read.parquet(out + "/quarantine")
+    assert q.count() == ref["quarantined_rows"]
