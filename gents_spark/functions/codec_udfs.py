@@ -59,6 +59,7 @@ def attach_payload(
     coarser_tier: str,
     value_col: str = "sum_tok",
     ts_col: str = "bucket_start",
+    gchunk_col: str | None = None,
 ) -> DataFrame:
     """Per (source, coarser bucket): encode the ordered finer value
     stream as a DoD payload — the tier row's ``payload`` column
@@ -73,10 +74,19 @@ def attach_payload(
     distributed (no driver collect), then the codec sees a clean int64
     array per group.  Group size is time-bounded (finer buckets per
     coarser bucket), so collect_list cannot blow memory.
+
+    ``gchunk_col``: existing day-grain column on ``finer``; when given it
+    joins the grouping keys and the output, so an input hash-partitioned
+    on ``(source, gchunk_col)`` aggregates with zero exchange and the
+    caller's payload join on ``(source, gchunk_col, bucket_start)`` stays
+    co-located (see operators.rollup.rollup for the clustering rule).
     """
     unit = TIER_UNITS[coarser_tier]
+    keys = ["source"]
+    if gchunk_col:
+        keys.append(gchunk_col)
     grouped = finer.groupBy(
-        "source", bucket_col(ts_col, coarser_tier).alias("bucket_start")
+        *keys, bucket_col(ts_col, coarser_tier).alias("bucket_start")
     ).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct(ts_col, value_col))),
@@ -84,7 +94,7 @@ def attach_payload(
         ).alias("_stream")
     )
     return grouped.select(
-        "source",
+        *keys,
         "bucket_start",
         F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")).alias(
             "bucket_end"

@@ -63,6 +63,7 @@ def gapfill(
     tier: str,
     mode: str = "locf",
     fill_cols: list[str] | None = None,
+    gchunk_col: str | None = None,
 ) -> DataFrame:
     """Fill missing buckets; adds ``filled`` boolean.
 
@@ -71,6 +72,13 @@ def gapfill(
     buckets (falls back to LOCF at the trailing edge; leading-edge rows
     before the first observation stay null in both modes only if the
     spine starts before data — it does not, spine is min..max).
+
+    ``gchunk_col``: an existing day-grain column to use as the window
+    chunk instead of recomputing ``date_trunc('day', bucket_start)``.
+    Same values, but reusing the ATTRIBUTE lets Catalyst see that an
+    input already hash-partitioned on ``(source, gchunk_col)`` satisfies
+    the window's clustering — the lead/gap-generation window then needs
+    only a sort, no exchange.  The column is consumed, not emitted.
     """
     if mode not in ("locf", "linear"):
         raise ValueError(f"unknown gapfill mode: {mode}")
@@ -78,21 +86,33 @@ def gapfill(
     unit = TIER_UNITS[tier]
     step = TIER_SECONDS[tier]
 
-    keep_cols = [c for c in tiers.columns if c not in ("tier", "bucket_end")]
+    keep_cols = [
+        c for c in tiers.columns if c not in ("tier", "bucket_end", gchunk_col)
+    ]
+    gchunk = (
+        F.col(gchunk_col)
+        if gchunk_col
+        else F.date_trunc("day", F.col("bucket_start"))
+    )
     t = (
-        tiers.select(*keep_cols)
-        .withColumn("_gchunk", F.date_trunc("day", F.col("bucket_start")))
+        tiers.select(*keep_cols, gchunk.alias("_gchunk"))
         .withColumn("_idx", F.unix_timestamp("bucket_start"))
     )
     w = Window.partitionBy("source", "_gchunk").orderBy("bucket_start")
     t = t.withColumn("_nidx", F.lead("_idx").over(w))
-    for c in fill_cols:
-        t = t.withColumn(f"_n_{c}", F.lead(c).over(w))
+    if mode == "linear":
+        # LOCF generates gap rows from the anchor's own values; the
+        # next-row value columns are only read by the linear branch
+        for c in fill_cols:
+            t = t.withColumn(f"_n_{c}", F.lead(c).over(w))
 
-    # chunk-boundary carry: first known row of the FOLLOWING days
+    # chunk-boundary carry: first known row of the FOLLOWING days.
+    # LOCF only needs the next known INDEX (to bound gap_n); the next
+    # known VALUES are read only by the linear interpolation.
+    carry_vals = fill_cols if mode == "linear" else []
     summ = t.groupBy("source", "_gchunk").agg(
         F.min("_idx").alias("_fidx"),
-        *[F.min_by(c, "_idx").alias(f"_f_{c}") for c in fill_cols],
+        *[F.min_by(c, "_idx").alias(f"_f_{c}") for c in carry_vals],
     )
     w_next = (
         Window.partitionBy("source")
@@ -105,7 +125,7 @@ def gapfill(
         F.first("_fidx").over(w_next).alias("_cidx"),
         *[
             F.first(f"_f_{c}").over(w_next).alias(f"_c_{c}")
-            for c in fill_cols
+            for c in carry_vals
         ],
     )
     t = t.join(F.broadcast(carry), ["source", "_gchunk"], "left")

@@ -107,12 +107,24 @@ def rollup(
     percentile_mode: str = "exact",
     sketch_accuracy: int = SKETCH_ACCURACY,
     hot_bucket_limit: int = HOT_BUCKET_LIMIT,
+    gchunk_col: str | None = None,
 ) -> DataFrame:
     """One continuous-aggregate tier from raw rows.
 
     Output schema (SURVEY.md §1.3 tier model):
     (source, tier, bucket_start, bucket_end, cnt, sum_tok, min_tok,
      max_tok, p50_tok, p95_tok, p99_tok)
+
+    ``gchunk_col``: name of an EXISTING day-grain column on ``df``
+    (functionally dependent on the bucket — e.g.
+    ``date_trunc('day', ts)``).  When given it joins the groupBy keys and
+    the output.  Semantically a no-op (same groups, same stats); the
+    point is the physical plan: if ``df`` is hash-partitioned on
+    ``(source, gchunk_col)``, the grouping keys are a SUPERSET of the
+    partitioning keys, so Catalyst's clustering rule is satisfied and
+    the aggregation runs with ZERO exchange — and downstream windows /
+    joins keyed on the same attribute stay exchange-free too (the
+    one-big-shuffle pipeline, see pipeline.TierPipeline.run).
 
     ``percentile_mode``:
 
@@ -158,11 +170,12 @@ def rollup(
                     F.lit(sketch_accuracy),
                 ).alias("_qs")
             )
+    group_keys = [F.col(source_col).alias("source")]
+    if gchunk_col:
+        group_keys.append(F.col(gchunk_col))
+    group_keys.append(bucket_col(ts_col, tier).alias("bucket_start"))
     out = (
-        df.groupBy(
-            F.col(source_col).alias("source"),
-            bucket_col(ts_col, tier).alias("bucket_start"),
-        )
+        df.groupBy(*group_keys)
         .agg(*aggs)
         .withColumn("tier", F.lit(tier))
         .withColumn(
@@ -182,6 +195,8 @@ def rollup(
             "min_tok", "max_tok"]
     if with_percentiles:
         cols += _PCT_NAMES
+    if gchunk_col:
+        cols.append(gchunk_col)
     return out.select(*cols)
 
 

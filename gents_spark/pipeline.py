@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gents_spark.operators.gapfill import gapfill
 from gents_spark.operators.rollup import TIER_ORDER, rollup
 from gents_spark.operators.skew import hot_sources, salted_rollup
-from gents_spark.plans.manifest import read_tier, write_tier_chunks
+from gents_spark.plans.manifest import write_tiers_combined
 from gents_spark.timeparse import (
     split_modal_fingerprint,
     split_valid,
@@ -142,7 +142,32 @@ class TierPipeline:
         fail_after_chunks: int | None = None,
         command: str | None = None,
     ) -> dict:
-        """Full raw->1m->1h->1d build with per-tier checkpointing.
+        """Full raw->1m->1h->1d build, checkpointed at (tier, chunk) grain.
+
+        Physical shape (the round-2 scaling finding — BENCH/BASELINE.md —
+        was that ~25 serial Spark jobs per run, not job SHAPE, capped the
+        N->4N efficiency at 0.62):
+
+        - raw is shuffled ONCE, hash-partitioned on ``(source, _gchunk)``
+          where ``_gchunk = date_trunc('day', event_time)`` — the one big
+          exchange of the whole build;
+        - every tier aggregation groups by ``(source, _gchunk, bucket)``,
+          every gap-fill window partitions by ``(source, _gchunk)``, and
+          every payload join keys on ``(source, _gchunk, bucket_start)``
+          — all supersets of the partitioning keys, so Catalyst's
+          clustering rule makes them ZERO-exchange (sorts only);
+        - payloads compose from the in-memory finer-tier base (persisted)
+          instead of a parquet read-back of the written tier — same rows
+          (the written tier minus its gap-filled rows IS the base);
+        - all tiers are written in ONE dynamic-partition-overwrite job
+          (``write_tiers_combined``) + one stats job + one driver-side
+          manifest append.
+
+        Remaining exchanges: the raw repartition, the final write's
+        (tier, chunk, source) repartition, and per-gapfill day-summary
+        carries (tiny, |sources x days| rows).  Skew note: the day-grain
+        co-partition spreads a hot source over its days; a pathological
+        single (source, day) hotspot is what ``use_salting`` remains for.
 
         Returns metrics: per-tier written/skipped chunk counts + row counts.
         """
@@ -150,7 +175,18 @@ class TierPipeline:
         tiers_dir = os.path.join(out_dir, "tiers")
         manifest_dir = os.path.join(out_dir, "manifest")
         raw, bad = self.prepare(sequences)
-        raw = raw.persist()
+        n_shuffle = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        # explicit partition count: AQE would otherwise coalesce this
+        # exchange to the advisory size, capping every downstream tier
+        # agg / window at a handful of tasks
+        raw = (
+            raw.withColumn("_gchunk", F.date_trunc("day", F.col("event_time")))
+            .repartition(n_shuffle, "source", "_gchunk")
+            .persist()
+        )
+        bases: list[DataFrame] = []
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
             if self.validate or self.modal_quarantine:
@@ -191,71 +227,99 @@ class TierPipeline:
                         "seconds": 0.0,
                     }
                 return metrics
-            prev_tier_name: str | None = None
+            finals: dict[str, DataFrame] = {}
+            prev_base: tuple[DataFrame, str | None] | None = None
             for tier in self.tiers:
                 if hot:
+                    # salted path: legacy join shape (extreme single-key
+                    # skew defense); not gchunk-aligned
+                    gck = None
                     additive = salted_rollup(raw, tier, n_salt=self.n_salt)
                     pct = rollup(
                         raw, tier, percentile_mode=self.percentile_mode
                     ).select(
                         "source", "bucket_start", "p50_tok", "p95_tok", "p99_tok"
                     )
-                    tier_df = additive.join(pct, ["source", "bucket_start"])
+                    base = additive.join(pct, ["source", "bucket_start"])
                 else:
-                    tier_df = rollup(
-                        raw, tier, percentile_mode=self.percentile_mode
+                    gck = "_gchunk"
+                    base = rollup(
+                        raw, tier, percentile_mode=self.percentile_mode,
+                        gchunk_col=gck,
                     )
+                tier_df = base
                 if self.payloads and (
-                    prev_tier_name is not None or self.payloads == "all"
+                    prev_base is not None or self.payloads == "all"
                 ):
                     # Gorilla/DoD payload: the finer value stream encoded
                     # per coarser bucket — raw n_tok stream for the finest
                     # tier (payloads='all' only: one pandas-UDF row per
-                    # bucket is wasteful at minute grain), the previously
-                    # WRITTEN tier's sum_tok stream above it.  Reading the
-                    # finer tier back from disk keeps each tier's job DAG
-                    # flat (composing from the in-memory lineage would
-                    # re-run every finer tier's full pipeline inside this
-                    # tier's plan).
+                    # bucket is wasteful at minute grain), the finer
+                    # tier's sum_tok stream above it.  The finer BASE
+                    # (pre-gap-fill aggregate, persisted) holds exactly
+                    # the written tier's non-filled rows, so composing
+                    # from it equals the old parquet read-back — without
+                    # the write barrier between tiers.
                     from gents_spark.functions.codec_udfs import attach_payload
 
-                    if prev_tier_name is None:
+                    if prev_base is None:
                         pay = attach_payload(
-                            raw, tier, value_col="n_tok", ts_col="event_time"
+                            raw, tier, value_col="n_tok", ts_col="event_time",
+                            gchunk_col=gck,
                         )
+                        pay_gck = gck
                     else:
-                        finer = read_tier(self.spark, tiers_dir, prev_tier_name)
-                        if "filled" in finer.columns:
-                            finer = finer.filter(~F.col("filled"))
-                        pay = attach_payload(finer, tier)
+                        finer_df, pay_gck = prev_base
+                        pay = attach_payload(
+                            finer_df, tier, gchunk_col=pay_gck
+                        )
+                    join_keys = ["source", "bucket_start"]
+                    if gck and pay_gck:
+                        join_keys = ["source", gck, "bucket_start"]
                     tier_df = tier_df.join(
-                        pay.select("source", "bucket_start", "payload"),
-                        ["source", "bucket_start"],
-                        "left",
+                        pay.select(*join_keys, "payload"), join_keys, "left"
                     )
                 if self.gapfill_mode:
-                    tier_df = gapfill(tier_df, tier, mode=self.gapfill_mode)
+                    tier_df = gapfill(
+                        tier_df, tier, mode=self.gapfill_mode, gchunk_col=gck
+                    )
                 else:
                     tier_df = tier_df.withColumn("filled", F.lit(False))
-                t0 = time.time()
-                m = write_tier_chunks(
-                    self.spark,
-                    tier_df,
-                    tier,
-                    tiers_dir,
-                    manifest_dir,
-                    run_id,
-                    resume=resume,
-                    fail_after_chunks=fail_after_chunks,
-                    chunk_grain=self.chunk_grain,
-                    planned_chunks=planned_chunks,
-                    command=command,
-                    compression=self.compression,
-                )
-                m["rows"] = m["rows_written"]
-                m["seconds"] = round(time.time() - t0, 3)
-                metrics["tiers"][tier] = m
-                prev_tier_name = tier
+                    if gck:
+                        tier_df = tier_df.drop(gck)
+                finals[tier] = tier_df
+                if self.payloads and tier != self.tiers[-1]:
+                    # the next tier's payload stage reads this base twice
+                    # (its own gap-fill + the payload agg) — persist so
+                    # the single write job computes it once
+                    base = base.persist()
+                    bases.append(base)
+                prev_base = (base, gck)
+            t0 = time.time()
+            m = write_tiers_combined(
+                self.spark,
+                finals,
+                tiers_dir,
+                manifest_dir,
+                run_id,
+                resume=resume,
+                fail_after_chunks=fail_after_chunks,
+                chunk_grain=self.chunk_grain,
+                planned_chunks=planned_chunks,
+                command=command,
+                compression=self.compression,
+            )
+            phases = m.pop("phases", {})
+            phases["total"] = round(time.time() - t0, 3)
+            metrics["phases"] = phases
+            for tier in self.tiers:
+                mt = m[tier]
+                mt["rows"] = mt["rows_written"]
+                # tiers share one write job; per-tier wall isn't separable
+                mt["seconds"] = 0.0
+                metrics["tiers"][tier] = mt
             return metrics
         finally:
             raw.unpersist()
+            for b in bases:
+                b.unpersist()

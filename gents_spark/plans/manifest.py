@@ -182,7 +182,6 @@ def write_tier_chunks(
 
         inject = fail_after_chunks is not None and fail_after_chunks < len(todo)
         write_now = todo[:fail_after_chunks] if inject else todo
-        out_dir = os.path.join(tiers_dir, f"tier={tier}")
 
         rows_written = 0
         if write_now:
@@ -197,13 +196,16 @@ def write_tier_chunks(
             # (chunk, source) key spreads a chunk over its sources while
             # keeping files-per-chunk bounded by the source count, the
             # same granularity the tier agg itself shuffles on.
+            # partitionBy(tier, chunk): identical tier=X/chunk=Y layout
+            # as write_tiers_combined (tier path-encoded, read back via
+            # read_tier's basePath).
             (
                 part.repartition(F.col("chunk"), F.col("source"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("compression", compression)
-                .partitionBy("chunk")
-                .parquet(out_dir)
+                .partitionBy("tier", "chunk")
+                .parquet(tiers_dir)
             )
             phases["write"] = round(time.time() - t0, 2)
             now = time.time()
@@ -241,5 +243,150 @@ def write_tier_chunks(
         tier_df.unpersist()
 
 
+def completed_tier_chunks(
+    spark: SparkSession, manifest_dir: str
+) -> set[tuple[str, str]]:
+    """All (tier, chunk) units with a done manifest row — ONE read for a
+    whole multi-tier resume instead of one job per tier."""
+    m = read_manifest(spark, manifest_dir)
+    return {
+        (r["tier"], r["chunk"])
+        for r in m.filter(F.col("status") == DONE)
+        .select("tier", "chunk")
+        .distinct()
+        .collect()
+    }
+
+
+def write_tiers_combined(
+    spark: SparkSession,
+    finals: dict[str, DataFrame],
+    tiers_dir: str,
+    manifest_dir: str,
+    run_id: str,
+    resume: bool = True,
+    fail_after_chunks: int | None = None,
+    chunk_grain: str = "day",
+    planned_chunks: list[str] | None = None,
+    command: str | None = None,
+    compression: str = "snappy",
+) -> dict:
+    """ALL tiers in one write job + one stats job + one manifest append.
+
+    The per-tier ``write_tier_chunks`` loop costs 3 serial Spark jobs per
+    tier (manifest read, stats collect, write) plus a parquet read-back
+    barrier between tiers; at two-cluster-size scaling that serial job
+    count is pure Amdahl overhead (round-2 BENCH/BASELINE.md analysis).
+    Here the tiers are unioned (each already carries its ``tier``
+    column) and written once with ``partitionBy(tier, chunk)`` — the
+    same ``tier=X/chunk=Y`` physical layout, one dynamic-partition
+    commit.  Per-chunk lineage stats then come from ONE aggregation over
+    the same (persisted) union.  On Iceberg both become a single
+    transaction: REPLACE of the touched partitions + one metadata
+    commit.
+
+    ``fail_after_chunks`` counts (tier, chunk) units in (tier-order,
+    chunk) order — the kill/resume injection point, as before.
+    Returns {tier: {written, skipped, rows_written}, phases: {...}}.
+    """
+    tier_order = list(finals)
+    done: set[tuple[str, str]] = set()
+    if resume:
+        done = completed_tier_chunks(spark, manifest_dir)
+    assert planned_chunks is not None
+    planned = sorted(planned_chunks)
+    units = [
+        (t, c) for t in tier_order for c in planned if (t, c) not in done
+    ]
+    skipped = {
+        t: sum(1 for c in planned if (t, c) in done) for t in tier_order
+    }
+    metrics = {
+        t: {"written": 0, "skipped": skipped[t], "rows_written": 0}
+        for t in tier_order
+    }
+    phases: dict[str, float] = {}
+    if not units:
+        metrics["phases"] = phases
+        return metrics
+
+    inject = fail_after_chunks is not None and fail_after_chunks < len(units)
+    write_units = units[:fail_after_chunks] if inject else units
+    if not write_units:
+        raise RuntimeError("injected failure after 0 chunks")
+    chunks_by_tier = {
+        t: [c for tt, c in write_units if tt == t] for t in tier_order
+    }
+
+    parts = []
+    for t in tier_order:
+        todo = chunks_by_tier[t]
+        if not todo:
+            continue
+        df = finals[t].withColumn("chunk", chunk_col(grain=chunk_grain))
+        parts.append(df.filter(F.col("chunk").isin(todo)))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p, allowMissingColumns=True)
+    union = union.persist()
+    try:
+        t0 = time.time()
+        # (tier, chunk, source) repartition: writer parallelism spreads a
+        # chunk over its sources while keeping files-per-partition-dir
+        # bounded by the source count (round-1 VERDICT #5)
+        (
+            union.repartition(F.col("tier"), F.col("chunk"), F.col("source"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("tier", "chunk")
+            .parquet(tiers_dir)
+        )
+        phases["write"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        stats = {
+            (s["tier"], s["chunk"]): s
+            for s in union.groupBy("tier", "chunk")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cnt").alias("sc"),
+                F.sum("sum_tok").alias("st"),
+            )
+            .collect()
+        }
+        phases["stats"] = round(time.time() - t0, 2)
+    finally:
+        union.unpersist()
+
+    now = time.time()
+    from gents_spark import __version__
+
+    rows = []
+    for t, c in write_units:
+        s = stats.get((t, c))
+        if s is None:
+            # planned chunk with no tier rows: committed as done, n=0
+            rows.append((run_id, t, c, DONE, 0, 0, 0, now, command, __version__))
+        else:
+            rows.append(
+                (run_id, t, c, DONE, s["n"], s["sc"], s["st"], now,
+                 command, __version__)
+            )
+            metrics[t]["rows_written"] += s["n"]
+        metrics[t]["written"] += 1
+    _append_manifest_rows(manifest_dir, rows)
+    if inject:
+        raise RuntimeError(f"injected failure after {len(write_units)} chunks")
+    metrics["phases"] = phases
+    return metrics
+
+
 def read_tier(spark: SparkSession, tiers_dir: str, tier: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(tiers_dir, f"tier={tier}"))
+    # basePath: the combined writer path-encodes ``tier`` (partitionBy);
+    # anchoring discovery at tiers_dir surfaces it as a column again, so
+    # readers see the same schema the per-tier writer produced
+    return (
+        spark.read.option("basePath", tiers_dir)
+        .parquet(os.path.join(tiers_dir, f"tier={tier}"))
+    )

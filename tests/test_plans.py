@@ -52,3 +52,58 @@ def test_small_dim_join_broadcasts(spark):
 def test_anti_join_stays_a_join(spark):
     p = _plan(spark, "customers_no_orders")
     assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
+def test_copartitioned_tier_build_has_no_data_exchange(spark):
+    """The one-big-shuffle pipeline shape: with raw hash-partitioned on
+    (source, _gchunk), the tier aggregation AND the gap-fill lead window
+    must need no further exchange — only the tiny day-summary carry
+    (hash(source) over |sources x days| rows) and its broadcast remain.
+    This is the round-2 scaling fix; a regression here silently
+    reintroduces two full shuffles of tier rows per tier."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.gapfill import gapfill
+    from gents_spark.operators.rollup import rollup
+    from gents_spark.synth import synth_sequences
+    from gents_spark.timeparse import with_event_time
+
+    seqs = synth_sequences(spark, 2, 500)
+    raw = (
+        with_event_time(seqs, step_s=3600)
+        .select("source", "event_time", "n_tok")
+        .withColumn("_gchunk", F.date_trunc("day", F.col("event_time")))
+        .repartition(8, "source", "_gchunk")
+        .persist()
+    )
+    raw.count()  # materialize: plan shows InMemoryRelation, as in run()
+    final = gapfill(
+        rollup(raw, "1m", gchunk_col="_gchunk"), "1m", mode="locf",
+        gchunk_col="_gchunk",
+    )
+    p = final._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # operator inventory from the formatted plan's detail section
+    ops = [
+        line.split(") ", 1)[1].split(" [")[0].strip()
+        for line in p.splitlines()
+        if line.startswith("(") and ") " in line
+    ]
+    # the lead window must sit directly on the tier aggregation with no
+    # Exchange between them (both reuse the cached raw's partitioning);
+    # scan the ops between the first Window and its nearest upstream
+    # aggregate
+    w = ops.index("Window")
+    agg = max(
+        i for i, o in enumerate(ops[:w]) if o.endswith("HashAggregate")
+    )
+    between = ops[agg:w]
+    assert not any(o.startswith("Exchange") for o in between), ops
+    # total real shuffles: the raw repartition (inside the cached
+    # InMemoryRelation printout) + exactly one tiny carry exchange
+    exchanges = [o for o in ops if o == "Exchange"]
+    assert len(exchanges) <= 3, f"unexpected exchanges: {ops}"
+    raw.unpersist()

@@ -49,6 +49,14 @@ def main() -> None:
         )
     if master.startswith("local-cluster"):
         conf["spark.executor.memory"] = opts.get("execmem", "10g")
+        # executor JVMs size GC threads from the CPU AFFINITY mask (the
+        # whole pinned core set), not their 2-core slice — at 4N that is
+        # 4 JVMs each running 8 GC threads on 8 shared cores.  Pin GC to
+        # the per-executor core count so both cluster sizes pay the same
+        # per-core GC cost.
+        conf["spark.executor.extraJavaOptions"] = (
+            "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1"
+        )
     spark = get_spark(
         master=master,
         app_name="pipe-experiment",
@@ -89,10 +97,12 @@ def main() -> None:
         m = pipe.run(seqs, WORK + "/pexp_out", resume=False, run_id=f"e{rep}")
         times.append(round(time.time() - t0, 2))
         points = sum(x["rows"] for x in m["tiers"].values())
-        details.append({
+        det = {
             t: {"s": x["seconds"], **x.get("phases", {})}
             for t, x in m["tiers"].items()
-        })
+        }
+        det["phases"] = m.get("phases", {})  # combined-write timings
+        details.append(det)
     best = min(times)
     result = {
         "master": master, "shuffle": shuffle, "opts": opts,
