@@ -31,7 +31,7 @@ from gents_spark.synth import synth_sequences  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-#: timed-pipeline repetitions; best-of-N reported.  Default 2: this VM's
+#: timed-pipeline repetitions; best-of-N reported.  Default 3: this VM's
 #: host shows heavy intermittent CPU steal (identical runs vary 3x), so
 #: a single timed run mostly measures the host's mood
 REPEATS = int(os.environ.get("BENCH_PIPELINE_REPEATS", "3"))
@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "asof_enrich",
     "twa_1h",
+    "sketch_merge_1h",
+    "multimodal_decode",
 ]
 
 
@@ -116,11 +118,16 @@ def main() -> None:
     n_seqs = seqs.count()
 
     # untimed warm-up: JVM/codegen/Arrow paths (first-run overhead would
-    # otherwise dominate and mask the parallelism signal)
+    # otherwise dominate and mask the parallelism signal).  Deterministic
+    # hash sample, not limit() — a LIMIT re-evaluates differently between
+    # the chunk-planning job and the write job
+    import pyspark.sql.functions as F
+
     warm_dir = f"{WORK}/gents_bench_warm_{CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
+    warm = seqs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(512)) == 0)
     TierPipeline(spark, step_s=STEP_S, gapfill_mode="locf", validate=False, chunk_grain=CHUNK_GRAIN).run(
-        seqs.limit(20_000), warm_dir, resume=False, run_id="warm"
+        warm, warm_dir, resume=False, run_id="warm"
     )
 
     # validate=False: the synthetic input is validated at generation; the

@@ -75,6 +75,15 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                    help="per source, quarantine rows whose structural "
                         "fingerprint differs from the strict-majority one "
                         "(GenTS filter_by_variables)")
+    p.add_argument("--store-sketches", action="store_true",
+                   help="store a mergeable value-histogram sketch column "
+                        "on every tier row: coarser-tier percentiles stay "
+                        "recomputable after retention expires raw data")
+    p.add_argument("--reconcile", action="store_true",
+                   help="late-data reconciliation: compare the current "
+                        "source against each committed chunk's manifest "
+                        "fingerprint, invalidate changed chunks, then "
+                        "rebuild them (implies --resume)")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -115,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         compression="uncompressed" if compression == "none" else compression,
         percentile_mode=args.percentiles,
         modal_quarantine=args.modal_quarantine,
+        store_sketches=args.store_sketches,
     )
     if args.verbose:
         print(json.dumps({
@@ -145,11 +155,17 @@ def main(argv: list[str] | None = None) -> int:
     # provenance: the full launching command rides into every manifest row
     # (GenTS `gents_command`, cli.py:197, timeseries.py:900-913)
     command = "gents-spark " + " ".join(argv if argv is not None else sys.argv[1:])
+    out: dict = {}
+    if args.reconcile:
+        out["reconcile"] = pipe.reconcile(
+            seqs, args.output, run_id=run_id, command=command
+        )
+    resume = (args.resume or args.reconcile) and not args.overwrite
     metrics = pipe.run(
-        seqs, args.output, resume=args.resume and not args.overwrite,
-        run_id=run_id, command=command,
+        seqs, args.output, resume=resume, run_id=run_id, command=command,
     )
-    print(json.dumps(metrics))
+    out.update(metrics)
+    print(json.dumps(out))
     return 0
 
 

@@ -200,6 +200,37 @@ def q_rollup_1h_sketch(spark, sf_dir):
     return rollup(ev, "1h", percentile_mode="sketch")
 
 
+def q_sketch_merge_1h(spark, sf_dir):
+    """Persisted-sketch percentile path (SURVEY.md §7.3 retention
+    interaction): per-1m value-histogram sketches (operators/sketches.py)
+    MERGED up to 1h, percentiles recomputed from the merged sketch state
+    alone — raw data untouched, so the same derivation works after
+    retention expires it.  Integer measures keep the histogram exact,
+    hence a full value-hash oracle (plain exact 1h percentiles)."""
+    from gents_spark.operators.sketches import (
+        histogram_percentiles,
+        merge_histograms,
+        value_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("n_tok"),
+    )
+    h1m = value_histogram(ev, "1m", scale=1)
+    h1h = merge_histograms(h1m, "1h")
+    out = histogram_percentiles(h1h, scale=1)
+    return out.select(
+        "source",
+        "bucket_start",
+        "cnt",
+        F.round("p50_tok", 6).alias("p50_tok"),
+        F.round("p95_tok", 6).alias("p95_tok"),
+        F.round("p99_tok", 6).alias("p99_tok"),
+    )
+
+
 def _agg_1h(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -615,7 +646,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     from gents_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3)
+    # max_band_df: band-bucket frequency cap — degenerate corpora with
+    # many identical signatures stay linear, never C(k,2) in one bucket
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, max_band_df=50
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -623,7 +658,9 @@ def q_dedup_clusters(spark, sf_dir):
     become transitive GROUPS before keep-one-representative dedup."""
     from gents_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3)
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, max_band_df=50
+    )
     return dup_clusters(pairs)
 
 
@@ -637,7 +674,7 @@ def q_dedup_keep(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    clusters = dup_clusters(minhash_lsh_pairs(docs, n=3))
+    clusters = dup_clusters(minhash_lsh_pairs(docs, n=3, max_band_df=50))
     return keep_representatives(docs, clusters)
 
 
@@ -680,7 +717,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh_buckets(spark, sf_dir):
     from gents_spark.operators.similarity import lsh_bucket_pairs
 
-    return lsh_bucket_pairs(_t(spark, sf_dir, "embeddings"), bits=8)
+    return lsh_bucket_pairs(
+        _t(spark, sf_dir, "embeddings"), bands=8, bits_per_band=8
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -712,6 +751,24 @@ def q_multimodal_meta(spark, sf_dir):
     from gents_spark.operators.multimodal import payload_meta
 
     return payload_meta(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode through the mapInPandas plumbing: synthesize a
+    valid binary PPM (P6) per document (header + RGB raster from its
+    text bytes), then parse width/height/maxval/raster with the pure-
+    NumPy decoder.  The oracle recomputes every decoded field from the
+    text alone — so the gate verifies the byte-level parse round-trips."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gents_spark.operators.multimodal import (
+        decode_ppm_features,
+        with_ppm_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = decode_ppm_features(with_ppm_payload(docs))
+    return out.withColumn("mean_pixel", F.round("mean_pixel", 6))
 
 
 _WH = "('0x'||substr(md5({x}),1,15))::BIGINT"
@@ -795,10 +852,14 @@ DEDUP_ORACLES: dict[str, str] = {
             UNION ALL
             SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
             UNION ALL
-            SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig)
+            SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig),
+        capped AS (SELECT bands.* FROM bands
+                   JOIN (SELECT band, key FROM bands
+                         GROUP BY 1, 2 HAVING count(*) <= 50) f
+                   USING (band, key))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_common_bands
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """,
@@ -812,8 +873,12 @@ DEDUP_ORACLES: dict[str, str] = {
             SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
             UNION ALL
             SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig),
+        capped AS (SELECT bands.* FROM bands
+                   JOIN (SELECT band, key FROM bands
+                         GROUP BY 1, 2 HAVING count(*) <= 50) f
+                   USING (band, key)),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
+                  FROM capped a JOIN capped b
                     ON a.band = b.band AND a.key = b.key
                        AND a.doc_id < b.doc_id),
         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -835,8 +900,12 @@ DEDUP_ORACLES: dict[str, str] = {
             SELECT doc_id, 2, mh6||','||mh7||','||mh8 FROM sig
             UNION ALL
             SELECT doc_id, 3, mh9||','||mh10||','||mh11 FROM sig),
+        capped AS (SELECT bands.* FROM bands
+                   JOIN (SELECT band, key FROM bands
+                         GROUP BY 1, 2 HAVING count(*) <= 50) f
+                   USING (band, key)),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
+                  FROM capped a JOIN capped b
                     ON a.band = b.band AND a.key = b.key
                        AND a.doc_id < b.doc_id),
         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -928,32 +997,33 @@ DEDUP_ORACLES: dict[str, str] = {
         FROM r WHERE rank <= 5
     """,
     "ann_lsh_buckets": _EMB_Q_SQL + """
-        , raw AS (SELECT vec_id,
-                         concat(
-                             CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-                             CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END)
-                             AS bucket
-                  FROM embeddings),
-        bb AS (SELECT base.*, raw.bucket FROM base JOIN raw USING (vec_id)),
-        sizes AS (SELECT bucket, count(*) AS n_members FROM bb GROUP BY 1),
-        pairs AS (SELECT a.bucket, a.vec_id AS doc_a, b.vec_id AS doc_b,
+        , keys AS (SELECT vec_id, b AS band,
+                          list_aggregate(
+                              list_transform(range(1, 9),
+                                  i -> CASE WHEN embedding[b * 8 + i] >= 0
+                                       THEN '1' ELSE '0' END),
+                              'string_agg', '') AS key
+                   FROM embeddings, unnest(range(0, 8)) t(b)),
+        bb AS (SELECT base.*, k.band, k.key FROM base JOIN keys k
+               USING (vec_id)),
+        sizes AS (SELECT band, key, count(*) AS n_members
+                  FROM bb GROUP BY 1, 2),
+        pairs AS (SELECT a.band, a.key,
+                         a.vec_id AS doc_a, b.vec_id AS doc_b,
                          (SELECT sum(x*y)
                           FROM (SELECT unnest(a.qe) AS x, unnest(b.qe) AS y) z)
                              / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
                   FROM bb a JOIN bb b
-                    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                    ON a.band = b.band AND a.key = b.key
+                       AND a.vec_id < b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY band, key
                                            ORDER BY cos_raw DESC,
                                                     doc_a ASC, doc_b ASC) AS rn
               FROM pairs)
-        SELECT r.bucket, sizes.n_members, doc_a, doc_b, round(cos_raw, 6) AS cos
-        FROM r JOIN sizes ON sizes.bucket = r.bucket WHERE rn = 1
+        SELECT r.band || ':' || r.key AS bucket, sizes.n_members,
+               doc_a, doc_b, round(cos_raw, 6) AS cos
+        FROM r JOIN sizes ON sizes.band = r.band AND sizes.key = r.key
+        WHERE rn = 1
     """,
     "ann_ivf_topk": _EMB_Q_SQL + """
         , cents AS (SELECT vec_id AS cid, qe AS cq, n2 AS cn2
@@ -1023,6 +1093,24 @@ DEDUP_ORACLES: dict[str, str] = {
                upper(substr(hex(encode(text)), 1, 8)) AS header_hash
         FROM documents
     """,
+    # PPM decode: every field the NumPy parser extracts from the payload
+    # BYTES, recomputed from the source text (raster = leading text
+    # bytes; docs are ASCII, so ascii(char) == byte value)
+    "multimodal_decode": """
+        WITH t AS (SELECT doc_id, rpad(text, 12, ' ') AS txt
+                   FROM documents),
+        d AS (SELECT doc_id, txt, 4 AS width,
+                     (length(txt) // 12)::INT AS height
+              FROM t),
+        px AS (SELECT d.doc_id,
+                      avg(ascii(substring(d.txt, i::INT, 1))) AS mp
+               FROM d, unnest(range(1, d.height * 12 + 1)) r(i)
+               GROUP BY 1)
+        SELECT d.doc_id, d.width, d.height, 255 AS maxval,
+               (d.height * 12)::INT AS n_pixel_bytes,
+               round(px.mp, 6) AS mean_pixel
+        FROM d JOIN px USING (doc_id)
+    """,
 }
 
 
@@ -1035,6 +1123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
+    "sketch_merge_1h": q_sketch_merge_1h,
     "column_classes": q_column_classes,
     "asof_enrich": q_asof_enrich,
     "twa_1h": q_twa_1h,
@@ -1077,11 +1166,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES: dict[str, str] = {
     "rollup_1m": _tier_sql("minute"),
     "rollup_1h": _tier_sql("hour"),
+    # merged-sketch percentiles are EXACT for integer measures, so the
+    # oracle is the plain exact percentile over the floored values
+    "sketch_merge_1h": """
+        SELECT event_type AS source,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+               count(*) AS cnt,
+               round(quantile_cont(floor(value)::BIGINT, 0.5)::DOUBLE, 6)
+                   AS p50_tok,
+               round(quantile_cont(floor(value)::BIGINT, 0.95)::DOUBLE, 6)
+                   AS p95_tok,
+               round(quantile_cont(floor(value)::BIGINT, 0.99)::DOUBLE, 6)
+                   AS p99_tok
+        FROM events GROUP BY 1, 2
+    """,
     "rollup_1d": _tier_sql("day"),
     "column_classes": _CLASSIFY_SQL,
     "asof_enrich": """

@@ -10,13 +10,15 @@ UNION-AND-CARRY trick:
 1. tag both inputs and union them into one stream
    (right rows sort BEFORE left rows at equal timestamps, so ties are
    included — "at or before");
-2. per (key, day-chunk) window ordered by (ts, tag): LOCF the right
-   columns forward into the left rows;
+2. per (key, day-chunk) window ordered by (ts, tag): LOCF the right ROW
+   — one struct column, so all right fields attach ATOMICALLY (per-
+   column carries would stitch values from different right rows whenever
+   a right column holds NULLs — round-2 ADVICE);
 3. day-summary carry moves the last right row of earlier chunks across
    chunk boundaries (same parallel-prefix decomposition as the gap-fill
    LOCF — one window shuffle, a tiny summary, a broadcast join; a
    year-long hot key is never one straggler task);
-4. keep only left rows.
+4. keep only left rows; unpack the struct.
 
 Cost: ONE shuffle of |L|+|R| rows on the join key — no range blow-up.
 """
@@ -38,26 +40,33 @@ def asof_join(
     """Left rows + the latest right row with right_ts <= left_ts per key.
 
     Left rows with no earlier right row keep nulls.  If the right side
-    has several rows at one (key, ts) the last under (ts, col order) is
-    carried — tier tables are unique per (key, bucket), so this does not
-    arise there.
+    has several rows at one (key, ts) the one with the largest struct
+    value is carried — tier tables are unique per (key, bucket), so this
+    does not arise there.  Raises on column-name collisions between the
+    left table and the carried right columns (silently overwriting the
+    left's own column was round-2 ADVICE #3).
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
-    l_tag = left.withColumn("_t", F.col(left_ts)).withColumn(
-        "_is_l", F.lit(1)
-    )
-    for c in right_cols:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(
-                c, F.lit(None).cast(right.schema[c].dataType)
-            )
+    clash = sorted(set(left.columns) & set(right_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {clash} already exist on the left "
+            "table; rename or pass right_cols explicitly"
+        )
+    row_struct = F.struct(*[F.col(c) for c in right_cols])
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_l"),
-        *[F.col(c) for c in right_cols],
+        row_struct.alias("_rrow"),
+    )
+    l_tag = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_is_l", F.lit(1)
+    )
+    l_tag = l_tag.withColumn(
+        "_rrow", F.lit(None).cast(r_tag.schema["_rrow"].dataType)
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -68,27 +77,22 @@ def asof_join(
         "_gchunk", F.date_trunc("day", F.col("_t"))
     )
 
+    # within-chunk: carry the whole latest right ROW forward (struct
+    # LOCF — a right row with NULL fields still overwrites older rows)
     w = (
         Window.partitionBy(key, "_gchunk")
         .orderBy("_t", "_is_l")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u
-    for c in right_cols:
-        filled = filled.withColumn(
-            f"_r_{c}",
-            F.last(
-                F.when(F.col("_is_l") == 0, F.col(c)), ignorenulls=True
-            ).over(w),
-        )
+    filled = u.withColumn(
+        "_r", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
 
     # carry the last right row of PRECEDING day-chunks
     rsum = (
         u.filter(F.col("_is_l") == 0)
         .groupBy(key, "_gchunk")
-        .agg(
-            *[F.max_by(c, "_t").alias(f"_last_{c}") for c in right_cols]
-        )
+        .agg(F.max_by("_rrow", "_t").alias("_last_row"))
     )
     w_prev = (
         Window.partitionBy(key)
@@ -96,24 +100,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     chunks = u.select(key, "_gchunk").distinct()
-    carry = (
-        chunks.join(rsum, [key, "_gchunk"], "left")
-        .select(
-            key,
-            "_gchunk",
-            *[
-                F.last(f"_last_{c}", ignorenulls=True)
-                .over(w_prev)
-                .alias(f"_c_{c}")
-                for c in right_cols
-            ],
-        )
+    carry = chunks.join(rsum, [key, "_gchunk"], "left").select(
+        key,
+        "_gchunk",
+        F.last("_last_row", ignorenulls=True).over(w_prev).alias("_c_row"),
     )
     out = filled.join(F.broadcast(carry), [key, "_gchunk"], "left")
+    best = F.coalesce(F.col("_r"), F.col("_c_row"))
     for c in right_cols:
-        out = out.withColumn(
-            c, F.coalesce(F.col(f"_r_{c}"), F.col(f"_c_{c}"))
-        )
-    drop = ["_t", "_is_l", "_gchunk"]
-    drop += [f"_r_{c}" for c in right_cols] + [f"_c_{c}" for c in right_cols]
-    return out.filter(F.col("_is_l") == 1).drop(*drop)
+        out = out.withColumn(c, best[c])
+    return out.filter(F.col("_is_l") == 1).drop(
+        "_t", "_is_l", "_gchunk", "_rrow", "_r", "_c_row"
+    )

@@ -17,8 +17,11 @@ classify:
 Plan shape: two aggregations over the table (one global countDistinct
 batch, one per-group countDistinct batch + max) — both map-side
 combined, no melt/explode blow-up.  The result is driver-scale metadata
-(one row per column).  At 100 TB you would run this over a sample; the
-rule set is the same.
+(one row per column).  At 100 TB run it sampled + approximate
+(``sample_frac`` / ``approximate`` below); the rule set is identical —
+the class decision needs only coarse cardinalities (a key has ~n
+distincts, a static column has 1 per group), which survive both
+sampling and HLL error.
 """
 
 from __future__ import annotations
@@ -34,17 +37,30 @@ def classify_columns(
     df: DataFrame,
     ts_col: str = "event_time",
     group_col: str = "source",
+    sample_frac: float | None = None,
+    approximate: bool = False,
 ) -> DataFrame:
-    """(column, n_distinct, max_group_distinct, class) per input column."""
+    """(column, n_distinct, max_group_distinct, class) per input column.
+
+    ``sample_frac``: classify over a deterministic (seeded) row sample —
+    the 100 TB mode; exact ``countDistinct`` over free-text columns of
+    the full table is a giant distinct shuffle the class decision never
+    needed.  ``approximate``: use ``approx_count_distinct`` (HLL++,
+    bounded state, map-side merge) instead of exact distincts.  The exact
+    full-table mode (both defaults) remains the correctness gate's path.
+    """
     spark = df.sparkSession
     cols = [c for c in df.columns]
+    if sample_frac is not None:
+        df = df.sample(fraction=sample_frac, seed=42)
+    cd = F.approx_count_distinct if approximate else F.countDistinct
     g = df.agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[cd(c).alias(f"nd_{c}") for c in cols],
     ).collect()[0]
     per = (
         df.groupBy(group_col)
-        .agg(*[F.countDistinct(c).alias(f"d_{c}") for c in cols])
+        .agg(*[cd(c).alias(f"d_{c}") for c in cols])
         .agg(*[F.max(f"d_{c}").alias(f"mx_{c}") for c in cols])
         .collect()[0]
     )

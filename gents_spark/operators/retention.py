@@ -22,7 +22,7 @@ from datetime import datetime
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from gents_spark.plans.manifest import DONE, read_manifest
+from gents_spark.plans.manifest import DONE, latest_status, read_manifest
 
 #: default retention horizon per tier (days of bucket age)
 DEFAULT_RETENTION_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": 36500}
@@ -45,7 +45,11 @@ def expirable_chunks(
     from its key length (10=day, 7=month, 4=year) and its exclusive end
     date compared to the cutoff instead.
     """
-    m = read_manifest(spark, manifest_dir).filter(F.col("status") == DONE)
+    # latest-status rule: a chunk invalidated by reconciliation (stale)
+    # is NOT done — neither expirable itself nor valid coarser cover
+    m = latest_status(read_manifest(spark, manifest_dir)).filter(
+        F.col("status") == DONE
+    )
     chunk_end = (
         F.when(F.length("chunk") == 10, F.date_add(F.to_date("chunk"), 1))
         .when(

@@ -91,35 +91,42 @@ def cosine_topk(
     )
 
 
-def sign_bucket(col: str = "embedding", bits: int = 8) -> F.Column:
-    """Axis-aligned hyperplane LSH key: sign pattern of leading dims."""
-    return F.concat(
-        *[
-            F.when(F.element_at(F.col(col), i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(bits)
-        ]
-    )
+def lsh_bucket_pairs(
+    emb: DataFrame, bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """Most-similar pair per (band, key) LSH bucket (>=2 members).
 
+    Output: (bucket, n_members, doc_a, doc_b, cos), where bucket =
+    ``'<band>:<key>'``.
 
-def lsh_bucket_pairs(emb: DataFrame, bits: int = 8) -> DataFrame:
-    """Most-similar pair per LSH bucket (buckets with >=2 members).
+    Round-2 VERDICT #3 rewrite.  Two fixes over the original:
 
-    Output: (bucket, n_members, doc_a, doc_b, cos).
+    - hash family: BANDED sign keys over dims ``[band*bits, ...)``
+      (``band_keys``, shared with the near-dup path) instead of one key
+      from the 8 LEADING dims — leading dims of learned embeddings are
+      correlated, so a single leading-dim key concentrates the corpus
+      into few hot buckets;
+    - top-pair selection: ``max(struct(cos, -doc_a, -doc_b))`` per
+      bucket — an aggregation with map-side partial combine — instead
+      of ``row_number`` over a per-bucket window, which sorts EVERY
+      candidate pair of a bucket inside one task (a hot bucket's
+      C(k,2) rows become one straggler + its heap).  The struct max is
+      order-total (cos desc, then smallest ids via negation), so the
+      result is deterministic, unlike ``max_by`` under ties.
     """
-    # bucket comes from raw embedding signs; quantized cols join back on id
-    raw = emb.select("vec_id", sign_bucket(bits=bits).alias("bucket"))
-    base = with_quantized(emb).join(raw, "vec_id")
-    sizes = base.groupBy("bucket").agg(F.count("*").alias("n_members"))
+    keys = band_keys(emb, bands=bands, bits_per_band=bits_per_band)
+    base = with_quantized(emb).join(keys, "vec_id")
+    sizes = base.groupBy("band", "key").agg(F.count("*").alias("n_members"))
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
-        F.col("a.bucket").alias("bucket"),
+        F.col("a.band").alias("band"),
+        F.col("a.key").alias("key"),
         F.col("a.vec_id").alias("doc_a"),
         F.col("b.vec_id").alias("doc_b"),
         (
@@ -127,16 +134,23 @@ def lsh_bucket_pairs(emb: DataFrame, bits: int = 8) -> DataFrame:
             / F.sqrt((F.col("a.n2") * F.col("b.n2")).cast("double"))
         ).alias("cos_raw"),
     )
-    w = Window.partitionBy("bucket").orderBy(
-        F.desc("cos_raw"), F.asc("doc_a"), F.asc("doc_b")
+    best = pairs.groupBy("band", "key").agg(
+        F.max(
+            F.struct(
+                F.col("cos_raw"),
+                (-F.col("doc_a")).alias("nda"),
+                (-F.col("doc_b")).alias("ndb"),
+            )
+        ).alias("m")
     )
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(sizes, "bucket")
+        best.join(sizes, ["band", "key"])
         .select(
-            "bucket", "n_members", "doc_a", "doc_b",
-            F.round("cos_raw", 6).alias("cos"),
+            F.concat_ws(":", F.col("band"), F.col("key")).alias("bucket"),
+            "n_members",
+            (-F.col("m.nda")).alias("doc_a"),
+            (-F.col("m.ndb")).alias("doc_b"),
+            F.round("m.cos_raw", 6).alias("cos"),
         )
     )
 

@@ -51,6 +51,7 @@ class TierPipeline:
         compression: str = "snappy",
         percentile_mode: str = "exact",
         modal_quarantine: bool = False,
+        store_sketches: bool = False,
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -69,6 +70,7 @@ class TierPipeline:
         self.compression = compression
         self.percentile_mode = percentile_mode
         self.modal_quarantine = modal_quarantine
+        self.store_sketches = store_sketches
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -103,6 +105,43 @@ class TierPipeline:
             cols = ["doc_id", *cols]
         raw = with_event_time(valid, step_s=self.step_s).select(*cols)
         return raw, bad
+
+    def reconcile(
+        self,
+        sequences: DataFrame,
+        out_dir: str,
+        run_id: str | None = None,
+        command: str | None = None,
+    ) -> dict:
+        """Automatic late-data reconciliation (round-2 VERDICT #5).
+
+        Recounts the CURRENT source per chunk (same prepare() path as a
+        build), compares against each committed chunk's manifest
+        fingerprint, and appends ``stale`` rows for every (tier, chunk)
+        whose source changed — post-watermark stream drops, late files,
+        backfills.  A following ``run(..., resume=True)`` then rewrites
+        exactly the invalidated chunks (GenTS's delete-and-rewrite of
+        incomplete outputs, ``gents/timeseries.py:136-142``, as an
+        acting path).  Returns the detection report plus
+        ``n_invalidated``.
+        """
+        import uuid as _uuid
+
+        from gents_spark.plans.reconcile import (
+            detect_stale_chunks,
+            invalidate_chunks,
+        )
+
+        run_id = run_id or ("reconcile-" + _uuid.uuid4().hex[:8])
+        manifest_dir = os.path.join(out_dir, "manifest")
+        raw, _bad = self.prepare(sequences)
+        report = detect_stale_chunks(
+            self.spark, raw, manifest_dir, chunk_grain=self.chunk_grain
+        )
+        report["n_invalidated"] = invalidate_chunks(
+            manifest_dir, report["stale"], run_id, command=command
+        )
+        return report
 
     def _planned_chunks(self, raw: DataFrame) -> list[str]:
         """All checkpoint chunks the raw time range touches."""
@@ -149,8 +188,8 @@ class TierPipeline:
         N->4N efficiency at 0.62):
 
         - raw is shuffled ONCE, hash-partitioned on ``(source, _gchunk)``
-          where ``_gchunk = date_trunc('day', event_time)`` — the one big
-          exchange of the whole build;
+          where ``_gchunk = date_trunc(<chunk grain>, event_time)`` — the
+          one big exchange of the whole build;
         - every tier aggregation groups by ``(source, _gchunk, bucket)``,
           every gap-fill window partitions by ``(source, _gchunk)``, and
           every payload join keys on ``(source, _gchunk, bucket_start)``
@@ -160,32 +199,48 @@ class TierPipeline:
           instead of a parquet read-back of the written tier — same rows
           (the written tier minus its gap-filled rows IS the base);
         - all tiers are written in ONE dynamic-partition-overwrite job
-          (``write_tiers_combined``) + one stats job + one driver-side
-          manifest append.
+          (``write_tiers_combined``) with NO pre-write shuffle (the
+          chunk-grain co-partitioning keeps files per chunk dir bounded
+          by the source count), plus one stats job over the written
+          columns and one driver-side manifest append.
 
-        Remaining exchanges: the raw repartition, the final write's
-        (tier, chunk, source) repartition, and per-gapfill day-summary
-        carries (tiny, |sources x days| rows).  Skew note: the day-grain
-        co-partition spreads a hot source over its days; a pathological
-        single (source, day) hotspot is what ``use_salting`` remains for.
+        Remaining exchanges: the raw repartition and per-gapfill
+        day-summary carries (tiny, |sources x chunks| rows).  Skew note:
+        the chunk-grain co-partition spreads a hot source over its
+        chunks; a pathological single (source, chunk) hotspot is what
+        ``use_salting`` remains for.
 
         Returns metrics: per-tier written/skipped chunk counts + row counts.
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         tiers_dir = os.path.join(out_dir, "tiers")
         manifest_dir = os.path.join(out_dir, "manifest")
-        raw, bad = self.prepare(sequences)
+        raw0, bad = self.prepare(sequences)
         n_shuffle = int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        # explicit partition count: AQE would otherwise coalesce this
-        # exchange to the advisory size, capping every downstream tier
-        # agg / window at a handful of tasks
-        raw = (
-            raw.withColumn("_gchunk", F.date_trunc("day", F.col("event_time")))
-            .repartition(n_shuffle, "source", "_gchunk")
-            .persist()
-        )
+        # Co-partition grain == chunk grain: every tier row then lives in
+        # a partition that maps to exactly one output chunk dir, so the
+        # final write needs NO repartition (files per (tier, chunk) stay
+        # bounded by the source count) — the chunk grain is both the
+        # commit granularity AND the parallelism spread, TimescaleDB-
+        # chunk style.  A hot (source, chunk) partition is the
+        # use_salting escape hatch.  Explicit partition count: AQE would
+        # otherwise coalesce this exchange to the advisory size, capping
+        # every downstream tier agg / window at a handful of tasks.
+        grain_unit = {"day": "day", "month": "month", "year": "year"}[
+            self.chunk_grain
+        ]
+        # NOT persisted: every tier agg consumes the SAME repartition
+        # exchange, which AQE materializes once as shuffle files and
+        # reuses (ReusedExchange) — a cache would hold a second copy of
+        # the raw rows in executor memory for no extra work saved, and
+        # at N=1-executor heap sizes that eviction pressure costs more
+        # than the shuffle-file re-reads (measured: 19.2M rows, 12g
+        # executor — cached-raw variant ran 25% slower end-to-end).
+        raw = raw0.withColumn(
+            "_gchunk", F.date_trunc(grain_unit, F.col("event_time"))
+        ).repartition(n_shuffle, "source", "_gchunk")
         bases: list[DataFrame] = []
         try:
             metrics: dict = {"run_id": run_id, "tiers": {}}
@@ -214,9 +269,12 @@ class TierPipeline:
                 if self.use_salting
                 else []
             )
-            # chunk plan from the raw time range — ONE tiny job, shared by
-            # every tier; lets an all-done resume skip tier computation
-            planned_chunks = self._planned_chunks(raw)
+            # chunk plan from the raw time range — ONE job, shared by
+            # every tier; lets an all-done resume skip tier computation.
+            # Runs on the PRE-repartition rows (scan + agg, no shuffle),
+            # so the co-partition exchange + cache build happen inside
+            # the big write job instead of a serial planning barrier.
+            planned_chunks = self._planned_chunks(raw0)
             if not planned_chunks:
                 for tier in self.tiers:
                     metrics["tiers"][tier] = {
@@ -248,6 +306,22 @@ class TierPipeline:
                         gchunk_col=gck,
                     )
                 tier_df = base
+                if self.store_sketches and gck:
+                    # mergeable percentile sketch column on every tier
+                    # row (operators/sketches.py): after retention
+                    # expires raw, coarser percentiles recompose by
+                    # merging stored finer-tier sketches.  Same grouping
+                    # keys as the rollup -> zero-exchange agg + join.
+                    from gents_spark.operators.sketches import (
+                        value_histogram,
+                    )
+
+                    vh = value_histogram(raw, tier, gchunk_col=gck).select(
+                        "source", gck, "bucket_start", "vh"
+                    )
+                    tier_df = tier_df.join(
+                        vh, ["source", gck, "bucket_start"], "left"
+                    )
                 if self.payloads and (
                     prev_base is not None or self.payloads == "all"
                 ):
@@ -288,12 +362,12 @@ class TierPipeline:
                     if gck:
                         tier_df = tier_df.drop(gck)
                 finals[tier] = tier_df
-                if self.payloads and tier != self.tiers[-1]:
-                    # the next tier's payload stage reads this base twice
-                    # (its own gap-fill + the payload agg) — persist so
-                    # the single write job computes it once
-                    base = base.persist()
-                    bases.append(base)
+                # every base is read at least twice inside the single
+                # write job (gap-fill's original + generated branches;
+                # plus the next tier's payload agg) — persist so the
+                # aggregation runs once per tier
+                base = base.persist()
+                bases.append(base)
                 prev_base = (base, gck)
             t0 = time.time()
             m = write_tiers_combined(
@@ -308,6 +382,7 @@ class TierPipeline:
                 planned_chunks=planned_chunks,
                 command=command,
                 compression=self.compression,
+                repartition_output=bool(hot),
             )
             phases = m.pop("phases", {})
             phases["total"] = round(time.time() - t0, 3)
@@ -320,6 +395,5 @@ class TierPipeline:
                 metrics["tiers"][tier] = mt
             return metrics
         finally:
-            raw.unpersist()
             for b in bases:
                 b.unpersist()

@@ -38,6 +38,7 @@ MANIFEST_SCHEMA = (
 )
 
 DONE = "done"
+STALE = "stale"
 
 
 def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
@@ -83,12 +84,23 @@ def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
     return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+def latest_status(m: DataFrame) -> DataFrame:
+    """(tier, chunk, status) — LATEST manifest row wins.
+
+    The manifest is append-only; reconciliation (plans/reconcile.py)
+    invalidates a chunk by appending a ``stale`` row, so "done" is a
+    property of the newest row, not of any row ever written."""
+    return m.groupBy("tier", "chunk").agg(
+        F.max_by("status", F.struct("checkpoint_ts", "status")).alias("status")
+    )
+
+
 def completed_chunks(spark: SparkSession, manifest_dir: str, tier: str) -> DataFrame:
     m = read_manifest(spark, manifest_dir)
     return (
-        m.filter((F.col("status") == DONE) & (F.col("tier") == tier))
+        latest_status(m.filter(F.col("tier") == tier))
+        .filter(F.col("status") == DONE)
         .select("chunk")
-        .distinct()
     )
 
 
@@ -162,14 +174,20 @@ def write_tier_chunks(
                 return {"written": 0, "skipped": skipped,
                         "rows_written": 0, "phases": phases}
         # one job: materialize the tier into the cache AND produce the
-        # per-chunk lineage stats (row counts, value sums)
+        # per-chunk lineage stats (row counts, value sums; sums over
+        # non-filled rows only — see write_tiers_combined)
         t0 = time.time()
+        if "filled" in tier_df.columns:
+            sc = F.when(~F.col("filled"), F.col("cnt"))
+            st = F.when(~F.col("filled"), F.col("sum_tok"))
+        else:
+            sc, st = F.col("cnt"), F.col("sum_tok")
         stats_rows = (
             tier_df.groupBy("chunk")
             .agg(
                 F.count("*").alias("n"),
-                F.sum("cnt").alias("sc"),
-                F.sum("sum_tok").alias("st"),
+                F.sum(sc.cast("long")).alias("sc"),
+                F.sum(st.cast("long")).alias("st"),
             )
             .collect()
         )
@@ -246,15 +264,12 @@ def write_tier_chunks(
 def completed_tier_chunks(
     spark: SparkSession, manifest_dir: str
 ) -> set[tuple[str, str]]:
-    """All (tier, chunk) units with a done manifest row — ONE read for a
-    whole multi-tier resume instead of one job per tier."""
+    """All (tier, chunk) units whose LATEST manifest row is done — ONE
+    read for a whole multi-tier resume instead of one job per tier."""
     m = read_manifest(spark, manifest_dir)
     return {
         (r["tier"], r["chunk"])
-        for r in m.filter(F.col("status") == DONE)
-        .select("tier", "chunk")
-        .distinct()
-        .collect()
+        for r in latest_status(m).filter(F.col("status") == DONE).collect()
     }
 
 
@@ -270,6 +285,7 @@ def write_tiers_combined(
     planned_chunks: list[str] | None = None,
     command: str | None = None,
     compression: str = "snappy",
+    repartition_output: bool = False,
 ) -> dict:
     """ALL tiers in one write job + one stats job + one manifest append.
 
@@ -328,36 +344,71 @@ def write_tiers_combined(
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p, allowMissingColumns=True)
-    union = union.persist()
-    try:
-        t0 = time.time()
-        # (tier, chunk, source) repartition: writer parallelism spreads a
-        # chunk over its sources while keeping files-per-partition-dir
-        # bounded by the source count (round-1 VERDICT #5)
-        (
-            union.repartition(F.col("tier"), F.col("chunk"), F.col("source"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", compression)
-            .partitionBy("tier", "chunk")
-            .parquet(tiers_dir)
+    t0 = time.time()
+    # With the pipeline's chunk-grain co-partitioning every input
+    # partition maps to one (source, chunk), so writing AS-IS keeps
+    # files-per-chunk-dir bounded by the source count — and skips a
+    # full shuffle of every tier row (the round-3 scaling fix).
+    # ``repartition_output`` restores the explicit (tier, chunk,
+    # source) spread for callers whose tier rows are NOT chunk-
+    # co-partitioned (the salted-rollup path).
+    to_write = union
+    if repartition_output:
+        to_write = union.repartition(
+            F.col("tier"), F.col("chunk"), F.col("source")
         )
-        phases["write"] = round(time.time() - t0, 2)
+    (
+        to_write.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy("tier", "chunk")
+        .parquet(tiers_dir)
+    )
+    phases["write"] = round(time.time() - t0, 2)
 
-        t0 = time.time()
+    t0 = time.time()
+    # Lineage stats from the WRITTEN parquet, not a cached copy of the
+    # union: caching every tier row just for this aggregation holds the
+    # widest table of the build in executor memory, where the gap-fill
+    # sorts evict it and the stats job silently recomputes the whole
+    # plan (measured: 48s "stats" under memory pressure).  The written
+    # files are column-pruned to 4 small columns — a cheap scan.
+    # sum_cnt/sum_tok over NON-filled rows only: restricted to real
+    # rows they equal the SOURCE's per-chunk row count and value sum —
+    # the fingerprint plans/reconcile.py compares against a fresh
+    # recount to detect late data in already-committed chunks.
+    # cast: partition-column type inference may read a day-grain chunk
+    # ("2026-01-15") back as DATE; string-cast restores the chunk key
+    unit_key = F.concat_ws(
+        "/", F.col("tier").cast("string"), F.col("chunk").cast("string")
+    )
+    stats: dict = {}
+    if any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(tiers_dir)
+        for f in fs
+    ):
+        written = (
+            spark.read.option("basePath", tiers_dir)
+            .parquet(tiers_dir)
+            .filter(unit_key.isin([f"{t}/{c}" for t, c in write_units]))
+        )
+        real = F.when(~F.col("filled"), F.col("cnt"))
+        realtok = F.when(~F.col("filled"), F.col("sum_tok"))
         stats = {
             (s["tier"], s["chunk"]): s
-            for s in union.groupBy("tier", "chunk")
+            for s in written.groupBy(
+                F.col("tier").cast("string").alias("tier"),
+                F.col("chunk").cast("string").alias("chunk"),
+            )
             .agg(
                 F.count("*").alias("n"),
-                F.sum("cnt").alias("sc"),
-                F.sum("sum_tok").alias("st"),
+                F.sum(real.cast("long")).alias("sc"),
+                F.sum(realtok.cast("long")).alias("st"),
             )
             .collect()
         }
-        phases["stats"] = round(time.time() - t0, 2)
-    finally:
-        union.unpersist()
+    phases["stats"] = round(time.time() - t0, 2)
 
     now = time.time()
     from gents_spark import __version__

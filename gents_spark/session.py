@@ -27,6 +27,10 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Parquet scans: 128m splits is the right grain for TB-scale files.
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Partition keys (tier=1d, chunk=2026-01-15) are STRING by design;
+    # inference would read "1d" as the Java double literal 1.0 and
+    # day-grain chunks as DATE.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

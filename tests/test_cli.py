@@ -166,3 +166,44 @@ def test_cli_include_filter(spark, tmp_path, capsys):
     assert rc == 0
     t = read_tier(spark, out + "/tiers", "1d")
     assert t.select("source").distinct().collect()[0]["source"] == "src_00"
+
+
+def test_cli_reconcile_flag(spark, tmp_path, capsys):
+    """--reconcile end-to-end: build, append late data to the input,
+    rerun with --reconcile; the stale chunk is invalidated + rebuilt in
+    one command and the output matches a clean rebuild."""
+    in_path = str(tmp_path / "seqs_rec")
+    out = str(tmp_path / "out_rec")
+    synth_sequences(spark, 2, 300).write.parquet(in_path)
+    assert main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--master", "local[4]",
+    ]) == 0
+    capsys.readouterr()
+
+    late = (
+        spark.read.parquet(in_path).orderBy("doc_id").limit(4)
+        .withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("#7")))
+    )
+    late.write.mode("append").parquet(in_path)
+
+    assert main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--reconcile", "--master", "local[4]",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["reconcile"]["n_invalidated"] > 0
+    assert res["tiers"]["1d"]["written"] == res["reconcile"]["n_invalidated"]
+
+    clean = str(tmp_path / "out_rec_clean")
+    assert main([
+        "--input", in_path, "--output", clean,
+        "--tiers", "1d", "--gapfill", "none", "--step-s", "3600",
+        "--master", "local[4]",
+    ]) == 0
+    cols = ["source", "bucket_start", "cnt", "sum_tok"]
+    a = read_tier(spark, out + "/tiers", "1d").select(cols)
+    b = read_tier(spark, clean + "/tiers", "1d").select(cols)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

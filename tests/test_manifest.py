@@ -94,6 +94,90 @@ def test_audit_layout_one_file_per_chunk(spark, seqs, tmp_path):
     assert all(r["total_bytes"] > 0 for r in rows)
 
 
+def test_concurrent_writers_converge(spark, seqs, tmp_path):
+    """Two writers racing the SAME chunks converge to one consistent
+    committed state (SURVEY.md §7.3 exactly-once under retry; round-2
+    VERDICT #7).  The sink's guarantees: chunk writes are idempotent
+    dynamic-partition REPLACEs (the parquet stand-in for Iceberg's
+    REPLACE partition + snapshot commit — on Iceberg the second commit
+    would retry against the new snapshot and produce the same state),
+    and the manifest is append-only, so duplicate done rows are
+    harmless: resume reads status, not row count.
+
+    Interleaving: writer A commits chunks then crashes mid-run (fail
+    injection); writer B, unaware, runs the full build over the same
+    store concurrently-in-effect (no resume — it rewrites A's chunks
+    too).  The final table must equal a single clean run, byte-for-row,
+    and a later resume must see every chunk done exactly once."""
+    out = str(tmp_path / "race")
+    clean = str(tmp_path / "race_clean")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(seqs, out, run_id="A", fail_after_chunks=4)
+    # writer B races: same chunks, resume=False -> rewrites everything,
+    # including the 4 chunks A already committed
+    pipe.run(seqs, out, run_id="B", resume=False)
+
+    pipe.run(seqs, clean, run_id="C")
+    assert _tiers_sorted(spark, out, "1d") == _tiers_sorted(spark, clean, "1d")
+
+    # manifest holds rows from both writers; the resume view is single
+    m = read_manifest(spark, out + "/manifest")
+    assert m.select("run_id").distinct().count() == 2
+    m3 = pipe.run(seqs, out, run_id="D", resume=True)
+    assert m3["tiers"]["1d"]["written"] == 0
+
+    # a chunk dir holds exactly ONE generation of files (the replace is
+    # atomic per partition — no mixed A/B leftovers double-counting)
+    tier = read_tier(spark, out + "/tiers", "1d")
+    dup = (
+        tier.groupBy("source", "bucket_start")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_reconcile_rebuilds_late_data_chunks(spark, seqs, tmp_path):
+    """Automatic late-data reconciliation (round-2 VERDICT #5): after a
+    full build, late rows land in ONE already-committed chunk.  A plain
+    resume skips everything (stale output); reconcile() detects the
+    changed chunk from the manifest's source fingerprints, invalidates
+    it, and the next resumed run rewrites exactly that chunk — outputs
+    converge to the clean-rebuild truth."""
+    out = str(tmp_path / "late")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+    m1 = pipe.run(seqs, out, run_id="r1")
+    n_chunks = m1["tiers"]["1d"]["written"]
+
+    # late arrivals: 5 extra sequences inside the FIRST day's chunk
+    late = seqs.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("#1"))
+    )
+    full = seqs.unionByName(late)
+
+    # plain resume sees nothing to do — the stale-output trap
+    m2 = pipe.run(full, out, run_id="r2", resume=True)
+    assert m2["tiers"]["1d"]["written"] == 0
+
+    rep = pipe.reconcile(full, out, run_id="rec")
+    assert rep["n_invalidated"] == len(rep["stale"]) > 0
+    assert all(t == "1d" for t, _c in rep["stale"])
+    assert len(rep["stale"]) < n_chunks  # only the touched chunk(s)
+
+    m3 = pipe.run(full, out, run_id="r3", resume=True)
+    assert m3["tiers"]["1d"]["written"] == len(rep["stale"])
+    assert m3["tiers"]["1d"]["skipped"] == n_chunks - len(rep["stale"])
+
+    clean = str(tmp_path / "late_clean")
+    pipe.run(full, clean, run_id="r4")
+    assert _tiers_sorted(spark, out, "1d") == _tiers_sorted(spark, clean, "1d")
+    # converged: a second reconcile finds nothing stale
+    assert pipe.reconcile(full, out, run_id="rec2")["stale"] == []
+
+
 def test_resume_with_sketch_and_quarantine(spark, tmp_path):
     """The round-2 pipeline features compose: sketch percentiles + modal
     quarantine + kill/resume. A killed run resumes to exactly the chunks

@@ -128,8 +128,14 @@ def test_multimodal_decode_plumbing(docs):
         assert len(r["feature"]) == FEATURE_DIM
         assert r["n_bytes"] > 0
         assert r["feature"][0] == float(r["n_bytes"])
-    with pytest.raises(NotImplementedError):
+    # decode_real is a REAL parser now (binary PPM): malformed payloads
+    # raise for upstream quarantine instead of silently passing
+    with pytest.raises(ValueError):
         decode_real(b"\x00")
+    d = decode_real(b"P6\n2 2\n255\n" + bytes(range(12)))
+    assert (d["width"], d["height"], d["maxval"]) == (2, 2, 255)
+    assert d["n_pixel_bytes"] == 12
+    assert d["mean_pixel"] == sum(range(12)) / 12
 
 
 def test_multimodal_meta_matches_decode(docs):
@@ -247,6 +253,62 @@ def test_jaccard_stop_shingle_cap(spark):
     assert len(capped) < len(full)
 
 
+def test_minhash_band_bucket_cap_stays_linear(spark):
+    """Degenerate corpus: 30% of docs collapse to ONE MinHash signature
+    (identical boilerplate text), so one band bucket holds k docs and
+    the uncapped self-join emits C(k,2) pair rows.  With max_band_df the
+    hot bucket forms no candidates while genuine near-dup pairs keep
+    their exact n_common_bands (round-2 VERDICT #2, mirroring
+    max_shingle_df)."""
+    from gents_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    # 30 identical docs -> identical signatures -> 4 hot band buckets
+    for i in range(30):
+        rows.append((i, "exact same boilerplate page served everywhere "
+                        "by the template engine", "en", "s", 1))
+    # 10 docs in 5 near-dup pairs with unique content
+    for j in range(5):
+        base = f"distinct article number {j} epsilon zeta eta theta iota"
+        rows.append((100 + 2 * j, f"{base} kappa", "en", "s", 1))
+        rows.append((101 + 2 * j, f"{base} lambda", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_common_bands"]
+        for r in minhash_lsh_pairs(docs, n=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["n_common_bands"]
+        for r in minhash_lsh_pairs(docs, n=3, max_band_df=10).collect()
+    }
+    # uncapped: the hot bucket alone is C(30,2) = 435 pairs
+    assert sum(1 for a, b in full if a < 30 and b < 30) == 435
+    # capped: zero pairs from the hot signature, candidate set linear
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert len(capped) <= 40
+    # genuine near-dup pairs survive with identical band counts
+    for j in range(5):
+        k = (100 + 2 * j, 101 + 2 * j)
+        assert k in capped and capped[k] == full[k]
+
+
+def test_lsh_bucket_pairs_no_window_sort(spark, emb):
+    """Round-2 VERDICT #3: top-pair-per-bucket must be a map-side
+    combinable aggregation, not a row_number window that serializes a
+    hot bucket's C(k,2) pair rows into one sorting task."""
+    from gents_spark.operators.similarity import lsh_bucket_pairs
+
+    df = lsh_bucket_pairs(emb, bands=2, bits_per_band=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # deterministic top pair: struct max is total-ordered (cos desc,
+    # then smallest ids) — same result the old rank-1 window produced
+    rows = {r["bucket"]: (r["doc_a"], r["doc_b"]) for r in df.collect()}
+    assert rows  # fixture has at least one >=2-member bucket
+
+
 def test_ivf_topk_recall_and_shape(spark):
     """IVF-flat ANN: recall@5 >= 0.9 vs the exact scan at
     n_probe=8/16 cells on the sf0.01 embeddings, and every reported
@@ -300,6 +362,15 @@ def test_classify_columns_data_driven(spark):
         "region_code": "static",
     }
     assert rollup_candidates(classify_columns(df)) == ["n_tok"]
+    # 100 TB mode: sampled + HLL-approximate cardinalities reach the
+    # SAME class decisions (the rules need only coarse counts)
+    sampled = {
+        r["column"]: r["class"]
+        for r in classify_columns(
+            df, sample_frac=0.5, approximate=True
+        ).collect()
+    }
+    assert sampled == got
 
 
 def test_dup_clusters_transitive(spark):

@@ -168,3 +168,47 @@ def test_percentile_auto_mode_picks_by_bucket_size(spark):
     hot_auto = rollup(raw, "1m", percentile_mode="auto", hot_bucket_limit=1)
     assert hot_auto.columns == small_exact.columns
     assert hot_auto.count() == small_exact.count()
+
+
+def test_stored_sketches_survive_raw_expiry(spark, raw, tmp_path):
+    """Round-2 VERDICT #3 (persisted mergeable sketches): build the 1m
+    tier WITH the stored histogram-sketch column, then derive 1h
+    percentiles from the STORED sketches alone (raw never touched — the
+    post-retention-expiry scenario).  Integer measures keep the sketch
+    exact, so the merged percentiles must equal the exact-from-raw path
+    identically, and the additive cnt must round-trip too."""
+    from gents_spark.operators.sketches import (
+        histogram_percentiles,
+        merge_histograms,
+    )
+    from gents_spark.pipeline import TierPipeline
+    from gents_spark.plans.manifest import read_tier
+
+    out = str(tmp_path / "sk")
+    seqs = synth_sequences(spark, n_sources=3, seqs_per_source=400, seed=42)
+    TierPipeline(
+        spark, step_s=STEP_S, tiers=["1m"], gapfill_mode=None,
+        store_sketches=True,
+    ).run(seqs, out, run_id="sk")
+
+    # exact 1h truth computed from raw, BEFORE "expiry"
+    exp = {
+        (r["source"], r["bucket_start"]): r
+        for r in rollup(raw, "1h").collect()
+    }
+
+    # after expiry: only the written 1m tier exists
+    t1m = read_tier(spark, out + "/tiers", "1m")
+    assert "vh" in t1m.columns
+    h1h = merge_histograms(
+        t1m.filter(~F.col("filled")).select("source", "bucket_start", "vh"),
+        "1h",
+    )
+    got = histogram_percentiles(h1h).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        e = exp[(r["source"], r["bucket_start"])]
+        assert r["cnt"] == e["cnt"]
+        assert (r["p50_tok"], r["p95_tok"], r["p99_tok"]) == (
+            e["p50_tok"], e["p95_tok"], e["p99_tok"],
+        )

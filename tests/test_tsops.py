@@ -48,6 +48,38 @@ def test_asof_join_carries_across_days(spark):
     assert out == {1: 10, 2: 10, 3: 30, 4: 10, 5: None}
 
 
+def test_asof_join_attaches_right_rows_atomically(spark):
+    """A right row whose column is NULL must be carried AS A ROW: the
+    newer row's null wins over an older row's value (per-column carries
+    would stitch fields from different rows — round-2 ADVICE #2)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "a", "2026-01-01 10:00:00")],
+        "event_id long, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 00:00:00", 10, "x"),
+            ("a", "2026-01-01 05:00:00", None, "y"),  # newer row, null v
+        ],
+        "source string, bucket_start string, v int, tag string",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    r = asof_join(
+        left, right, key="source", left_ts="ts",
+        right_ts="bucket_start", right_cols=["v", "tag"],
+    ).collect()[0]
+    assert (r["v"], r["tag"]) == (None, "y")  # the 05:00 ROW, atomically
+
+    # name collision between left and carried right columns must raise
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(
+            left.withColumn("v", F.lit(0)), right,
+            key="source", left_ts="ts", right_ts="bucket_start",
+            right_cols=["v", "tag"],
+        )
+
+
 def test_twa_hand_computed(spark):
     """Bucket with points (t=0s,v=10), (t=10s,v=20), (t=30s,v=0):
     weights 10s and 20s -> twa = (10*10 + 20*20)/30 = 16.666667; the

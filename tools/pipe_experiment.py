@@ -42,6 +42,14 @@ def main() -> None:
         conf["spark.sql.files.maxPartitionBytes"] = opts["maxpart"]
     if "advisory" in opts:
         conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = opts["advisory"]
+    if opts.get("spec"):
+        # straggler mitigation: this host shows intermittent per-core
+        # CPU steal (tools/membw_probe.py: random cores drop 2-10x for
+        # seconds) — speculative execution re-launches the slow copy on
+        # a healthy core, the standard cluster answer to sick executors
+        conf["spark.speculation"] = "true"
+        conf["spark.speculation.multiplier"] = "2"
+        conf["spark.speculation.quantile"] = "0.75"
     if "gc" in opts:
         conf["spark.driver.extraJavaOptions"] = (
             f"-XX:ParallelGCThreads={opts['gc']} "
@@ -85,9 +93,15 @@ def main() -> None:
         spark, step_s=STEP_S, gapfill_mode="locf", validate=False,
         chunk_grain=CHUNK_GRAIN,
     )
-    # warm-up (JIT/codegen), untimed
+    # warm-up (JIT/codegen), untimed.  Deterministic hash sample, NOT
+    # limit(): a LIMIT re-evaluates differently between the planning job
+    # and the write job (no persisted snapshot anymore), so the planned
+    # chunk set can miss every written row
+    import pyspark.sql.functions as F
+
+    warm = seqs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(512)) == 0)
     shutil.rmtree(WORK + "/pexp_warm", ignore_errors=True)
-    pipe.run(seqs.limit(20_000), WORK + "/pexp_warm", resume=False, run_id="w")
+    pipe.run(warm, WORK + "/pexp_warm", resume=False, run_id="w")
     times = []
     points = 0
     details = []

@@ -44,7 +44,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_MASTER = "local-cluster[1,2,14336]"
 N4_MASTER = "local-cluster[4,2,14336]"
 COMMON = ["shuffle=32", "execmem=12g", "drivermem=8g",
-          "maxpart=16m", "advisory=8m", "ingest=1"]
+          "maxpart=16m", "advisory=8m", "ingest=1", "spec=1"]
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
@@ -165,6 +165,42 @@ Raw JSON:
 {json.dumps(rn)}
 {json.dumps(r4)}
 ```
+
+## Round-3 job-shape changes (what moved the serial floor)
+
+The round-2 verdict attributed the tier-build gap to ~25 serial Spark
+jobs per run.  Round 3 rebuilt the pipeline as ONE-BIG-SHUFFLE
+(pipeline.py):
+
+- raw is repartitioned ONCE on (source, chunk-grain) — the only full
+  exchange of the build; every tier aggregation, gap-fill window and
+  payload join is keyed on a superset of those attributes, so Catalyst's
+  clustering rule runs them with ZERO further exchanges (pinned by
+  tests/test_plans.py::test_copartitioned_tier_build_has_no_data_exchange);
+- payloads compose from the persisted finer-tier base instead of a
+  parquet read-back (no write barrier between tiers);
+- all tiers are written by ONE dynamic-partition-overwrite job with NO
+  pre-write shuffle (chunk-grain co-partitioning keeps files per chunk
+  dir bounded by the source count), plus one stats job and one
+  driver-side manifest append;
+- chunk planning runs on the pre-shuffle scan (no exchange), and
+  speculative execution re-launches task copies stranded on
+  CPU-stolen cores.
+
+Job count per run: ~25 -> 4 (plan, write, stats, + manifest read on
+resume).  Shuffles per run: ~8 -> 1 big + 3 tiny day-summary carries.
+
+## Host noise control (tools/membw_probe.py)
+
+Per-core throughput on this VM is wildly non-uniform and
+time-varying — interleaved pinned NumPy copy probes show random cores
+dropping 2-10x for seconds at a time (e.g. {{0: 15.2, ..}} one round,
+{{3: 5.0, 5: 4.9}} the next), while AGGREGATE bandwidth scales
+super-linearly 2->8 cores (~20 -> ~117 GB/s).  Memory bandwidth is NOT
+the ceiling; intermittent per-core steal is the dominant noise source.
+It hits the 2-core N configuration hardest (one stolen core halves it),
+which is why best-of-N over interleaved rounds is load-bearing in this
+protocol, and why speculation is on.
 """
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
