@@ -194,14 +194,31 @@ def band_keys(
 
 
 def lsh_candidate_pairs(
-    emb: DataFrame, bands: int = 8, bits_per_band: int = 8
+    emb: DataFrame,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (va < vb) sharing >=1 band key.
 
     The join is an equi-join on (band, key) — candidate volume is
     sum over buckets of C(bucket_size, 2), never the full corpus product.
+
+    ``max_band_df`` caps a bucket's document frequency before the
+    self-join (same degenerate-corpus guard as
+    ``dedup.minhash_lsh_pairs``): a corpus with many identical/near-zero
+    embeddings collapses into one sign bucket whose C(k,2) pair volume
+    is quadratic; with the cap those buckets form no candidates (their
+    members still pair through any other, rarer band).
     """
     keys = band_keys(emb, bands=bands, bits_per_band=bits_per_band)
+    if max_band_df is not None:
+        bdf = keys.groupBy("band", "key").agg(F.count("*").alias("_bdf"))
+        keys = (
+            keys.join(bdf, ["band", "key"])
+            .filter(F.col("_bdf") <= max_band_df)
+            .select("vec_id", "band", "key")
+        )
     a = keys.select(F.col("vec_id").alias("va"), "band", "key")
     b = keys.select(F.col("vec_id").alias("vb"), "band", "key")
     return (
@@ -219,6 +236,7 @@ def embedding_near_dup_docs(
     bands: int = 8,
     bits_per_band: int = 8,
     exhaustive: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over documents, two-stage:
 
@@ -251,7 +269,8 @@ def embedding_near_dup_docs(
         pairs = a.join(b, F.col("va") < F.col("vb"))
     else:
         cand = lsh_candidate_pairs(
-            emb, bands=bands, bits_per_band=bits_per_band
+            emb, bands=bands, bits_per_band=bits_per_band,
+            max_band_df=max_band_df,
         )
         pairs = cand.join(a, "va").join(b, "vb")
     scored = pairs.withColumn(

@@ -94,6 +94,34 @@ def test_audit_layout_one_file_per_chunk(spark, seqs, tmp_path):
     assert all(r["total_bytes"] > 0 for r in rows)
 
 
+def test_multi_tier_kill_and_resume_converges(spark, seqs, tmp_path):
+    """Kill/resume across the COMBINED multi-tier write: fail injection
+    counts (tier, chunk) units tier-major, so a crash mid-build leaves
+    some tiers fully committed and one partially; resume must finish
+    exactly the remainder and converge to a clean run — payloads and
+    gap-fill included."""
+    out_a = str(tmp_path / "mt_int")
+    out_b = str(tmp_path / "mt_clean")
+    pipe = TierPipeline(
+        spark, step_s=3600, tiers=["1h", "1d"], gapfill_mode="locf",
+        payloads="coarse",
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        # beyond 1h's ~43 day-chunks -> 1h complete, 1d partially written
+        pipe.run(seqs, out_a, run_id="r1", fail_after_chunks=50)
+
+    m = pipe.run(seqs, out_a, run_id="r2", resume=True)
+    assert m["tiers"]["1h"]["written"] == 0  # fully committed pre-kill
+    assert m["tiers"]["1d"]["written"] > 0
+    assert m["tiers"]["1d"]["skipped"] > 0
+
+    pipe.run(seqs, out_b, run_id="r3")
+    for tier in ("1h", "1d"):
+        a = _tiers_sorted(spark, out_a, tier)
+        b = _tiers_sorted(spark, out_b, tier)
+        assert a == b
+
+
 def test_concurrent_writers_converge(spark, seqs, tmp_path):
     """Two writers racing the SAME chunks converge to one consistent
     committed state (SURVEY.md §7.3 exactly-once under retry; round-2

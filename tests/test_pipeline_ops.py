@@ -309,6 +309,36 @@ def test_lsh_bucket_pairs_no_window_sort(spark, emb):
     assert rows  # fixture has at least one >=2-member bucket
 
 
+def test_embedding_lsh_candidate_band_cap(spark):
+    """Degenerate embedding corpus (many identical vectors -> one hot
+    sign bucket): max_band_df keeps the candidate set linear, while a
+    genuinely distinct near-dup pair still surfaces via its own rare
+    bucket."""
+    from gents_spark.operators.similarity import lsh_candidate_pairs
+
+    rows = [(i, [1.0, 0.2, 0.1, 0.3], 0) for i in range(30)]
+    rows += [
+        (100, [-1.0, 0.5, -0.2, 0.4], 1),
+        (101, [-0.9, 0.55, -0.25, 0.38], 1),  # near-dup of 100
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    full = {
+        (r["va"], r["vb"])
+        for r in lsh_candidate_pairs(emb, bands=2, bits_per_band=2).collect()
+    }
+    capped = {
+        (r["va"], r["vb"])
+        for r in lsh_candidate_pairs(
+            emb, bands=2, bits_per_band=2, max_band_df=10
+        ).collect()
+    }
+    assert sum(1 for a, b in full if a < 30 and b < 30) == 435  # C(30,2)
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert (100, 101) in capped
+
+
 def test_ivf_topk_recall_and_shape(spark):
     """IVF-flat ANN: recall@5 >= 0.9 vs the exact scan at
     n_probe=8/16 cells on the sf0.01 embeddings, and every reported
