@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "twa_1h",
     "sketch_merge_1h",
     "multimodal_decode",
+    "sessionize_events",
+    "m4_downsample",
+    "rolling_zscore",
+    "contamination_ngram",
 ]
 
 

@@ -771,6 +771,166 @@ def q_multimodal_decode(spark, sf_dir):
     return out.withColumn("mean_pixel", F.round("mean_pixel", 6))
 
 
+# --------------------------------------------------------------------------
+# D. sessions / downsampling / sampling / contamination
+# --------------------------------------------------------------------------
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (4h inactivity) + per-session aggregates
+    — the event-stream analog of GenTS's contiguous-span order planning
+    (timeseries.py:392-430).  One shuffle on user_id."""
+    from gents_spark.operators.sessions import session_stats
+
+    return session_stats(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts", gap_s=14400
+    )
+
+
+def q_state_durations(spark, sf_dir):
+    """TimescaleDB state_agg semantics: time each user's stream spends
+    in each event_type state (interval = event -> next event)."""
+    from gents_spark.operators.sessions import state_durations
+
+    return state_durations(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        state="event_type",
+    )
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per (user,
+    pixel bucket) keep first/last/min/max points; deterministic struct
+    tiebreaks so the oracle matches bit-for-bit."""
+    from gents_spark.operators.downsample import m4
+
+    return m4(
+        _t(spark, sf_dir, "events"), series="user_id", ts="ts",
+        value="value", n_buckets=64,
+    )
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB (Steinarsson 2013) to <=16 points per user via per-series
+    vectorized applyInPandas.  The selection chain is inherently
+    sequential per series — not SQL-expressible, so no oracle; its
+    invariants (subset-of-input, endpoints kept, exact count) are
+    pinned by tests/test_sessions_downsample.py."""
+    from gents_spark.operators.downsample import lttb
+
+    return lttb(
+        _t(spark, sf_dir, "events"), series="user_id", ts="ts",
+        value="value", n_out=16,
+    )
+
+
+def q_interval_join_follow(spark, sf_dir):
+    """Binned point-in-interval join: for each error event, the same
+    user's events in the following 24h window ([ts, ts+86400s), self
+    excluded).  The interval side explodes into <=2 day-grain bins and
+    equi-joins on (user, bin) — never a cross join."""
+    from gents_spark.operators.sessions import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        # interval add keeps the NTZ type (timestamp_micros would flip
+        # to LTZ and poison the join's ts < w_end comparison)
+        (F.col("ts") + F.expr("INTERVAL 86400 SECONDS")).alias("w_end"),
+    )
+    pts = ev.select("user_id", "event_id", "ts", "value")
+    j = point_in_interval_join(
+        pts, err, key="user_id", ts="ts", start="w_start", end="w_end",
+        grain_s=86400,
+    ).filter(F.col("event_id") != F.col("err_id"))
+    return j.groupBy("err_id").agg(
+        F.count("*").alias("n_follow"),
+        F.round(F.sum("value"), 6).alias("sum_val"),
+    )
+
+
+def q_contamination_ngram(spark, sf_dir):
+    """Train/test 5-gram contamination audit over an md5-deterministic
+    20% held-out split: (test_doc, train_doc, exact shared-shingle
+    count) via the frequency-capped inverted index (df<=50)."""
+    from gents_spark.operators.sampling import ngram_contamination
+
+    return ngram_contamination(
+        _t(spark, sf_dir, "documents"), n=5, test_frac=0.2,
+        max_shingle_df=50,
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary build: corpus-wide term frequency + document frequency,
+    top-50 terms by (count, term) — the tokenizer-training precursor.
+    One explode + one shuffle on the term; hot terms are handled by
+    map-side partial aggregation (a count groupBy combines before the
+    exchange), so a 100 TB corpus shuffles |vocab| rows, not |tokens|."""
+    from gents_spark.operators.textstats import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(words_col()).alias("term")
+    )
+    counts = w.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # orderBy+limit = distributed TakeOrdered (per-partition top-50,
+    # driver merge) — never a single-partition global sort/window over
+    # the full vocabulary
+    top = counts.orderBy(F.desc("tf"), F.asc("term")).limit(50)
+    win = Window.orderBy(F.desc("tf"), F.asc("term"))  # 50 rows
+    return top.withColumn(
+        "rank", F.row_number().over(win)
+    ).select("rank", "term", "tf", "df")
+
+
+def q_heartbeat_uptime(spark, sf_dir):
+    """TimescaleDB heartbeat_agg semantics: events as liveness beats
+    with a 1h window; per-user uptime = measure of the union of
+    [ts, ts+1h) intervals — computed without interval merging (lead
+    gap clamp), one shuffle."""
+    from gents_spark.operators.sessions import heartbeat_uptime
+
+    return heartbeat_uptime(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        liveness_s=3600,
+    )
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling anomaly screen: each event's z-score vs the same user's
+    previous <=24 values (self excluded).  Fixed-point rolling sums keep
+    mean/std EXACT until a final double conversion, so even a rolling
+    stddev hash-matches the oracle bit-for-bit."""
+    from gents_spark.operators.anomaly import rolling_zscore
+
+    out = rolling_zscore(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value="value", window=24, min_points=8, scale=2,
+    )
+    return out.filter(F.col("zscore").isNotNull()).select(
+        "event_id", "user_id", "value", "n_prev", "mean_prev",
+        "std_prev", "zscore",
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic content-addressed 25% sample per source stratum
+    (md5(source|doc_id) rule): map-side filter, no shuffle, identical
+    membership in any engine."""
+    from gents_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), key="doc_id", frac=0.25,
+        strata="source",
+    ).select("doc_id", "source")
+
+
 _WH = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
 _SHINGLE_SQL = """
@@ -1167,9 +1327,189 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "sessionize_events": q_sessionize_events,
+    "state_durations": q_state_durations,
+    "m4_downsample": q_m4_downsample,
+    "lttb_downsample": q_lttb_downsample,  # rows/schema-only (sequential)
+    "interval_join_follow": q_interval_join_follow,
+    "contamination_ngram": q_contamination_ngram,
+    "stratified_sample": q_stratified_sample,
+    "rolling_zscore": q_rolling_zscore,
+    "heartbeat_uptime": q_heartbeat_uptime,
+    "vocab_topk": q_vocab_topk,
+}
+
+#: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
+_HF = "(('0x'||substring(md5({x}),1,8))::BIGINT / 4294967296.0)"
+
+_SHINGLE5_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                      AS shingle
+           FROM w, unnest(range(1, len(ws) - 3)) AS t(i))
+"""
+
+SESSION_ORACLES: dict[str, str] = {
+    "sessionize_events": """
+        WITH f AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 14400::BIGINT * 1000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   (sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT
+                       AS session_seq
+            FROM f
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events,
+               round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6)
+                   AS duration_s,
+               round(sum(value), 6) AS sum_val
+        FROM s GROUP BY 1, 2
+    """,
+    "state_durations": """
+        WITH d AS (
+            SELECT event_type AS state,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       - epoch_us(ts) AS dur_us
+            FROM events
+        )
+        SELECT state, count(*)::BIGINT AS n_intervals,
+               round(sum(dur_us) / 1e6, 6) AS total_s,
+               round((sum(dur_us) / count(*)) / 1e6, 6) AS mean_s
+        FROM d WHERE dur_us IS NOT NULL GROUP BY 1
+    """,
+    "m4_downsample": """
+        WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us
+                   FROM events),
+        bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+        b AS (SELECT user_id, ts, value, us,
+                     CAST(floor((us - t0) * 64 / (t1 - t0 + 1)) AS BIGINT)
+                         AS bucket
+              FROM e, bounds),
+        m AS (SELECT user_id, bucket,
+                     min(value) AS v_min, max(value) AS v_max,
+                     min(ts) AS tf, max(ts) AS tl,
+                     count(*)::BIGINT AS n_points
+              FROM b GROUP BY 1, 2)
+        SELECT m.user_id, m.bucket,
+               m.tf AS t_first,
+               min(CASE WHEN b.ts = m.tf THEN b.value END) AS v_first,
+               m.tl AS t_last,
+               max(CASE WHEN b.ts = m.tl THEN b.value END) AS v_last,
+               min(CASE WHEN b.value = m.v_min THEN b.ts END) AS t_min,
+               m.v_min,
+               min(CASE WHEN b.value = m.v_max THEN b.ts END) AS t_max,
+               m.v_max,
+               m.n_points
+        FROM b JOIN m ON b.user_id = m.user_id AND b.bucket = m.bucket
+        GROUP BY m.user_id, m.bucket, m.tf, m.tl, m.v_min, m.v_max,
+                 m.n_points
+    """,
+    "interval_join_follow": """
+        WITH err AS (SELECT event_id AS err_id, user_id,
+                            ts AS w_start,
+                            ts + INTERVAL 86400 SECOND AS w_end
+                     FROM events WHERE event_type = 'error')
+        SELECT err_id, count(*)::BIGINT AS n_follow,
+               round(sum(p.value), 6) AS sum_val
+        FROM err JOIN events p
+          ON p.user_id = err.user_id
+         AND p.ts >= err.w_start AND p.ts < err.w_end
+         AND p.event_id <> err.err_id
+        GROUP BY 1
+    """,
+    "contamination_ngram": _SHINGLE5_SQL + f"""
+        , split AS (SELECT doc_id,
+                           {_HF.format(x="doc_id::VARCHAR")} < 0.2 AS is_test
+                    FROM documents),
+        s2 AS (SELECT sh.doc_id, is_test, shingle
+               FROM sh JOIN split USING (doc_id)),
+        dfreq AS (SELECT shingle, count(*) AS c FROM s2 GROUP BY 1),
+        rare AS (SELECT s2.doc_id, s2.is_test, s2.shingle
+                 FROM s2 JOIN dfreq USING (shingle) WHERE c <= 50),
+        cand AS (SELECT DISTINCT a.doc_id AS test_doc_id,
+                                 b.doc_id AS train_doc_id
+                 FROM rare a JOIN rare b USING (shingle)
+                 WHERE a.is_test AND NOT b.is_test)
+        SELECT test_doc_id, train_doc_id, count(*)::BIGINT AS n_shared
+        FROM cand
+        JOIN s2 x ON x.doc_id = cand.test_doc_id
+        JOIN s2 y ON y.doc_id = cand.train_doc_id AND y.shingle = x.shingle
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")} < 0.25
+    """,
+    "vocab_topk": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        c AS (SELECT term, count(*)::BIGINT AS tf,
+                     count(DISTINCT doc_id)::BIGINT AS df
+              FROM w GROUP BY 1)
+        SELECT (row_number() OVER (ORDER BY tf DESC, term))::BIGINT AS rank,
+               term, tf, df
+        FROM c ORDER BY tf DESC, term LIMIT 50
+    """,
+    "heartbeat_uptime": """
+        WITH d AS (
+            SELECT user_id,
+                   epoch_us(ts) AS us,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts)) - epoch_us(ts)
+                       AS gap_us
+            FROM events
+        ), c AS (
+            SELECT user_id, us,
+                   least(coalesce(gap_us, 3600000000::BIGINT),
+                         3600000000::BIGINT) AS up_us
+            FROM d
+        )
+        SELECT user_id,
+               count(*)::BIGINT AS n_beats,
+               round(sum(up_us) / 1e6, 6) AS uptime_s,
+               round((max(us) - min(us) + 3600000000) / 1e6, 6) AS span_s,
+               round(sum(up_us) / (max(us) - min(us) + 3600000000), 6)
+                   AS uptime_frac
+        FROM c GROUP BY 1
+    """,
+    "rolling_zscore": """
+        WITH d AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ), r AS (
+            SELECT event_id, user_id, value, c,
+                   count(c) OVER w AS n,
+                   sum(c)   OVER w AS s,
+                   sum(c*c) OVER w AS s2
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value,
+               n::BIGINT AS n_prev,
+               round((s::DOUBLE / n::DOUBLE) / 100, 6) AS mean_prev,
+               round(sqrt((n*s2 - s*s)::DOUBLE / (n*(n-1))::DOUBLE) / 100, 6)
+                   AS std_prev,
+               round((c::DOUBLE - s::DOUBLE / n::DOUBLE)
+                     / sqrt((n*s2 - s*s)::DOUBLE / (n*(n-1))::DOUBLE), 6)
+                   AS zscore
+        FROM r
+        WHERE n >= 8 AND (n*s2 - s*s) > 0
+    """,
 }
 
 ORACLES: dict[str, str] = {
+    **SESSION_ORACLES,
     "rollup_1m": _tier_sql("minute"),
     "rollup_1h": _tier_sql("hour"),
     # merged-sketch percentiles are EXACT for integer measures, so the

@@ -1,0 +1,81 @@
+"""Rolling-window anomaly scoring over metric streams.
+
+GenTS has no anomaly path (its QC is structural — variable/shape
+conformance, ``gents/hfcollection.py:744-766``); a timeseries engine
+serving a training pipeline needs a VALUE-level screen: flag points that
+sit far outside their own trailing distribution (bad shards, unit
+flips, duplicated feeds) before they poison downstream rollups.
+
+``rolling_zscore`` computes, per key, each point's z-score against the
+preceding ``window`` points (the point itself excluded — a test point
+never contaminates its own baseline).  Shape: ONE shuffle on the key,
+then two frame-bounded window sums — no self-join, no UDF.
+
+Exactness: the mean/variance are computed from integer fixed-point
+values (``scale`` decimal places), so the rolling sums are EXACT
+bigints; the final mean/std/z conversion is a handful of double ops on
+identical integers in any engine — which is what lets the DuckDB oracle
+hash-match a statistic as touchy as a rolling stddev.  Variance uses
+the sample form ``(n*Σx² − (Σx)²) / (n*(n−1))`` — one (exact) huge
+numerator, one double division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def rolling_zscore(
+    points: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window: int = 24,
+    min_points: int = 8,
+    scale: int = 2,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Add ``n_prev``, ``mean_prev``, ``std_prev``, ``zscore`` (and
+    filter to ``|z| >= threshold`` when given).
+
+    The frame is ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING``;
+    rows with fewer than ``min_points`` predecessors or zero variance
+    get NULL z.  ``scale``: decimal places of the input that make the
+    fixed-point cast lossless (2 for cent-valued metrics).
+    """
+    mult = 10 ** scale
+    cents = F.round(F.col(value) * mult).cast("bigint")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(-window, -1)
+    )
+    d = (
+        points.withColumn("_c", cents)
+        .withColumn("_n", F.count("_c").over(w))
+        .withColumn("_s", F.sum("_c").over(w))
+        .withColumn("_s2", F.sum(F.col("_c") * F.col("_c")).over(w))
+    )
+    n, s, s2 = F.col("_n"), F.col("_s"), F.col("_s2")
+    # exact bigint numerator; doubles only at the final division/sqrt.
+    # when-guards: ANSI mode (Spark 4 default) raises on n=0 divisors
+    # for rows with an empty trailing frame
+    var_num = (n * s2 - s * s).cast("double")
+    var = F.when(n > 1, var_num / (n * (n - 1)).cast("double"))
+    std = F.sqrt(var)
+    mean = F.when(n > 0, s.cast("double") / n.cast("double"))
+    z = F.when(
+        (n >= min_points) & (var_num > 0),
+        (cents.cast("double") - mean) / std,
+    )
+    out = (
+        d.withColumn("n_prev", n)
+        .withColumn("mean_prev", F.round(mean / mult, 6))
+        .withColumn("std_prev", F.round(std / mult, 6))
+        .withColumn("zscore", F.round(z, 6))
+        .drop("_c", "_n", "_s", "_s2")
+    )
+    if threshold is not None:
+        out = out.filter(F.abs(F.col("zscore")) >= threshold)
+    return out

@@ -1,0 +1,134 @@
+"""Visual-fidelity downsampling: M4 and LTTB.
+
+GenTS's tiered output (coarser slices re-generated from finer data,
+``gents/timeseries.py:392-430``) answers "store less, keep the shape".
+The two published answers for *plot-shaped* reduction are implemented
+here on DataFrames:
+
+- **M4** (Jugel et al., VLDB 2014): per pixel-column time bucket keep
+  the first, last, min and max points — the exact set needed for a
+  pixel-perfect line rendering.  Pure codegen aggregation (min_by /
+  max_by with struct ordering for deterministic ties): ONE shuffle on
+  (series, bucket), fully SQL-expressible, scales like any groupBy.
+
+- **LTTB** (Steinarsson 2013, "largest triangle three buckets"): picks
+  per bucket the point maximizing the triangle area with the previously
+  SELECTED point and the next bucket's centroid.  The selection is a
+  sequential chain, so it is not SQL-expressible; it runs as a
+  vectorized NumPy pass per series via ``applyInPandas`` — parallel
+  across series, O(n) within one.  A single giant series would use
+  two-level LTTB (chunk-partial then final over ~n_out*chunks points),
+  noted below, not implemented until a caller needs it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def m4(
+    points: DataFrame,
+    series: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """M4 aggregation: (series, bucket) -> first/last/min/max points.
+
+    Buckets split the GLOBAL [min ts, max ts] span into ``n_buckets``
+    equal-width cells (the pixel columns).  The span comes from a
+    broadcast 1-row bounds aggregate — a metadata-scale subplan, not a
+    driver collect, so the whole thing stays one lazy DataFrame.
+
+    Tie rules (pinned so the SQL oracle matches bit-for-bit):
+    t_min/t_max take the EARLIEST ts among equal values; v_first/v_last
+    take the SMALLEST value among equal timestamps — both via struct
+    lexicographic ordering under min_by/max_by.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))  # NTZ-safe
+    bounds = points.agg(
+        F.min(us).alias("_t0"), F.max(us).alias("_t1")
+    )
+    b = points.crossJoin(F.broadcast(bounds))
+    # span+1 so the max point lands in bucket n_buckets-1, not n_buckets
+    bucket = F.floor(
+        (us - F.col("_t0")) * n_buckets / (F.col("_t1") - F.col("_t0") + 1)
+    ).cast("bigint")
+    v, t = F.col(value), F.col(ts)
+    return (
+        b.withColumn("bucket", bucket)
+        .groupBy(F.col(series), F.col("bucket"))
+        .agg(
+            F.min_by(t, F.struct(t, v)).alias("t_first"),
+            F.min_by(v, F.struct(t, v)).alias("v_first"),
+            F.max_by(t, F.struct(t, v)).alias("t_last"),
+            F.max_by(v, F.struct(t, v)).alias("v_last"),
+            F.min_by(t, F.struct(v, t)).alias("t_min"),
+            F.min(v).alias("v_min"),
+            F.min_by(t, F.struct((-v).alias("nv"), t)).alias("t_max"),
+            F.max(v).alias("v_max"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def _lttb_series(ts_us, vals, n_out):
+    """NumPy LTTB over one sorted series; returns selected row indices."""
+    import numpy as np
+
+    n = len(ts_us)
+    if n <= n_out:
+        return np.arange(n)
+    # bucket edges over the interior points (first/last always kept)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = hi, (n - 1 if i == n_out - 3 else edges[i + 2])
+        # centroid of the NEXT bucket (the "third point")
+        cx = ts_us[nlo:nhi].mean() if nhi > nlo else ts_us[n - 1]
+        cy = vals[nlo:nhi].mean() if nhi > nlo else vals[n - 1]
+        bx, by = ts_us[lo:hi], vals[lo:hi]
+        area = np.abs(
+            (ts_us[a] - cx) * (by - vals[a]) - (ts_us[a] - bx) * (cy - vals[a])
+        )
+        a = lo + int(np.argmax(area))
+        sel[i + 1] = a
+    sel[n_out - 1] = n - 1
+    return sel
+
+
+def lttb(
+    points: DataFrame,
+    series: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    n_out: int = 64,
+) -> DataFrame:
+    """LTTB downsample to <= ``n_out`` points per series.
+
+    ``applyInPandas`` groups by series — Arrow-batched, vectorized
+    NumPy inside, no per-row Python.  Output rows are a SUBSET of the
+    input rows (LTTB selects, never synthesizes), first and last points
+    always kept — properties pinned by tests/test_sessions_downsample.py.
+    """
+    import numpy as np
+
+    out_schema = points.select(series, ts, value).schema
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        t_us = pdf[ts].astype("int64").to_numpy(dtype=np.float64)
+        v = pdf[value].to_numpy(dtype=np.float64)
+        idx = _lttb_series(t_us, v, n_out)
+        return pdf.iloc[idx][[series, ts, value]]
+
+    return (
+        points.select(series, ts, value)
+        .groupBy(series)
+        .applyInPandas(one, schema=out_schema)
+    )

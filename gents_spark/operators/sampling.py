@@ -1,0 +1,123 @@
+"""Deterministic sampling, train/test splitting, and cross-split
+n-gram contamination detection for training-data pipelines.
+
+Three ops a 100 TB corpus pipeline runs constantly:
+
+- **stratified_sample**: keep a fixed fraction of every stratum with a
+  content-addressed rule — ``md5(key) mod`` — so the sample is (a)
+  reproducible across runs/engines with no RNG state, (b) consistent:
+  the same key is always in or always out, so joins between sampled
+  tables stay aligned, and (c) a pure map-side filter: NO shuffle, no
+  sort, pushes through any scan.  This is the public salted-hash
+  sampling idiom (same family as Spark's ``sampleBy`` but
+  deterministic in the KEY, not the row position).
+
+- **split_train_test**: the same md5 rule as a boolean column — the
+  canonical held-out split that survives re-partitioning and appends.
+
+- **ngram_contamination**: which TEST documents share word n-grams with
+  which TRAIN documents (benchmark-leakage audit).  Same two-phase
+  frequency-capped inverted-index shape as
+  ``dedup.ngram_jaccard_pairs`` (dedup.py:82): candidates only from
+  shingles with document frequency <= cap (hot boilerplate shingles
+  never form pairs — the AllPairs/PPJoin bound on join fan-out), then
+  the shared-shingle count verifies EXACTLY over the candidates' full
+  shingle sets.  Every join is an equi-join on the shingle; nothing is
+  all-pairs at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: md5 prefix width: 8 hex chars = 32 bits, uniform on [0, 2^32)
+_MOD = 1 << 32
+
+
+def hash_frac(key: F.Column) -> F.Column:
+    """Uniform [0, 1) deterministic hash of a key column (md5-based so
+    SQL oracles reproduce it bit-for-bit: DuckDB
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return h.cast("bigint") / F.lit(float(_MOD))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, frac: float, strata: str | None = None
+) -> DataFrame:
+    """Keep rows with hash_frac(key) < frac — per-stratum when the rule
+    key embeds the stratum (pass ``strata`` to salt the hash with the
+    stratum so small strata draw independently).  Map-side only."""
+    k = F.col(key)
+    if strata is not None:
+        k = F.concat_ws("|", F.col(strata), F.col(key).cast("string"))
+    return df.filter(hash_frac(k) < F.lit(frac))
+
+
+def split_train_test(
+    df: DataFrame, key: str, test_frac: float = 0.1
+) -> DataFrame:
+    """Add ``is_test``: deterministic md5 held-out split on ``key``."""
+    return df.withColumn(
+        "is_test", hash_frac(F.col(key)) < F.lit(test_frac)
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    n: int = 5,
+    test_frac: float = 0.2,
+    max_shingle_df: int | None = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(test_doc_id, train_doc_id, n_shared) for every cross-split pair
+    sharing >= ``min_shared`` distinct word n-grams.
+
+    Candidates come from the frequency-capped inverted index (df <=
+    ``max_shingle_df``); ``n_shared`` then counts ALL common shingles
+    of each candidate pair exactly, so values are cap-independent —
+    only pairs whose every overlap is hotter than the cap are missed.
+    """
+    from gents_spark.operators.dedup import shingles_col
+
+    split = split_train_test(docs, "doc_id", test_frac)
+    sh = (
+        split.select(
+            "doc_id", "is_test", F.explode(shingles_col(n)).alias("shingle")
+        )
+        .distinct()
+    )
+    cand_src = sh
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        cand_src = (
+            sh.join(dfreq, "shingle")
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("doc_id", "is_test", "shingle")
+        )
+    test_sh = cand_src.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    train_sh = cand_src.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    cand = (
+        test_sh.join(train_sh, "shingle")
+        .select("test_doc_id", "train_doc_id")
+        .distinct()
+    )
+    # exact verify over FULL shingle sets (uncapped)
+    full_test = sh.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    full_train = sh.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        cand.join(full_test, "test_doc_id")
+        .join(full_train, ["train_doc_id", "shingle"])
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,209 @@
+"""Sessionization, state-duration aggregation, and point-in-interval
+(range) joins over event streams.
+
+Reference parity: GenTS slices continuous model history into bounded
+time orders (``gents/timeseries.py:392-430`` order planning over
+contiguous spans); the event-stream analogs of that span logic are
+
+- gap-based sessionization (a "span" ends when the gap to the next
+  observation exceeds a threshold),
+- state-duration aggregation (how long each group spent in each state,
+  TimescaleDB ``state_agg`` semantics), and
+- point-in-interval joins (which observations fall inside which span).
+
+All three are declarative DataFrame ops built for scale:
+
+- sessionize/state durations: ONE shuffle on the session key; windows
+  run inside each key partition.  Keys (users, devices, sources) are
+  high-cardinality, so partitions stay bounded — the single-giant-key
+  case is the same chunked parallel-prefix escape hatch gapfill.py uses.
+- interval join: the classic BINNED range join — both sides are mapped
+  to fixed-width time bins (an interval explodes into the bins it
+  covers, ceil(len/grain)+1 of them), equi-joined on (key, bin), then
+  refined with the exact range predicate.  This turns an
+  O(|points| x |intervals|) cross product into an equi-join whose
+  fan-out is bounded by interval length / grain — the shape Spark's own
+  optimizer cannot derive from a raw BETWEEN join.
+
+Timestamp arithmetic is integer microseconds (``unix_micros`` /
+DuckDB ``epoch_us``) on both engine and oracle sides — no float
+truncation ambiguity at sub-second gaps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: int = 14400,
+) -> DataFrame:
+    """Assign a per-key ``session_seq`` (1-based) to every event.
+
+    A new session starts at the first event of a key and whenever the
+    gap to the previous event exceeds ``gap_s`` seconds.  Two stacked
+    windows (lag -> cumulative sum of session starts) — window functions
+    cannot nest, so the boundary flag is materialized first; both run in
+    the SAME key partition, so this is one shuffle total.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    tsc = F.col(ts).cast("timestamp")  # NTZ-safe (parquet NTZ -> UTC)
+    gap_us = F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))
+    flagged = events.withColumn(
+        "_new_sess",
+        F.when(
+            gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_seq", F.sum("_new_sess").over(cum)
+    ).drop("_new_sess")
+
+
+def session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: int = 14400,
+    value: str | None = "value",
+) -> DataFrame:
+    """Per-session aggregates: start, end, duration, event count (and
+    value sum when ``value`` is given).  One shuffle on ``key`` — the
+    session groupBy keys on (key, session_seq), a superset of the
+    window partitioning, so Catalyst adds no second exchange.
+    """
+    s = sessionize(events, key=key, ts=ts, gap_s=gap_s)
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(
+            (F.max(F.unix_micros(F.col(ts).cast("timestamp")))
+             - F.min(F.unix_micros(F.col(ts).cast("timestamp")))) / 1e6,
+            6,
+        ).alias("duration_s"),
+    ]
+    if value is not None:
+        aggs.append(F.round(F.sum(value), 6).alias("sum_val"))
+    return s.groupBy(F.col(key), F.col("session_seq")).agg(*aggs)
+
+
+def state_durations(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+) -> DataFrame:
+    """Total time each key's stream spent in each state (TimescaleDB
+    ``state_agg``): an event puts its key INTO ``state`` until the next
+    event; the final open interval has no end and is excluded.
+
+    Output: (state, n_intervals, total_s, mean_s).  One shuffle for the
+    lead window; the state groupBy re-shuffles |states| partial rows —
+    map-side combined, so the second exchange carries almost nothing.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    tsc = F.col(ts).cast("timestamp")  # NTZ-safe
+    dur_us = F.unix_micros(F.lead(tsc).over(w)) - F.unix_micros(tsc)
+    d = events.withColumn("_dur_us", dur_us).filter(
+        F.col("_dur_us").isNotNull()
+    )
+    return d.groupBy(F.col(state).alias("state")).agg(
+        F.count("*").alias("n_intervals"),
+        F.round(F.sum("_dur_us") / 1e6, 6).alias("total_s"),
+        F.round((F.sum("_dur_us") / F.count("*")) / 1e6, 6).alias("mean_s"),
+    )
+
+
+def heartbeat_uptime(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    liveness_s: int = 3600,
+) -> DataFrame:
+    """TimescaleDB ``heartbeat_agg`` semantics: each event proves its
+    key alive for ``liveness_s`` seconds; uptime is the measure of the
+    union of those [ts, ts+liveness) intervals.
+
+    Union length without interval merging: sorted per key, each beat
+    contributes ``min(gap_to_next, liveness)`` and the last beat
+    contributes ``liveness`` — one lead window + one groupBy, both on
+    the same key partitioning (one shuffle).
+
+    Output: (key, n_beats, uptime_s, span_s, uptime_frac) where span is
+    first beat -> last beat + liveness (the observable window).
+    """
+    lv_us = liveness_s * 1_000_000
+    w = Window.partitionBy(key).orderBy(ts)
+    tsc = F.col(ts).cast("timestamp")  # NTZ-safe
+    gap_us = F.unix_micros(F.lead(tsc).over(w)) - F.unix_micros(tsc)
+    contrib = F.least(F.coalesce(gap_us, F.lit(lv_us)), F.lit(lv_us))
+    d = events.withColumn("_up_us", contrib)
+    return d.groupBy(F.col(key)).agg(
+        F.count("*").alias("n_beats"),
+        F.round(F.sum("_up_us") / 1e6, 6).alias("uptime_s"),
+        F.round(
+            (F.max(F.unix_micros(F.col(ts).cast("timestamp")))
+             - F.min(F.unix_micros(F.col(ts).cast("timestamp"))) + lv_us)
+            / 1e6,
+            6,
+        ).alias("span_s"),
+        F.round(
+            (F.sum("_up_us"))
+            / (F.max(F.unix_micros(F.col(ts).cast("timestamp")))
+               - F.min(F.unix_micros(F.col(ts).cast("timestamp"))) + lv_us),
+            6,
+        ).alias("uptime_frac"),
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    grain_s: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Binned range join: points joined to the intervals containing them
+    (``start <= ts < end``), equi-keyed on (key, time bin).
+
+    Both sides get integer bin columns at ``grain_s`` resolution; an
+    interval explodes into every bin it covers (len/grain + 1 rows —
+    choose ``grain_s`` near the typical interval length so the fan-out
+    is ~2x), the join runs on (key, bin) — an ordinary shuffled or
+    broadcast equi-join Catalyst can optimize — and the exact range
+    predicate filters the bin-boundary false positives.  No cross join
+    at any size.
+    """
+    g_us = grain_s * 1_000_000
+    p = points.withColumn(
+        "_bin",
+        F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / g_us),
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_micros(F.col(start).cast("timestamp")) / g_us
+                ),
+                # end is exclusive: a point at exactly `end` never
+                # matches, but `end`'s bin must still be covered
+                F.floor(
+                    F.unix_micros(F.col(end).cast("timestamp")) / g_us
+                ),
+            )
+        ),
+    )
+    joined = p.join(iv, on=[key, "_bin"], how=how).filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_bin")

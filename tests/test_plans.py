@@ -107,3 +107,36 @@ def test_copartitioned_tier_build_has_no_data_exchange(spark):
     exchanges = [o for o in ops if o == "Exchange"]
     assert len(exchanges) <= 3, f"unexpected exchanges: {ops}"
     raw.unpersist()
+
+
+def test_sessionize_is_single_shuffle(spark):
+    """session_stats: lag window, cumsum window and the session groupBy
+    all share the user_id clustering -> exactly ONE data exchange."""
+    import re
+
+    p = _plan(spark, "sessionize_events")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_ex == 1, p
+
+
+def test_stratified_sample_has_no_exchange(spark):
+    """The md5 sampling rule is a pure map-side filter."""
+    p = _plan(spark, "stratified_sample")
+    assert "Exchange" not in p, p
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Top-k must be distributed TakeOrdered, never a global sort of
+    the whole vocabulary into one partition."""
+    p = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark):
+    """The binned range join must plan as a hash equi-join on
+    (user, bin) — no BroadcastNestedLoopJoin / CartesianProduct."""
+    p = _plan(spark, "interval_join_follow")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    ), p
