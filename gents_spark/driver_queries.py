@@ -863,6 +863,78 @@ def q_contamination_ngram(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week;
+    (cohort_week, week_offset) -> distinct active users.  Two shuffles
+    (per-user first-seen agg, then the cohort join + final agg) — the
+    join broadcasts the |users|-sized cohort table when small and
+    shuffles on user_id when not; offsets are exact day-multiples of 7
+    so the int cast is engine-agnostic."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    j = act.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Click -> purchase conversion within 24h, per click day: each
+    click opens a [ts, ts+24h) window; a same-user purchase inside it
+    marks the click converted.  Composes the binned interval join
+    (operators/sessions.py) with an exists-style distinct — no cross
+    join, no EXISTS subquery per row."""
+    from gents_spark.operators.sessions import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 86400 SECONDS")).alias("w_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        point_in_interval_join(
+            purchases, clicks, key="user_id", ts="ts",
+            start="w_start", end="w_end", grain_s=86400,
+        )
+        .select("click_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_click = clicks.join(conv, "click_id", "left")
+    return (
+        per_click.groupBy(
+            F.date_trunc("day", F.col("w_start")).alias("click_day")
+        )
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias(
+                "n_converted"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+                / F.count("*"),
+                6,
+            ).alias("conv_rate"),
+        )
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary build: corpus-wide term frequency + document frequency,
     top-50 terms by (count, term) — the tokenizer-training precursor.
@@ -1337,6 +1409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "heartbeat_uptime": q_heartbeat_uptime,
     "vocab_topk": q_vocab_topk,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -1449,6 +1523,45 @@ SESSION_ORACLES: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")} < 0.25
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY 1
+        ), act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) / 7 AS INTEGER)
+                   AS week_offset,
+               count(DISTINCT user_id)::BIGINT AS n_active
+        FROM act JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "funnel_conversion": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS w_start,
+                   ts + INTERVAL 86400 SECOND AS w_end
+            FROM events WHERE event_type = 'click'
+        ), conv AS (
+            SELECT DISTINCT c.click_id
+            FROM clicks c JOIN events p
+              ON p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND p.ts >= c.w_start AND p.ts < c.w_end
+        ), per_click AS (
+            SELECT c.click_id, c.w_start,
+                   CASE WHEN conv.click_id IS NULL THEN 0 ELSE 1 END AS cv
+            FROM clicks c LEFT JOIN conv USING (click_id)
+        )
+        SELECT CAST(date_trunc('day', w_start) AS TIMESTAMP) AS click_day,
+               count(*)::BIGINT AS n_clicks,
+               sum(cv)::BIGINT AS n_converted,
+               round(sum(cv) / count(*), 6) AS conv_rate
+        FROM per_click GROUP BY 1
     """,
     "vocab_topk": """
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -138,3 +138,57 @@ def test_stream_bucket_assignment_is_date_trunc(spark, tmp_path):
         F.col("bucket_start") != F.date_trunc("hour", "bucket_start")
     ).count()
     assert bad == 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Native session_window stream == batch sessionize on the same
+    events (sentinel rows flush the watermark past every real session;
+    they are excluded from the comparison)."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.sessions import session_stats
+    from gents_spark.streaming.sessions_stream import (
+        run_sessions_stream_to_parquet,
+    )
+
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+    rows = []
+    for u in (1, 2, 3):
+        # two sessions per user: 3 events 5min apart, 2h break, 2 more
+        for i in range(3):
+            rows.append((u, t0 + timedelta(minutes=5 * i + u), 1.5 * u))
+        for i in range(2):
+            rows.append(
+                (u, t0 + timedelta(hours=2, minutes=5 * i + u), 2.0)
+            )
+    # watermark flush sentinel: one far-future event per user
+    for u in (1, 2, 3):
+        rows.append((u, t0 + timedelta(days=2), 0.0))
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    in_path = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(in_path)
+
+    q = run_sessions_stream_to_parquet(
+        spark, in_path, str(tmp_path / "sess_out"),
+        str(tmp_path / "sess_ckpt"), gap="30 minutes",
+        watermark="1 minute",
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_val)
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+        if r.session_start < t0 + timedelta(days=1)
+    )
+    batch = session_stats(
+        spark.read.parquet(in_path), key="user_id", ts="ts", gap_s=1800
+    )
+    exp = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_val)
+        for r in batch.collect()
+        if r.session_start < t0 + timedelta(days=1)
+    )
+    assert got == exp
+    assert len(exp) == 6  # 2 sessions x 3 users
