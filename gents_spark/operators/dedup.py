@@ -196,6 +196,15 @@ def minhash_lsh_pairs(
     would be re-found by the exact-verify stage of a full dedup chain.
     """
     sig = minhash_signatures(docs, n)
+    # sig feeds 4 band branches, and the banded set feeds up to 3
+    # consumers (band-df cap, both self-join sides) — unpersisted, the
+    # signature job (corpus explode + 12 min-aggs) re-executes per
+    # branch.  The signature table is |docs| x 12 ints — the artifact a
+    # production LSH pipeline materializes once.  Unpersist falls to
+    # the ContextCleaner (result is lazy; no caller handle).
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = []
     for bnd in range(N_BANDS):
         cols = [f"mh{bnd * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]

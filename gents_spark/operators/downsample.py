@@ -108,6 +108,7 @@ def lttb(
     ts: str = "ts",
     value: str = "value",
     n_out: int = 64,
+    chunk_s: int | None = None,
 ) -> DataFrame:
     """LTTB downsample to <= ``n_out`` points per series.
 
@@ -115,6 +116,15 @@ def lttb(
     NumPy inside, no per-row Python.  Output rows are a SUBSET of the
     input rows (LTTB selects, never synthesizes), first and last points
     always kept — properties pinned by tests/test_sessions_downsample.py.
+
+    ``chunk_s``: the giant-series scale path — TWO-LEVEL LTTB.  Level 1
+    runs per (series, chunk_s-wide time chunk), so a series with
+    billions of points fans out over many tasks instead of one; level 2
+    re-selects ``n_out`` from the <= n_out * n_chunks level-1 survivors
+    (one small task per series).  Endpoints survive both levels (a
+    global endpoint is its chunk's endpoint).  The two-level result is
+    an approximation of single-level LTTB — standard for streaming/
+    partitioned LTTB — with the same visual-dominance behavior.
     """
     import numpy as np
 
@@ -127,8 +137,19 @@ def lttb(
         idx = _lttb_series(t_us, v, n_out)
         return pdf.iloc[idx][[series, ts, value]]
 
-    return (
-        points.select(series, ts, value)
-        .groupBy(series)
-        .applyInPandas(one, schema=out_schema)
-    )
+    base = points.select(series, ts, value)
+    if chunk_s is not None:
+        chunk = F.floor(
+            F.unix_micros(F.col(ts).cast("timestamp"))
+            / (chunk_s * 1_000_000)
+        ).alias("_chunk")
+
+        def one_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            return one(pdf.drop(columns=["_chunk"]))
+
+        base = (
+            base.select(series, ts, value, chunk)
+            .groupBy(series, "_chunk")
+            .applyInPandas(one_chunk, schema=out_schema)
+        )
+    return base.groupBy(series).applyInPandas(one, schema=out_schema)

@@ -88,6 +88,16 @@ def ngram_contamination(
         )
         .distinct()
     )
+    # the shingle index feeds FOUR consumers (df counts, capped
+    # candidates, and both exact-verify sides); without a persist Spark
+    # re-explodes and re-distincts the corpus four times.  MEMORY_AND_DISK:
+    # the index is |docs| x shingles rows — at 100 TB this is the
+    # materialized inverted index every industrial near-dup pipeline
+    # builds once and reuses.  Unpersist is left to the ContextCleaner
+    # (the returned DataFrame is lazy; callers hold no handle).
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     cand_src = sh
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))

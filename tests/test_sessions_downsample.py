@@ -341,3 +341,23 @@ def test_contamination_cap_keeps_exact_counts(docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_lttb_two_level_scale_path(spark):
+    """chunk_s two-level LTTB: same invariants as single-level (exact
+    count, endpoints, subset-of-input) and the dominant spike survives
+    both levels."""
+    rows = [
+        (1, T0 + timedelta(seconds=10 * i),
+         float((i * 13) % 31) + (500.0 if i == 2345 else 0.0))
+        for i in range(5000)
+    ]
+    wave = _ev(spark, rows)
+    out = lttb(wave, n_out=32, chunk_s=5000).collect()  # ~10 chunks
+    assert len(out) == 32
+    src = {(r.user_id, r.ts, r.value) for r in wave.collect()}
+    assert all((r.user_id, r.ts, r.value) in src for r in out)
+    ts_sorted = sorted(r.ts for r in out)
+    assert ts_sorted[0] == T0
+    assert ts_sorted[-1] == T0 + timedelta(seconds=10 * 4999)
+    assert any(r.value > 500.0 for r in out)  # spike kept
