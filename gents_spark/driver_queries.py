@@ -863,6 +863,38 @@ def q_contamination_ngram(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 distinguishing terms by a tf-idf-family
+    score.  The score is the RATIONAL variant tf/df (monotone in the
+    classic tf*log(N/df) for fixed tf): a single IEEE division of two
+    integers, so it is bit-identical in any engine — log() is NOT
+    (libm vs DuckDB may differ in the last ulp and flip rankings).
+    Shape: one explode + (doc, term) count + broadcast-size df join +
+    per-doc top-k window — the standard distributed tf-idf plan."""
+    from gents_spark.operators.textstats import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(words_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    scored = dt.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.round(F.col("tf") / F.col("df"), 6)
+    )
+    # rank on the UNROUNDED ratio (same expression as the oracle);
+    # ranking on the rounded score could flip near-ties at the 6dp edge
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") / F.col("df")), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by first-seen week;
     (cohort_week, week_offset) -> distinct active users.  Two shuffles
@@ -1409,6 +1441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "heartbeat_uptime": q_heartbeat_uptime,
     "vocab_topk": q_vocab_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
 }
@@ -1523,6 +1556,26 @@ SESSION_ORACLES: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")} < 0.25
+    """,
+    "tfidf_top_terms": """
+        WITH dt AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tfr AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM dt GROUP BY 1, 2
+        ), dfr AS (
+            SELECT term, count(*)::BIGINT AS df FROM tfr GROUP BY 1
+        ), scored AS (
+            SELECT tfr.doc_id, tfr.term, tfr.tf, dfr.df,
+                   round(tfr.tf::DOUBLE / dfr.df, 6) AS score,
+                   row_number() OVER (PARTITION BY tfr.doc_id
+                                      ORDER BY tfr.tf::DOUBLE / dfr.df DESC,
+                                               tfr.term) AS rank
+            FROM tfr JOIN dfr USING (term)
+        )
+        SELECT doc_id, rank::BIGINT AS rank, term, tf, df, score
+        FROM scored WHERE rank <= 3
     """,
     "cohort_retention": """
         WITH first AS (
