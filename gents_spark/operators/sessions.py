@@ -65,6 +65,84 @@ def sessionize(
     ).drop("_new_sess")
 
 
+def sessionize_chunked(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: int = 14400,
+    chunk_unit: str = "day",
+) -> DataFrame:
+    """``sessionize`` for a GIANT single key: parallel-prefix over time
+    chunks (the gapfill.py chunk-carry pattern).
+
+    The plain operator sorts one key's whole history in one task; at a
+    billion events per key that task is the job.  Here:
+
+    1. rows get a ``chunk`` (date_trunc of ts) — windows run per
+       (key, chunk), so one key's history spreads over its chunks;
+    2. within each chunk: the local lag flag (first chunk row gets 0 —
+       its boundary is unknowable locally) and a local running count of
+       session starts;
+    3. a per-(key, chunk) summary (first/last ts, local start count)
+       is tiny — |keys x chunks| rows; a lag window over summaries
+       decides each chunk's BOUNDARY flag (gap to the previous chunk's
+       last event, or first chunk), and an exclusive prefix sum gives
+       each chunk's session OFFSET;
+    4. offsets broadcast-join back on (key, chunk):
+       session_seq = offset + boundary_flag + local_running_count.
+
+    Exactly equal to ``sessionize`` output (pinned by test), two cheap
+    extra shuffles of summary-sized data.
+    """
+    tsc = F.col(ts).cast("timestamp")
+    d = events.withColumn("_sch", F.date_trunc(chunk_unit, tsc))
+    wc = Window.partitionBy(key, "_sch").orderBy(ts)
+    gap_us = F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(wc))
+    d = d.withColumn(
+        "_lflag",
+        F.when(gap_us.isNull(), 0)  # chunk-first row: decided later
+        .when(gap_us > gap_s * 1_000_000, 1)
+        .otherwise(0),
+    ).withColumn(
+        "_lcum",
+        F.sum("_lflag").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summ = d.groupBy(key, "_sch").agg(
+        F.min(tsc).alias("_first_ts"),
+        F.max(tsc).alias("_last_ts"),
+        F.sum("_lflag").alias("_lstarts"),
+    )
+    ws = Window.partitionBy(key).orderBy("_sch")
+    prev_last = F.lag("_last_ts").over(ws)
+    bflag = F.when(
+        prev_last.isNull()
+        | (
+            F.unix_micros(F.col("_first_ts")) - F.unix_micros(prev_last)
+            > gap_s * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    summ = summ.withColumn("_bflag", bflag).withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum(F.col("_bflag") + F.col("_lstarts")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    joined = d.join(
+        F.broadcast(summ.select(key, "_sch", "_bflag", "_offset")),
+        [key, "_sch"],
+    )
+    return joined.withColumn(
+        "session_seq",
+        (F.col("_offset") + F.col("_bflag") + F.col("_lcum")).cast("bigint"),
+    ).drop("_sch", "_lflag", "_lcum", "_bflag", "_offset")
+
+
 def session_stats(
     events: DataFrame,
     key: str = "user_id",

@@ -361,3 +361,32 @@ def test_lttb_two_level_scale_path(spark):
     assert ts_sorted[0] == T0
     assert ts_sorted[-1] == T0 + timedelta(seconds=10 * 4999)
     assert any(r.value > 500.0 for r in out)  # spike kept
+
+
+def test_sessionize_chunked_equals_plain(spark):
+    """Parallel-prefix chunked sessionize == single-window sessionize,
+    including sessions crossing chunk (day) boundaries."""
+    import random
+
+    from gents_spark.operators.sessions import sessionize_chunked
+
+    rng = random.Random(7)
+    rows = []
+    for u in (1, 2):
+        t = T0
+        for _ in range(300):
+            # mix of sub-gap and super-gap steps; some hop across days
+            step = rng.choice([30, 300, 4000, 7201, 90000])
+            t = t + timedelta(seconds=step)
+            rows.append((u, t, 1.0))
+    ev = _ev(spark, rows)
+    plain = {
+        (r.user_id, r.ts): r.session_seq
+        for r in sessionize(ev, gap_s=7200).collect()
+    }
+    chunked = {
+        (r.user_id, r.ts): r.session_seq
+        for r in sessionize_chunked(ev, gap_s=7200, chunk_unit="day").collect()
+    }
+    assert chunked == plain
+    assert max(plain.values()) > 10  # many sessions, many boundaries
