@@ -863,6 +863,25 @@ def q_contamination_ngram(spark, sf_dir):
     )
 
 
+def q_rollup_1h_distinct(spark, sf_dir):
+    """Per (event_type, hour) distinct-user count via the stored
+    mergeable HLL sketch column (operators/sketches.py::distinct_sketch).
+    At gate cardinalities the DataSketches HLL is still in sparse
+    (exact) mode, so the estimate EQUALS the exact count and the plain
+    COUNT(DISTINCT) oracle hash-matches; at scale the same column
+    answers approximately and merges losslessly across tiers
+    (test_distinct_sketch_merges_losslessly)."""
+    from gents_spark.operators.sketches import distinct_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    out = distinct_sketch(
+        ev, "1h", key_col="user_id", source_col="event_type", ts_col="ts"
+    )
+    return out.select(
+        "source", "bucket_start", F.col("dv_est").alias("n_users")
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 distinguishing terms by a tf-idf-family
     score.  The score is the RATIONAL variant tf/df (monotone in the
@@ -1441,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "heartbeat_uptime": q_heartbeat_uptime,
     "vocab_topk": q_vocab_topk,
+    "rollup_1h_distinct": q_rollup_1h_distinct,
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
@@ -1556,6 +1576,12 @@ SESSION_ORACLES: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")} < 0.25
+    """,
+    "rollup_1h_distinct": """
+        SELECT event_type AS source,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY 1, 2
     """,
     "tfidf_top_terms": """
         WITH dt AS (

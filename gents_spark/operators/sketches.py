@@ -152,3 +152,60 @@ def histogram_percentiles(
             ),
         )
     return out.drop("_ent", "_n")
+
+
+# ---------------------------------------------------------------------------
+# distinct-count sketches (HLL)
+# ---------------------------------------------------------------------------
+
+
+def distinct_sketch(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per (source, bucket) mergeable DISTINCT-count sketch — the
+    companion to ``value_histogram`` for the other non-additive
+    statistic a tier stores: how many distinct documents fed a bucket.
+
+    Spark's built-in Apache DataSketches HLL (``hll_sketch_agg``,
+    binary column) is used rather than ``approx_count_distinct``
+    because the latter emits only the NUMBER — the sketch STATE is what
+    survives retention expiry and re-aggregates upward losslessly
+    (register-wise max under union, so a merged coarser sketch is
+    IDENTICAL to one built from raw — pinned by test).  lgk=12: ~1.6%
+    relative standard error at 2 KB per bucket.
+    """
+    return (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            bucket_col(ts_col, tier).alias("bucket_start"),
+        )
+        .agg(
+            F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lgk))
+            .alias("dv_sketch"),
+        )
+        .withColumn(
+            "dv_est", F.hll_sketch_estimate(F.col("dv_sketch"))
+        )
+    )
+
+
+def merge_distinct_sketches(
+    finer: DataFrame, coarser_tier: str
+) -> DataFrame:
+    """Re-bucket stored finer-tier HLL sketches into a coarser tier:
+    ``hll_union_agg`` over the binary state — no raw data touched."""
+    return (
+        finer.groupBy(
+            "source",
+            bucket_col("bucket_start", coarser_tier).alias("bucket_start"),
+        )
+        .agg(F.hll_union_agg("dv_sketch").alias("dv_sketch"))
+        .withColumn(
+            "dv_est", F.hll_sketch_estimate(F.col("dv_sketch"))
+        )
+    )

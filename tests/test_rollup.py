@@ -212,3 +212,43 @@ def test_stored_sketches_survive_raw_expiry(spark, raw, tmp_path):
         assert (r["p50_tok"], r["p95_tok"], r["p99_tok"]) == (
             e["p50_tok"], e["p95_tok"], e["p99_tok"],
         )
+
+
+def test_distinct_sketch_merges_losslessly(spark):
+    """HLL distinct-doc sketches: (1) estimates track exact counts
+    within the lgk=12 error bound; (2) 1m sketches unioned up to 1h
+    give the IDENTICAL estimate as sketching the raw at 1h directly
+    (register-wise max), so distinct counts survive raw expiry."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.sketches import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from gents_spark.synth import synth_sequences
+    from gents_spark.timeparse import with_event_time
+
+    raw = with_event_time(
+        synth_sequences(spark, 2, 1500, n_tok_lo=8, n_tok_hi=64), step_s=10
+    )
+    m1 = distinct_sketch(raw, "1m")
+    direct_1h = {
+        (r.source, r.bucket_start): r.dv_est
+        for r in distinct_sketch(raw, "1h").collect()
+    }
+    merged_1h = {
+        (r.source, r.bucket_start): r.dv_est
+        for r in merge_distinct_sketches(m1, "1h").collect()
+    }
+    assert merged_1h == direct_1h  # union == rebuild, exactly
+    exact_1h = {
+        (r.source, r.bucket_start): r.n
+        for r in raw.groupBy(
+            "source", F.date_trunc("hour", "event_time").alias("bucket_start")
+        ).agg(F.countDistinct("doc_id").alias("n")).collect()
+    }
+    assert set(exact_1h) == set(direct_1h)
+    for k, exact in exact_1h.items():
+        assert abs(direct_1h[k] - exact) <= max(2, 0.05 * exact), (
+            k, direct_1h[k], exact,
+        )

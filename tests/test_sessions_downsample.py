@@ -390,3 +390,64 @@ def test_sessionize_chunked_equals_plain(spark):
     }
     assert chunked == plain
     assert max(plain.values()) > 10  # many sessions, many boundaries
+
+
+def test_funnel_conversion_values(spark):
+    """Hand-built click/purchase stream: conversions counted only for
+    same-user purchases inside [click, click+24h)."""
+    from gents_spark.driver_queries import QUERIES
+
+    rows = [
+        # user 1: click then purchase 1h later -> converted
+        (0, 1, T0, "click"),
+        (1, 1, T0 + timedelta(hours=1), "purchase"),
+        # user 2: click, purchase 25h later -> NOT converted
+        (2, 2, T0, "click"),
+        (3, 2, T0 + timedelta(hours=25), "purchase"),
+        # user 3: purchase BEFORE click -> not converted
+        (4, 3, T0 - timedelta(hours=1), "purchase"),
+        (5, 3, T0, "click"),
+        # user 1 second click, no further purchase -> not converted
+        (6, 1, T0 + timedelta(hours=2), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.click_day: r for r in QUERIES["funnel_conversion"](spark, d).collect()}
+    day = T0.replace(hour=0)
+    assert out[day].n_clicks == 4
+    assert out[day].n_converted == 1
+    assert out[day].conv_rate == pytest.approx(0.25)
+
+
+def test_cohort_retention_values(spark):
+    """Users first seen in week A active again in week A+1 count in
+    offset 1 of cohort A."""
+    from gents_spark.driver_queries import QUERIES
+
+    mon = datetime(2024, 3, 4)  # a Monday
+    rows = [
+        (0, 1, mon, "view"),                          # u1 cohort w0
+        (1, 1, mon + timedelta(days=8), "view"),      # u1 active w1
+        (2, 2, mon, "view"),                          # u2 cohort w0, only w0
+        (3, 3, mon + timedelta(days=7), "view"),      # u3 cohort w1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in QUERIES["cohort_retention"](spark, d).collect()
+    }
+    w0 = mon
+    w1 = mon + timedelta(days=7)
+    assert got[(w0, 0)] == 2          # u1, u2 in their cohort week
+    assert got[(w0, 1)] == 1          # u1 retained
+    assert got[(w1, 0)] == 1          # u3's own cohort
+    assert len(got) == 3
