@@ -863,6 +863,51 @@ def q_contamination_ngram(spark, sf_dir):
     )
 
 
+def q_source_correlation(spark, sf_dir):
+    """Pearson correlation of hourly event counts between every pair of
+    event types — 'do errors co-move with clicks?'.  Computed from
+    EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with doubles only in
+    the final formula, so it hash-matches the oracle bit-for-bit where
+    a builtin corr() (Welford accumulation order) cannot.  Shape:
+    hourly count agg -> self-join on the hour (bounded |types|² fan-out
+    on a tiny aggregated table) -> one groupBy per pair."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    g = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        n.alias("n_hours"),
+        F.round(F.when(den > 0, num / den), 6).alias("corr"),
+    )
+
+
 def q_rollup_1h_distinct(spark, sf_dir):
     """Per (event_type, hour) distinct-user count via the stored
     mergeable HLL sketch column (operators/sketches.py::distinct_sketch).
@@ -1461,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heartbeat_uptime": q_heartbeat_uptime,
     "vocab_topk": q_vocab_topk,
     "rollup_1h_distinct": q_rollup_1h_distinct,
+    "source_correlation": q_source_correlation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
@@ -1576,6 +1622,31 @@ SESSION_ORACLES: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")} < 0.25
+    """,
+    "source_correlation": """
+        WITH hourly AS (
+            SELECT event_type AS t, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.t AS type_a, b.t AS type_b, a.c AS x, b.c AS y
+            FROM hourly a JOIN hourly b
+              ON a.h = b.h AND a.t < b.t
+        ), g AS (
+            SELECT type_a, type_b, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+                   sum(y*y)::BIGINT AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n AS n_hours,
+               round(CASE WHEN (sqrt((n*sxx - sx*sx)::DOUBLE)
+                                * sqrt((n*syy - sy*sy)::DOUBLE)) > 0
+                     THEN (n*sxy - sx*sy)::DOUBLE
+                          / (sqrt((n*sxx - sx*sx)::DOUBLE)
+                             * sqrt((n*syy - sy*sy)::DOUBLE))
+                     END, 6) AS corr
+        FROM g
     """,
     "rollup_1h_distinct": """
         SELECT event_type AS source,
