@@ -75,6 +75,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                    help="per source, quarantine rows whose structural "
                         "fingerprint differs from the strict-majority one "
                         "(GenTS filter_by_variables)")
+    p.add_argument("--store-distinct", action="store_true",
+                   help="store mergeable HLL distinct-doc sketch column "
+                        "on tier rows (keeps doc_id through the build)")
     p.add_argument("--store-sketches", action="store_true",
                    help="store a mergeable value-histogram sketch column "
                         "on every tier row: coarser-tier percentiles stay "
@@ -125,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         percentile_mode=args.percentiles,
         modal_quarantine=args.modal_quarantine,
         store_sketches=args.store_sketches,
+        store_distinct=args.store_distinct,
     )
     if args.verbose:
         print(json.dumps({

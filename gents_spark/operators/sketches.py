@@ -166,6 +166,7 @@ def distinct_sketch(
     source_col: str = "source",
     ts_col: str = "event_time",
     lgk: int = 12,
+    gchunk_col: str | None = None,
 ) -> DataFrame:
     """Per (source, bucket) mergeable DISTINCT-count sketch — the
     companion to ``value_histogram`` for the other non-additive
@@ -179,11 +180,12 @@ def distinct_sketch(
     IDENTICAL to one built from raw — pinned by test).  lgk=12: ~1.6%
     relative standard error at 2 KB per bucket.
     """
+    keys = [F.col(source_col).alias("source")]
+    if gchunk_col:
+        keys.append(F.col(gchunk_col))
+    keys.append(bucket_col(ts_col, tier).alias("bucket_start"))
     return (
-        df.groupBy(
-            F.col(source_col).alias("source"),
-            bucket_col(ts_col, tier).alias("bucket_start"),
-        )
+        df.groupBy(*keys)
         .agg(
             F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lgk))
             .alias("dv_sketch"),

@@ -52,6 +52,7 @@ class TierPipeline:
         percentile_mode: str = "exact",
         modal_quarantine: bool = False,
         store_sketches: bool = False,
+        store_distinct: bool = False,
     ):
         if payloads not in (None, "coarse", "all"):
             raise ValueError("payloads must be None, 'coarse', or 'all'")
@@ -71,6 +72,7 @@ class TierPipeline:
         self.percentile_mode = percentile_mode
         self.modal_quarantine = modal_quarantine
         self.store_sketches = store_sketches
+        self.store_distinct = store_distinct
 
     def prepare(self, sequences: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Validate + filter + derive event_time. Returns (raw, quarantined).
@@ -98,10 +100,13 @@ class TierPipeline:
             valid = valid.filter(F.col("source").isin(self.include_sources))
         if self.exclude_sources:
             valid = valid.filter(~F.col("source").isin(self.exclude_sources))
-        # doc_id is kept only for the salted path (it seeds the
-        # deterministic salt, computed map-side before any shuffle).
+        # doc_id is kept only when something consumes it: the salted
+        # path (it seeds the deterministic salt, computed map-side
+        # before any shuffle) and the distinct-doc sketch column.
+        # Otherwise it is pruned — it is the widest narrow column and
+        # every byte rides the build's one big exchange.
         cols = ["source", "event_time", "n_tok"]
-        if self.use_salting:
+        if self.use_salting or self.store_distinct:
             cols = ["doc_id", *cols]
         raw = with_event_time(valid, step_s=self.step_s).select(*cols)
         return raw, bad
@@ -321,6 +326,22 @@ class TierPipeline:
                     )
                     tier_df = tier_df.join(
                         vh, ["source", gck, "bucket_start"], "left"
+                    )
+                if self.store_distinct and gck:
+                    # mergeable HLL distinct-doc sketch per tier row:
+                    # distinct counts survive raw expiry and union
+                    # losslessly upward (register-wise max).  Same
+                    # grouping keys -> zero-exchange agg + join.
+                    from gents_spark.operators.sketches import (
+                        distinct_sketch,
+                    )
+
+                    dv = distinct_sketch(
+                        raw, tier, key_col="doc_id",
+                        ts_col="event_time", gchunk_col=gck,
+                    ).select("source", gck, "bucket_start", "dv_sketch")
+                    tier_df = tier_df.join(
+                        dv, ["source", gck, "bucket_start"], "left"
                     )
                 if self.payloads and (
                     prev_base is not None or self.payloads == "all"

@@ -252,3 +252,39 @@ def test_distinct_sketch_merges_losslessly(spark):
         assert abs(direct_1h[k] - exact) <= max(2, 0.05 * exact), (
             k, direct_1h[k], exact,
         )
+
+
+def test_pipeline_stored_distinct_sketch_survives_expiry(spark, raw, tmp_path):
+    """store_distinct=True: the written 1m tier carries the HLL
+    dv_sketch column; after raw 'expiry' the 1h distinct-doc counts
+    recompose from the stored sketches alone and equal a direct
+    count-distinct over raw (sparse-exact at this cardinality)."""
+    from gents_spark.operators.sketches import merge_distinct_sketches
+    from gents_spark.pipeline import TierPipeline
+    from gents_spark.plans.manifest import read_tier
+
+    out = str(tmp_path / "dv")
+    seqs = synth_sequences(spark, n_sources=3, seqs_per_source=400, seed=42)
+    TierPipeline(
+        spark, step_s=STEP_S, tiers=["1m"], gapfill_mode=None,
+        store_distinct=True,
+    ).run(seqs, out, run_id="dv")
+
+    t1m = read_tier(spark, out + "/tiers", "1m")
+    assert "dv_sketch" in t1m.columns
+    got = {
+        (r.source, r.bucket_start): r.dv_est
+        for r in merge_distinct_sketches(
+            t1m.filter(~F.col("filled")).select(
+                "source", "bucket_start", "dv_sketch"
+            ),
+            "1h",
+        ).collect()
+    }
+    exact = {
+        (r.source, r.bucket_start): r.n
+        for r in raw.groupBy(
+            "source", F.date_trunc("hour", "event_time").alias("bucket_start")
+        ).agg(F.countDistinct("doc_id").alias("n")).collect()
+    }
+    assert got == exact
