@@ -933,8 +933,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     classic tf*log(N/df) for fixed tf): a single IEEE division of two
     integers, so it is bit-identical in any engine — log() is NOT
     (libm vs DuckDB may differ in the last ulp and flip rankings).
-    Shape: one explode + (doc, term) count + broadcast-size df join +
-    per-doc top-k window — the standard distributed tf-idf plan."""
+    Shape: one explode + (doc, term) count + df join + per-doc top-k
+    window — the standard distributed tf-idf plan.  The df side is NOT
+    force-broadcast: vocabulary size is corpus-dependent and unbounded
+    (round-3 ADVICE), so AQE's size-based decision picks broadcast vs
+    shuffle at runtime."""
     from gents_spark.operators.textstats import words_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -944,7 +947,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         .agg(F.count("*").alias("tf"))
     )
     dfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
-    scored = dt.join(F.broadcast(dfreq), "term").withColumn(
+    scored = dt.join(dfreq, "term").withColumn(
         "score", F.round(F.col("tf") / F.col("df"), 6)
     )
     # rank on the UNROUNDED ratio (same expression as the oracle);
@@ -1080,6 +1083,7 @@ def q_rolling_zscore(spark, sf_dir):
     out = rolling_zscore(
         _t(spark, sf_dir, "events"), key="user_id", ts="ts",
         value="value", window=24, min_points=8, scale=2,
+        tiebreak="event_id",
     )
     return out.filter(F.col("zscore").isNotNull()).select(
         "event_id", "user_id", "value", "n_prev", "mean_prev",
@@ -1648,6 +1652,12 @@ SESSION_ORACLES: dict[str, str] = {
                      END, 6) AS corr
         FROM g
     """,
+    # CARDINALITY BOUND (round-3 ADVICE): this exact COUNT(DISTINCT)
+    # oracle matches the HLL estimate only while every (event_type,
+    # hour) bucket stays in DataSketches sparse mode (< ~384 distinct
+    # per bucket at lgK=12, the exact regime).  The gate runs at
+    # sf=0.01 (<< the bound); at larger SF treat this query as
+    # approximate and compare with a rank-error tolerance instead.
     "rollup_1h_distinct": """
         SELECT event_type AS source,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
@@ -1755,7 +1765,7 @@ SESSION_ORACLES: dict[str, str] = {
                    count(c) OVER w AS n,
                    sum(c)   OVER w AS s,
                    sum(c*c) OVER w AS s2
-            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         )
         SELECT event_id, user_id, value,

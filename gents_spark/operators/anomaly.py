@@ -35,6 +35,7 @@ def rolling_zscore(
     min_points: int = 8,
     scale: int = 2,
     threshold: float | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Add ``n_prev``, ``mean_prev``, ``std_prev``, ``zscore`` (and
     filter to ``|z| >= threshold`` when given).
@@ -43,12 +44,18 @@ def rolling_zscore(
     rows with fewer than ``min_points`` predecessors or zero variance
     get NULL z.  ``scale``: decimal places of the input that make the
     fixed-point cast lossless (2 for cent-valued metrics).
+
+    ``tiebreak``: a unique column appended to the window ORDER BY —
+    without it, duplicate (key, ts) rows make the ROWS frame contents
+    engine/order-dependent (round-3 ADVICE), so cross-engine
+    comparisons need a deterministic total order.
     """
     mult = 10 ** scale
     cents = F.round(F.col(value) * mult).cast("bigint")
+    order = [ts] if tiebreak is None else [ts, tiebreak]
     w = (
         Window.partitionBy(key)
-        .orderBy(ts)
+        .orderBy(*order)
         .rowsBetween(-window, -1)
     )
     d = (

@@ -70,6 +70,7 @@ def ngram_contamination(
     test_frac: float = 0.2,
     max_shingle_df: int | None = 50,
     min_shared: int = 1,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """(test_doc_id, train_doc_id, n_shared) for every cross-split pair
     sharing >= ``min_shared`` distinct word n-grams.
@@ -78,6 +79,11 @@ def ngram_contamination(
     ``max_shingle_df``); ``n_shared`` then counts ALL common shingles
     of each candidate pair exactly, so values are cap-independent —
     only pairs whose every overlap is hotter than the cap are missed.
+
+    ``cache_handles``: pass a list to receive the persisted
+    intermediate DataFrames; a long-lived session should
+    ``h.unpersist()`` each after consuming the result (round-3 ADVICE —
+    otherwise reclamation waits for the ContextCleaner GC hook).
     """
     from gents_spark.operators.dedup import shingles_col
 
@@ -98,6 +104,8 @@ def ngram_contamination(
     from pyspark import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(sh)
     cand_src = sh
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))

@@ -88,8 +88,13 @@ def sessionize_chunked(
        decides each chunk's BOUNDARY flag (gap to the previous chunk's
        last event, or first chunk), and an exclusive prefix sum gives
        each chunk's session OFFSET;
-    4. offsets broadcast-join back on (key, chunk):
+    4. offsets join back on (key, chunk):
        session_seq = offset + boundary_flag + local_running_count.
+       No forced broadcast hint — for the documented giant-single-key
+       case the summary is tiny and AQE broadcasts it on its own, but
+       a general (many keys x many chunks) input has an unbounded
+       summary and a forced hint would hit the 8 GB broadcast limit at
+       exactly the scale this operator targets (round-3 ADVICE).
 
     Exactly equal to ``sessionize`` output (pinned by test), two cheap
     extra shuffles of summary-sized data.
@@ -134,7 +139,7 @@ def sessionize_chunked(
         ),
     )
     joined = d.join(
-        F.broadcast(summ.select(key, "_sch", "_bflag", "_offset")),
+        summ.select(key, "_sch", "_bflag", "_offset"),
         [key, "_sch"],
     )
     return joined.withColumn(
