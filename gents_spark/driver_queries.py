@@ -92,6 +92,38 @@ def q_rollup_1d(spark, sf_dir):
     return _events_tiers(spark, sf_dir, "1d")
 
 
+def q_rollup_1h_midpoint(spark, sf_dir):
+    """W2 midpoint alignment: each event opens a deterministic interval
+    [ts, ts + (event_id % 7200)s) and is assigned to the hour bucket of
+    the interval MIDPOINT — GenTS's time-alignment-method choice
+    (gents/hfcollection.py:966-978) as a ``rollup(alignment=...)``
+    option.  Midpoint math is exact integer microseconds (shiftright on
+    the epoch-sum), so buckets are engine-deterministic."""
+    from gents_spark.operators.rollup import rollup
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    ).withColumn(
+        "w_end",
+        F.timestamp_add(
+            "SECOND",
+            (F.col("event_id") % 7200).cast("int"),
+            F.col("ts").cast("timestamp"),
+        ),
+    )
+    out = rollup(
+        iv, "1h", source_col="event_type", ts_col="ts", value_col="cents",
+        with_percentiles=False, ts_end_col="w_end", alignment="midpoint",
+    )
+    return out.select(
+        "source", "bucket_start", "cnt",
+        F.col("sum_tok").alias("sum_v"),
+        F.col("min_tok").alias("min_v"),
+        F.col("max_tok").alias("max_v"),
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """As-of join: each event attaches the latest SPARSE hourly tier row
     at-or-before its timestamp (sparse right side so matches genuinely
@@ -1454,6 +1486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
+    "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "sketch_merge_1h": q_sketch_merge_1h,
     "column_classes": q_column_classes,
@@ -1800,6 +1833,25 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "rollup_1d": _tier_sql("day"),
+    # W2 midpoint alignment: bucket on ts + dur/2 in exact integer
+    # microseconds (dur is a whole-second multiple, so /2 is a 500000 us
+    # multiple — no floor mismatch between engines)
+    "rollup_1h_midpoint": """
+        WITH d AS (
+            SELECT event_type AS source,
+                   make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                                  + (event_id % 7200) * 500000) AS mts,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        )
+        SELECT source,
+               CAST(date_trunc('hour', mts) AS TIMESTAMP) AS bucket_start,
+               count(*)::BIGINT AS cnt,
+               sum(c)::BIGINT AS sum_v,
+               min(c) AS min_v,
+               max(c) AS max_v
+        FROM d GROUP BY 1, 2
+    """,
     "column_classes": _CLASSIFY_SQL,
     "asof_enrich": """
         WITH hourly AS (

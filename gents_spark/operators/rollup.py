@@ -49,6 +49,41 @@ def bucket_col(ts_col: str, tier: str) -> F.Column:
     return F.date_trunc(TIER_UNITS[tier], F.col(ts_col))
 
 
+#: W2 window-assignment alignments (GenTS offers the same four for
+#: interval-valued records: ``gents/hfcollection.py:966-978``).
+ALIGNMENTS = ("direct", "start_bound", "end_bound", "midpoint")
+
+
+def aligned_ts(
+    ts_col: str, ts_end_col: str | None = None, alignment: str = "direct"
+) -> F.Column:
+    """Representative timestamp used for window assignment.
+
+    A record spanning ``[ts, ts_end)`` has no single obvious bucket; the
+    reference lets the caller choose which representative decides it:
+    ``direct`` (the point timestamp — also the only choice when there is
+    no end bound), ``start_bound``, ``end_bound``, or ``midpoint``.
+    Midpoint uses exact integer microsecond arithmetic
+    (``(us(ts)+us(end)) div 2``) so it is engine-deterministic — no
+    interval/double rounding.
+    """
+    if alignment not in ALIGNMENTS:
+        raise ValueError(
+            f"unknown alignment {alignment!r}; choose one of {ALIGNMENTS}"
+        )
+    if alignment in ("direct", "start_bound"):
+        return F.col(ts_col)
+    if ts_end_col is None:
+        raise ValueError(f"alignment={alignment!r} requires ts_end_col")
+    if alignment == "end_bound":
+        return F.col(ts_end_col)
+    mid_us = F.unix_micros(F.col(ts_col).cast("timestamp")) + F.unix_micros(
+        F.col(ts_end_col).cast("timestamp")
+    )
+    # arithmetic shiftright == exact floor-div-2 on the long sum
+    return F.timestamp_micros(F.shiftright(mid_us, 1))
+
+
 def sorted_percentile(sorted_arr: F.Column, p: float) -> F.Column:
     """Exact linear-interpolation percentile over a pre-sorted array,
     evaluating the same expression Spark's Percentile aggregate does
@@ -108,6 +143,8 @@ def rollup(
     sketch_accuracy: int = SKETCH_ACCURACY,
     hot_bucket_limit: int = HOT_BUCKET_LIMIT,
     gchunk_col: str | None = None,
+    ts_end_col: str | None = None,
+    alignment: str = "direct",
 ) -> DataFrame:
     """One continuous-aggregate tier from raw rows.
 
@@ -125,6 +162,15 @@ def rollup(
     the aggregation runs with ZERO exchange — and downstream windows /
     joins keyed on the same attribute stay exchange-free too (the
     one-big-shuffle pipeline, see pipeline.TierPipeline.run).
+
+    ``alignment`` / ``ts_end_col`` (W2): for interval-valued records
+    ``[ts_col, ts_end_col)`` the bucketing timestamp is chosen by
+    ``aligned_ts`` — ``direct`` (default, point semantics),
+    ``start_bound``, ``end_bound``, or ``midpoint`` — GenTS's four
+    time-alignment methods (``gents/hfcollection.py:966-978``).  Note
+    the ``auto`` percentile probe and any ``gchunk_col`` co-partition
+    column must be derived from the SAME aligned timestamp by the
+    caller when alignment != direct.
 
     ``percentile_mode``:
 
@@ -173,7 +219,11 @@ def rollup(
     group_keys = [F.col(source_col).alias("source")]
     if gchunk_col:
         group_keys.append(F.col(gchunk_col))
-    group_keys.append(bucket_col(ts_col, tier).alias("bucket_start"))
+    group_keys.append(
+        F.date_trunc(
+            unit, aligned_ts(ts_col, ts_end_col, alignment)
+        ).alias("bucket_start")
+    )
     out = (
         df.groupBy(*group_keys)
         .agg(*aggs)

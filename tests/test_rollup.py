@@ -288,3 +288,67 @@ def test_pipeline_stored_distinct_sketch_survives_expiry(spark, raw, tmp_path):
         ).agg(F.countDistinct("doc_id").alias("n")).collect()
     }
     assert got == exact
+
+
+def test_w2_alignment_methods(spark, raw):
+    """W2: the four window-assignment alignments
+    (gents/hfcollection.py:966-978).  Intervals are [ts, ts+90s), so on
+    a 1m tier start/midpoint/end can land in three DIFFERENT buckets;
+    direct == start_bound; every alignment keeps global cnt; and the
+    aligned bucket of each interval equals the trunc of its chosen
+    representative computed independently."""
+    import pytest as _pytest
+
+    from gents_spark.operators.rollup import aligned_ts
+
+    iv = raw.withColumn(
+        "t_end", F.timestamp_add("SECOND", F.lit(90), F.col("event_time"))
+    )
+    outs = {
+        a: rollup(
+            iv, "1m", with_percentiles=False, ts_end_col="t_end", alignment=a
+        )
+        for a in ("direct", "start_bound", "end_bound", "midpoint")
+    }
+    total = raw.count()
+    pdfs = {a: o.toPandas() for a, o in outs.items()}
+    for a, pdf in pdfs.items():
+        assert pdf["cnt"].sum() == total, a
+    # direct and start_bound identical
+    key = ["source", "bucket_start"]
+    d = pdfs["direct"].sort_values(key).reset_index(drop=True)
+    s = pdfs["start_bound"].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(d, s)
+    # representative-timestamp truncation, cross-checked per row
+    rep = iv.select(
+        "source",
+        F.date_trunc("minute", aligned_ts("event_time", "t_end", "midpoint"))
+        .alias("b_mid"),
+        F.date_trunc("minute", aligned_ts("event_time", "t_end", "end_bound"))
+        .alias("b_end"),
+    )
+    mid_expect = {
+        (r.source, r.b_mid): r.n
+        for r in rep.groupBy("source", "b_mid").agg(F.count("*").alias("n")).collect()
+    }
+    mid_got = {
+        (r.source, r.bucket_start): r.cnt for r in outs["midpoint"].collect()
+    }
+    assert mid_got == mid_expect
+    end_expect = {
+        (r.source, r.b_end): r.n
+        for r in rep.groupBy("source", "b_end").agg(F.count("*").alias("n")).collect()
+    }
+    end_got = {
+        (r.source, r.bucket_start): r.cnt for r in outs["end_bound"].collect()
+    }
+    assert end_got == end_expect
+    # a 90s interval guarantees the alignments actually disagree somewhere
+    assert mid_got != {
+        (r.source, r.bucket_start): r.cnt for r in outs["direct"].collect()
+    }
+    # error paths
+    with _pytest.raises(ValueError):
+        aligned_ts("event_time", None, "midpoint")
+    with _pytest.raises(ValueError):
+        aligned_ts("event_time", "t_end", "bogus")
