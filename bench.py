@@ -31,6 +31,12 @@ from gents_spark.synth import synth_sequences  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: per-query repetitions, run as INTERLEAVED round-robin passes with
+#: best-of reported per query (round-3 VERDICT: single-shot per-query
+#: timings picked up ~2x host-steal artifacts on several queries; with
+#: interleaving a steal burst degrades one PASS, not one query's only
+#: sample)
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
 #: timed-pipeline repetitions; best-of-N reported.  Default 3: this VM's
 #: host shows heavy intermittent CPU steal (identical runs vary 3x), so
 #: a single timed run mostly measures the host's mood
@@ -173,10 +179,17 @@ def main() -> None:
         t_ingest = t if t_ingest is None else min(t_ingest, t)
     timings["ingest_validate_encode"] = round(t_ingest, 3)
 
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _rep in range(max(QUERY_REPEATS, 1)):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+        # each call builds its own persisted intermediates (fresh RDD
+        # ids — no cross-pass reuse), so drop them between passes
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

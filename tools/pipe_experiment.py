@@ -50,6 +50,12 @@ def main() -> None:
         conf["spark.speculation"] = "true"
         conf["spark.speculation.multiplier"] = "2"
         conf["spark.speculation.quantile"] = "0.75"
+    if "codec" in opts:
+        # shuffle/spill/broadcast byte compression (default lz4): the
+        # round-3 probes pinned tier-build scaling residual to per-byte
+        # cross-JVM shuffle cost, so a denser codec (zstd) trades CPU
+        # for fewer exchanged bytes
+        conf["spark.io.compression.codec"] = opts["codec"]
     if "gc" in opts:
         conf["spark.driver.extraJavaOptions"] = (
             f"-XX:ParallelGCThreads={opts['gc']} "

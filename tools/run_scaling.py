@@ -45,6 +45,8 @@ N_MASTER = "local-cluster[1,2,14336]"
 N4_MASTER = "local-cluster[4,2,14336]"
 COMMON = ["shuffle=32", "execmem=12g", "drivermem=8g",
           "maxpart=16m", "advisory=8m", "ingest=1", "spec=1"]
+#: extra pipe_experiment k=v opts, e.g. SCALING_EXTRA="codec=zstd"
+COMMON += [kv for kv in os.environ.get("SCALING_EXTRA", "").split() if kv]
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
