@@ -740,6 +740,15 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-word fraction, top-bigram
+    mass) — the published degenerate-text proxies a training pipeline
+    filters on (operators/textstats.py::repetition_stats)."""
+    from gents_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from gents_spark.operators.similarity import cosine_topk
 
@@ -1516,7 +1525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1539,8 +1548,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
-    # --- rotated tail: untouched since r02, driver-green in
+    # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
     "time_spine": q_time_spine,
     "range_label": q_range_label,
@@ -1861,6 +1871,36 @@ ORACLES: dict[str, str] = {
         FROM d GROUP BY 1, 2
     """,
     "column_classes": _CLASSIFY_SQL,
+    "repetition_stats": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), base AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   len(list_distinct(ws))::BIGINT AS n_distinct_words
+            FROM w
+        ), bg AS (
+            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (
+            SELECT doc_id, bigram, count(*)::BIGINT AS c
+            FROM bg GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, c AS top_bigram_n, bigram AS top_bigram,
+                   n_bigrams
+            FROM (SELECT doc_id, bigram, c,
+                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, bigram) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        )
+        SELECT b.doc_id, n_words, n_distinct_words,
+               round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
+                   AS dup_word_frac,
+               top_bigram, top_bigram_n,
+               round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+    """,
     "asof_enrich": """
         WITH hourly AS (
             SELECT event_type AS source,

@@ -109,3 +109,64 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(MOD_P)),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters — duplicate-word fraction and
+    top-n-gram mass are the published proxies for degenerate/boilerplate
+    text that training pipelines drop).
+
+    Output: (doc_id, n_words, n_distinct_words, dup_word_frac,
+    top_bigram, top_bigram_n, top_bigram_frac).  Fractions are single
+    IEEE divisions of exact integers (engine-deterministic); the top
+    bigram tie-break is lexicographic-min among max-count bigrams via a
+    struct-min aggregate (no window).
+
+    Scale shape: word stats are pure map-side (``size`` /
+    ``array_distinct``); the bigram top-1 is explode -> (doc, bigram)
+    count -> per-doc struct-min — two shuffles on high-cardinality
+    keys, partially combined map-side.  Docs under 2 words get NULL
+    bigram columns.
+    """
+    from gents_spark.operators.dedup import shingles_col
+
+    w = words_col()
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(shingles_col(2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("bigram"))
+            ).alias("t"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            (-F.col("t.nc")).alias("top_bigram_n"),
+            F.col("t.bigram").alias("top_bigram"),
+            "n_bigrams",
+        )
+    )
+    out = base.join(top, "doc_id", "left")
+    nw, nd = F.col("n_words"), F.col("n_distinct_words")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round((nw - nd) / nw, 6).alias("dup_word_frac"),
+        "top_bigram",
+        "top_bigram_n",
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -436,3 +436,35 @@ def test_keep_representatives(spark):
     assert out[8] == (8, True) and out[9] == (8, False)
     for i in (0, 1, 3, 5, 6):
         assert out[i] == (i, True)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals on hand-computable docs: exact
+    duplicate-word and top-bigram fractions, deterministic lexicographic
+    tie-break, NULL bigram columns for a one-word doc."""
+    from gents_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 2 distinct; bigrams: "a a","a b","b a","a b","b b"
+            # -> top "a b" x2 of 5
+            (1, "a a b a b b"),
+            # all distinct words; every bigram unique -> tie, lexicographic
+            # min "x y" wins at count 1 of 2
+            (2, "x y z"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_distinct_words) == (6, 2)
+    assert r1.dup_word_frac == 0.666667
+    assert (r1.top_bigram, r1.top_bigram_n) == ("a b", 2)
+    assert r1.top_bigram_frac == 0.4
+    r2 = rows[2]
+    assert (r2.top_bigram, r2.top_bigram_n) == ("x y", 1)
+    assert r2.top_bigram_frac == 0.5
+    assert r2.dup_word_frac == 0.0
+    r3 = rows[3]
+    assert (r3.n_words, r3.top_bigram, r3.top_bigram_n) == (1, None, None)

@@ -44,7 +44,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_MASTER = "local-cluster[1,2,14336]"
 N4_MASTER = "local-cluster[4,2,14336]"
 COMMON = ["shuffle=32", "execmem=12g", "drivermem=8g",
-          "maxpart=16m", "advisory=8m", "ingest=1", "spec=1"]
+          "maxpart=16m", "advisory=8m", "ingest=1", "spec=1",
+          # round-4: zstd shuffle compression attacks exactly the
+          # residual the round-3 probes pinned (per-byte cross-JVM
+          # exchange cost) — single-round probe moved tier-build
+          # efficiency 0.73 -> 0.82
+          "codec=zstd"]
 #: extra pipe_experiment k=v opts, e.g. SCALING_EXTRA="codec=zstd"
 COMMON += [kv for kv in os.environ.get("SCALING_EXTRA", "").split() if kv]
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
