@@ -749,6 +749,19 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction counts + scrubbed text (emails/IPv4/phones) —
+    map-side regexes in the Java-regex/RE2 common subset so Spark and
+    the DuckDB oracle compile identical patterns.  The synthetic corpus
+    contains no PII, so counts are zero and text_clean == text — the
+    oracle still pins the full plumbing (pattern compile, count, chained
+    replace); actual redaction is pinned by
+    tests/test_pipeline_ops.py::test_pii_scrub_redacts."""
+    from gents_spark.operators.textstats import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from gents_spark.operators.similarity import cosine_topk
 
@@ -1526,11 +1539,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "sessionize_events": q_sessionize_events,
@@ -1550,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "embedding_label_stats": q_embedding_label_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
     "time_spine": q_time_spine,
@@ -1900,6 +1914,27 @@ ORACLES: dict[str, str] = {
                top_bigram, top_bigram_n,
                round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac
         FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    # identical pattern strings as operators/textstats.py::PII_PATTERNS
+    # (Java-regex/RE2 common subset); DuckDB needs the 'g' flag for
+    # replace-all (Spark's regexp_replace is global by default)
+    "pii_scrub": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                   AS n_email,
+               len(regexp_extract_all(text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                   AS n_ipv4,
+               len(regexp_extract_all(text,
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+                   AS text_clean
+        FROM documents
     """,
     "asof_enrich": """
         WITH hourly AS (

@@ -170,3 +170,37 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+#: PII patterns written in the common subset of Java regex (Spark) and
+#: RE2 (DuckDB oracle): no lookaround, no backrefs — so the engine and
+#: the oracle compile the IDENTICAL pattern.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII (emails, IPv4, US-style phone numbers) and
+    count matches per class — the scrub every training-data pipeline
+    runs before text reaches a tokenizer.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, text_clean).  Counts are
+    taken on the ORIGINAL text per class (order-independent); redaction
+    applies email -> ipv4 -> phone so an earlier placeholder can't be
+    re-matched (patterns are digit/alnum-anchored; placeholders are
+    not).  Pure map-side ``regexp_count``/``regexp_replace`` column
+    expressions — whole-stage codegen, zero shuffle, embarrassingly
+    parallel at any scale.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    clean = t
+    for _name, (pat, repl) in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select("doc_id", *counts, clean.alias("text_clean"))

@@ -468,3 +468,31 @@ def test_repetition_stats_hand_computed(spark):
     assert r2.dup_word_frac == 0.0
     r3 = rows[3]
     assert (r3.n_words, r3.top_bigram, r3.top_bigram_n) == (1, None, None)
+
+
+def test_pii_scrub_redacts(spark):
+    """PII scrub on synthetic rows containing actual emails/IPs/phones
+    (the driver corpus has none): per-class counts and placeholder
+    substitution, non-PII text untouched, counts independent of
+    redaction order."""
+    from gents_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.org and ALICE@SUB.domain.co now"),
+            (2, "server 10.0.255.3 called 192.168.1.1 at 555-123-4567"),
+            (3, "phone 555.123.4567 ip 1.2.3.4 mail a@b.io"),
+            (4, "no pii here, just words and 123 numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 0, 0)
+    assert rows[1].text_clean == "mail <EMAIL> and <EMAIL> now"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 2, 1)
+    assert rows[2].text_clean == "server <IP> called <IP> at <PHONE>"
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (1, 1, 1)
+    assert rows[3].text_clean == "phone <PHONE> ip <IP> mail <EMAIL>"
+    r4 = rows[4]
+    assert (r4.n_email, r4.n_ipv4, r4.n_phone) == (0, 0, 0)
+    assert r4.text_clean == "no pii here, just words and 123 numbers"
