@@ -441,3 +441,109 @@ def read_tier(spark: SparkSession, tiers_dir: str, tier: str) -> DataFrame:
         spark.read.option("basePath", tiers_dir)
         .parquet(os.path.join(tiers_dir, f"tier={tier}"))
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot semantics over the append-only manifest (the Iceberg-metadata
+# analog the stand-in CAN honor without catalog jars).
+#
+# Iceberg mapping: every manifest append is a commit; a "snapshot" is the
+# set of (tier, chunk) units whose LATEST row at-or-before a timestamp
+# (or at the end of a run) is ``done``.  Because the manifest is
+# append-only, MEMBERSHIP time travel is exact for all history.  DATA
+# time travel is narrower than real Iceberg: a reconcile rewrite
+# overwrites the chunk's parquet dir in place (Iceberg would keep the
+# old files until expire_snapshots), so reading an old snapshot returns
+# the old membership over the CURRENT files; a chunk rewritten since the
+# snapshot surfaces with its current content.  This is the documented
+# stand-in trade (see module docstring) — the seam to replace with
+# a catalog's native time travel when jars are available.
+# --------------------------------------------------------------------------
+
+
+def snapshot_chunks(
+    spark: SparkSession,
+    manifest_dir: str,
+    as_of_ts: float | None = None,
+    as_of_run: str | None = None,
+) -> DataFrame:
+    """(tier, chunk) membership of the snapshot at ``as_of_ts`` (unix
+    seconds) or at the last commit of ``as_of_run`` — latest-row-wins
+    over manifest rows at-or-before the cut, exactly like
+    ``latest_status`` over a truncated history."""
+    m = read_manifest(spark, manifest_dir)
+    if as_of_run is not None:
+        cut = (
+            m.filter(F.col("run_id") == as_of_run)
+            .agg(F.max("checkpoint_ts"))
+            .collect()[0][0]
+        )
+        if cut is None:
+            raise ValueError(f"run_id {as_of_run!r} has no manifest rows")
+        as_of_ts = cut if as_of_ts is None else min(as_of_ts, cut)
+    if as_of_ts is not None:
+        m = m.filter(F.col("checkpoint_ts") <= as_of_ts)
+    return latest_status(m).filter(F.col("status") == DONE).select(
+        "tier", "chunk"
+    )
+
+
+def read_tier_snapshot(
+    spark: SparkSession,
+    tiers_dir: str,
+    manifest_dir: str,
+    tier: str,
+    as_of_ts: float | None = None,
+    as_of_run: str | None = None,
+) -> DataFrame:
+    """``read_tier`` restricted to the chunks of a historical snapshot.
+
+    The chunk filter is a partition-pruning predicate on the
+    path-encoded ``chunk`` column — Spark prunes the non-member
+    directories at planning time, so an old small snapshot reads only
+    its own files even on a much-grown table."""
+    snap = snapshot_chunks(spark, manifest_dir, as_of_ts, as_of_run)
+    chunks = [r["chunk"] for r in snap.filter(F.col("tier") == tier).collect()]
+    return read_tier(spark, tiers_dir, tier).filter(
+        F.col("chunk").isin(chunks)
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession, manifest_dir: str, older_than_ts: float
+) -> dict:
+    """Iceberg ``expire_snapshots`` analog: compact manifest history.
+
+    Rows older than ``older_than_ts`` are dropped EXCEPT each (tier,
+    chunk)'s latest row — current membership, resume, and lineage
+    metrics are untouched; only the ability to time-travel BEFORE the
+    horizon is given up.  The compacted manifest is rewritten atomically
+    (temp dir + rename) so a concurrent reader sees old or new, never
+    half.  Returns {"kept": n, "dropped": n}.
+    """
+    import shutil
+
+    m = read_manifest(spark, manifest_dir)
+    w = F.struct("checkpoint_ts", "status")
+    latest = m.groupBy("tier", "chunk").agg(F.max(w).alias("_top"))
+    keep = (
+        m.join(latest, ["tier", "chunk"])
+        .filter(
+            (F.col("checkpoint_ts") >= older_than_ts)
+            | (F.struct("checkpoint_ts", "status") == F.col("_top"))
+        )
+        .drop("_top")
+    )
+    total = m.count()
+    tmp = manifest_dir.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # Spark write keeps the exact manifest schema (a pandas round-trip
+    # would re-infer types and can null-type an all-None column)
+    keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n_kept = spark.read.parquet(tmp).count()
+    old = manifest_dir.rstrip("/") + ".expired"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(manifest_dir, old)
+    os.replace(tmp, manifest_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"kept": n_kept, "dropped": total - n_kept}

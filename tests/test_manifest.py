@@ -248,3 +248,60 @@ def test_resume_with_sketch_and_quarantine(spark, tmp_path):
     assert m2["quarantined_rows"] == ref["quarantined_rows"] > 0
     q = spark.read.parquet(out + "/quarantine")
     assert q.count() == ref["quarantined_rows"]
+
+
+def test_snapshot_time_travel_and_expiry(spark, seqs, tmp_path):
+    """Iceberg-snapshot analog over the append-only manifest: membership
+    time travel to a pre-reconcile snapshot (by ts and by run_id),
+    partition-pruned snapshot reads, and expire_snapshots compaction
+    that preserves current membership + resume while giving up
+    pre-horizon history."""
+    import os
+    import time
+
+    from gents_spark.plans.manifest import (
+        expire_snapshots,
+        read_manifest,
+        snapshot_chunks,
+        read_tier_snapshot,
+    )
+
+    out = str(tmp_path / "tt")
+    mdir = os.path.join(out, "manifest")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+    m1 = pipe.run(seqs, out, run_id="rA")
+    n_a = m1["tiers"]["1d"]["written"]
+    ts1 = time.time()
+
+    # late data -> reconcile invalidates one chunk, resume rewrites it
+    late = seqs.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("#1"))
+    )
+    full = seqs.unionByName(late)
+    time.sleep(0.05)  # commit timestamps strictly after ts1
+    pipe.reconcile(full, out, run_id="rec")
+    pipe.run(full, out, run_id="rB", resume=True)
+
+    # time travel: snapshot at ts1 == run-A membership, both addressings
+    snap_ts = {r["chunk"] for r in snapshot_chunks(spark, mdir, as_of_ts=ts1).collect()}
+    snap_run = {r["chunk"] for r in snapshot_chunks(spark, mdir, as_of_run="rA").collect()}
+    assert len(snap_ts) == n_a
+    assert snap_ts == snap_run
+    # current membership is the same chunk set (rewrite, no new chunks)
+    cur = {r["chunk"] for r in snapshot_chunks(spark, mdir).collect()}
+    assert cur == snap_ts
+    # snapshot read covers exactly the member chunks
+    got = read_tier_snapshot(spark, out + "/tiers", mdir, "1d", as_of_ts=ts1)
+    assert {r["chunk"] for r in got.select("chunk").distinct().collect()} == snap_ts
+    with pytest.raises(ValueError):
+        snapshot_chunks(spark, mdir, as_of_run="nope")
+
+    # expiry: drop pre-ts1 history, keep each chunk's latest row
+    n_rows_before = read_manifest(spark, mdir).count()
+    rep = expire_snapshots(spark, mdir, older_than_ts=time.time())
+    assert rep["dropped"] > 0
+    assert rep["kept"] + rep["dropped"] == n_rows_before
+    assert {r["chunk"] for r in snapshot_chunks(spark, mdir).collect()} == cur
+    # resume after compaction still skips everything
+    m3 = pipe.run(full, out, run_id="rC", resume=True)
+    assert m3["tiers"]["1d"]["written"] == 0
