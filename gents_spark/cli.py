@@ -87,6 +87,12 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "source against each committed chunk's manifest "
                         "fingerprint, invalidate changed chunks, then "
                         "rebuild them (implies --resume)")
+    p.add_argument("--expire-snapshots-h", type=float, default=None,
+                   metavar="HOURS",
+                   help="after the run, compact manifest history older "
+                        "than HOURS hours (Iceberg expire_snapshots "
+                        "analog; keeps each chunk's latest row, so "
+                        "resume and current membership are unaffected)")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -169,6 +175,16 @@ def main(argv: list[str] | None = None) -> int:
         seqs, args.output, resume=resume, run_id=run_id, command=command,
     )
     out.update(metrics)
+    if args.expire_snapshots_h is not None:
+        import os
+
+        from gents_spark.plans.manifest import expire_snapshots
+
+        out["expire_snapshots"] = expire_snapshots(
+            spark,
+            os.path.join(args.output, "manifest"),
+            older_than_ts=time.time() - args.expire_snapshots_h * 3600,
+        )
     print(json.dumps(out))
     return 0
 
