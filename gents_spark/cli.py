@@ -87,6 +87,12 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "source against each committed chunk's manifest "
                         "fingerprint, invalidate changed chunks, then "
                         "rebuild them (implies --resume)")
+    p.add_argument("--retention", nargs="*", default=None,
+                   metavar="TIER=YYYY-MM-DD",
+                   help="after the run, expire committed chunks of TIER "
+                        "strictly older than the cutoff date, gated on a "
+                        "committed coarser-tier cover (repeatable: "
+                        "--retention 1m=2026-03-01 1h=2025-01-01)")
     p.add_argument("--expire-snapshots-h", type=float, default=None,
                    metavar="HOURS",
                    help="after the run, compact manifest history older "
@@ -175,6 +181,24 @@ def main(argv: list[str] | None = None) -> int:
         seqs, args.output, resume=resume, run_id=run_id, command=command,
     )
     out.update(metrics)
+    if args.retention:
+        import os
+
+        from gents_spark.operators.retention import expire
+
+        ret: dict[str, list[str]] = {}
+        for spec in args.retention:
+            tier, _, cutoff = spec.partition("=")
+            if not cutoff:
+                raise SystemExit(f"--retention expects TIER=YYYY-MM-DD, got {spec!r}")
+            ret[tier] = expire(
+                spark,
+                os.path.join(args.output, "tiers"),
+                os.path.join(args.output, "manifest"),
+                tier,
+                cutoff,
+            )
+        out["retention_expired"] = ret
     if args.expire_snapshots_h is not None:
         import os
 

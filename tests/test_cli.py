@@ -207,3 +207,50 @@ def test_cli_reconcile_flag(spark, tmp_path, capsys):
     a = read_tier(spark, out + "/tiers", "1d").select(cols)
     b = read_tier(spark, clean + "/tiers", "1d").select(cols)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cli_retention_and_snapshot_expiry(spark, tmp_path, capsys):
+    """--retention expires old fine-tier chunks gated on coarser cover;
+    --expire-snapshots-h compacts manifest history; both report in the
+    output JSON and leave resume intact."""
+    import os
+
+    in_path = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    synth_sequences(spark, 2, 300).write.parquet(in_path)
+
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "1h", "--gapfill", "none",
+        "--step-s", "3600", "--master", "local[4]",
+    ])
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_1m = first["tiers"]["1m"]["written"]
+    assert n_1m > 0
+
+    # expire every 1m chunk before a far-future cutoff (1h cover exists)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "1h", "--gapfill", "none",
+        "--step-s", "3600", "--master", "local[4]", "--resume",
+        "--retention", "1m=2030-01-01", "--expire-snapshots-h", "0",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tiers"]["1m"]["skipped"] == n_1m
+    assert len(rep["retention_expired"]["1m"]) == n_1m
+    assert rep["expire_snapshots"]["kept"] > 0
+    assert not os.path.isdir(os.path.join(out, "tiers", "tier=1m")) or not os.listdir(
+        os.path.join(out, "tiers", "tier=1m")
+    )
+    # coarser cover tier survives
+    assert read_tier(spark, out + "/tiers", "1h").count() > 0
+    # malformed spec fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([
+            "--input", in_path, "--output", out, "--master", "local[4]",
+            "--resume", "--retention", "1m",
+        ])
