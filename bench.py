@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "m4_downsample",
     "rolling_zscore",
     "contamination_ngram",
+    # round-4 additions
+    "rollup_1h_midpoint",
+    "repetition_stats",
+    "pii_scrub",
 ]
 
 
