@@ -286,6 +286,7 @@ def write_tiers_combined(
     command: str | None = None,
     compression: str = "snappy",
     repartition_output: bool = False,
+    sort_output: bool = True,
 ) -> dict:
     """ALL tiers in one write job + one stats job + one manifest append.
 
@@ -356,6 +357,18 @@ def write_tiers_combined(
     if repartition_output:
         to_write = union.repartition(
             F.col("tier"), F.col("chunk"), F.col("source")
+        )
+    if sort_output:
+        # per-task sort, NO exchange (the zero-exchange build property is
+        # plan-pinned by test_plans.py): within each written file rows
+        # come out (source, bucket_start)-ordered, so parquet row-group/
+        # page min-max stats are tight and a time-sliced read (S6) prunes
+        # inside big files — at 100 TB a chunk file holds many row
+        # groups, and unordered buckets would smear every group's range
+        # across the whole chunk.  Side effect: long source runs RLE
+        # well.  Measured write-time cost at bench scale: none.
+        to_write = to_write.sortWithinPartitions(
+            "tier", "chunk", "source", "bucket_start"
         )
     (
         to_write.write.mode("overwrite")
