@@ -158,6 +158,41 @@ def q_asof_enrich(spark, sf_dir):
              "matched_bucket", "bucket_cnt")
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a 2h staleness bound (pandas merge_asof
+    ``tolerance`` analog): matches older than the bound are dropped and
+    the event keeps NULL tier columns — the sparse right side makes
+    genuinely-stale matches common, so the bound does real work here."""
+    from gents_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("source"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("bucket_cnt"))
+        .filter(F.col("bucket_cnt") >= 8)
+        .select(
+            "source",
+            "bucket_start",
+            F.col("bucket_start").alias("matched_bucket"),
+            "bucket_cnt",
+        )
+    )
+    return asof_join(
+        ev, hourly, key="source", left_ts="ts", right_ts="bucket_start",
+        right_cols=["matched_bucket", "bucket_cnt"], tolerance_s=7200,
+    ).select("event_id", "source", "ts", "value",
+             "matched_bucket", "bucket_cnt")
+
+
 def q_twa_1h(spark, sf_dir):
     """Time-weighted hourly average of event values (LOCF weighting)."""
     from gents_spark.operators.counters import time_weighted_avg
@@ -1519,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_merge_1h": q_sketch_merge_1h,
     "column_classes": q_column_classes,
     "asof_enrich": q_asof_enrich,
+    "asof_tolerance": q_asof_tolerance,
     "twa_1h": q_twa_1h,
     "counter_agg_1h": q_counter_agg_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -1544,7 +1580,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "sessionize_events": q_sessionize_events,
     "state_durations": q_state_durations,
@@ -1563,6 +1598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "multimodal_meta": q_multimodal_meta,
     "embedding_label_stats": q_embedding_label_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
@@ -1945,6 +1981,24 @@ ORACLES: dict[str, str] = {
         SELECT e.event_id, e.event_type AS source, e.ts,
                round(e.value, 6) AS value,
                h.matched_bucket, h.bucket_cnt
+        FROM events e
+        ASOF LEFT JOIN hourly h
+          ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    # same join with the 2h staleness bound applied post-match
+    "asof_tolerance": """
+        WITH hourly AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS matched_bucket,
+                   count(*) AS bucket_cnt
+            FROM events GROUP BY 1, 2 HAVING count(*) >= 8)
+        SELECT e.event_id, e.event_type AS source, e.ts,
+               round(e.value, 6) AS value,
+               CASE WHEN epoch_us(e.ts) - epoch_us(h.matched_bucket)
+                         <= 7200000000 THEN h.matched_bucket END
+                   AS matched_bucket,
+               CASE WHEN epoch_us(e.ts) - epoch_us(h.matched_bucket)
+                         <= 7200000000 THEN h.bucket_cnt END AS bucket_cnt
         FROM events e
         ASOF LEFT JOIN hourly h
           ON e.event_type = h.source AND e.ts >= h.matched_bucket

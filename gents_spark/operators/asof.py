@@ -36,6 +36,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "bucket_start",
     right_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left rows + the latest right row with right_ts <= left_ts per key.
 
@@ -45,6 +46,13 @@ def asof_join(
     does not arise there.  Raises on column-name collisions between the
     left table and the carried right columns (silently overwriting the
     left's own column was round-2 ADVICE #3).
+
+    ``tolerance_s``: maximum staleness (pandas ``merge_asof``
+    ``tolerance`` / QuestDB ASOF TOLERANCE analog) — a matched right
+    row older than ``left_ts - tolerance_s`` is discarded and the left
+    row keeps NULL right columns.  The bound is enforced on the carried
+    row's own timestamp (shipped inside the struct), so it composes
+    with the cross-chunk carry for free.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -55,7 +63,12 @@ def asof_join(
             f"asof_join: right columns {clash} already exist on the left "
             "table; rename or pass right_cols explicitly"
         )
-    row_struct = F.struct(*[F.col(c) for c in right_cols])
+    # the carried row always ships its own timestamp (_rts) so the
+    # tolerance bound can be checked after LOCF/carry resolution
+    row_struct = F.struct(
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+    )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
@@ -107,6 +120,12 @@ def asof_join(
     )
     out = filled.join(F.broadcast(carry), [key, "_gchunk"], "left")
     best = F.coalesce(F.col("_r"), F.col("_c_row"))
+    if tolerance_s is not None:
+        fresh = (
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(best["_rts"])
+        ) <= int(tolerance_s * 1_000_000)
+        best = F.when(fresh, best)
     for c in right_cols:
         out = out.withColumn(c, best[c])
     return out.filter(F.col("_is_l") == 1).drop(

@@ -142,3 +142,35 @@ def test_asof_plan_no_range_explosion(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_tolerance_bounds_staleness(spark):
+    """merge_asof-tolerance analog: the same fixture as the carry test,
+    but matches staler than the bound are dropped (keeping NULLs) — the
+    cross-day carried match (29h stale) dies under a 2h bound while
+    fresh matches survive, including the boundary-exact one."""
+    left = spark.createDataFrame(
+        [
+            (1, "a", "2026-01-01 00:30:00"),  # 0.5h stale -> keep
+            (2, "a", "2026-01-02 05:00:00"),  # 29h stale  -> drop
+            (3, "a", "2026-01-03 11:00:00"),  # exactly 2h -> keep (<=)
+            (4, "a", "2026-01-03 11:00:01"),  # 2h + 1s    -> drop
+        ],
+        "event_id long, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 00:00:00", 10),
+            ("a", "2026-01-03 09:00:00", 30),
+        ],
+        "source string, bucket_start string, v int",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, key="source", left_ts="ts",
+            right_ts="bucket_start", right_cols=["v"], tolerance_s=7200,
+        ).collect()
+    }
+    assert out == {1: 10, 2: None, 3: 30, 4: None}
