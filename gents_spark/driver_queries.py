@@ -797,6 +797,16 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rule keep/drop verdict with named drop reasons
+    (operators/textstats.py::quality_filter) — thresholds chosen so the
+    gate corpus yields a MIX of keeps and drops (words 10-99, dup-word
+    frac 0-0.72 at sf0.01), exercising every rule branch."""
+    from gents_spark.operators.textstats import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from gents_spark.operators.similarity import cosine_topk
 
@@ -1556,7 +1566,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_enrich": q_asof_enrich,
     "asof_tolerance": q_asof_tolerance,
     "twa_1h": q_twa_1h,
-    "counter_agg_1h": q_counter_agg_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "timestep_delta": q_timestep_delta,
@@ -1576,6 +1585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "quality_filter": q_quality_filter,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1598,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "counter_agg_1h": q_counter_agg_1h,
     "multimodal_meta": q_multimodal_meta,
     "embedding_label_stats": q_embedding_label_stats,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1950,6 +1961,52 @@ ORACLES: dict[str, str] = {
                top_bigram, top_bigram_n,
                round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac
         FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    # Gopher-rule verdict over the repetition CTEs, same thresholds and
+    # the same ROUNDED fractions as the engine (boundary-deterministic)
+    "quality_filter": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), base AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   len(list_distinct(ws))::BIGINT AS n_distinct_words
+            FROM w
+        ), bg AS (
+            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (
+            SELECT doc_id, bigram, count(*)::BIGINT AS c
+            FROM bg GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, c AS top_bigram_n, n_bigrams
+            FROM (SELECT doc_id, c,
+                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, bigram) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        ), scored AS (
+            SELECT b.doc_id, n_words,
+                   round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
+                       AS dup_word_frac,
+                   round(top_bigram_n::DOUBLE / n_bigrams, 6)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
+        )
+        SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+               list_filter([
+                   CASE WHEN n_words < 30 THEN 'too_short' END,
+                   CASE WHEN n_words > 100000 THEN 'too_long' END,
+                   CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                   CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
+               ], x -> x IS NOT NULL) AS drop_reasons,
+               len(list_filter([
+                   CASE WHEN n_words < 30 THEN 'too_short' END,
+                   CASE WHEN n_words > 100000 THEN 'too_long' END,
+                   CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                   CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
+               ], x -> x IS NOT NULL)) = 0 AS keep
+        FROM scored
     """,
     # identical pattern strings as operators/textstats.py::PII_PATTERNS
     # (Java-regex/RE2 common subset); DuckDB needs the 'g' flag for

@@ -204,3 +204,46 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _name, (pat, repl) in PII_PATTERNS.items():
         clean = F.regexp_replace(clean, pat, repl)
     return docs.select("doc_id", *counts, clean.alias("text_clean"))
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-rule document filter: compose the repetition signals into
+    a keep/drop verdict with explicit drop reasons (the shape of Rae et
+    al. 2021 §A1.1's quality pipeline — documents are dropped for a
+    NAMED rule, so corpus curation is auditable).
+
+    Output: (doc_id, n_words, dup_word_frac, top_bigram_frac,
+    drop_reasons array<string>, keep boolean).  Thresholds compare the
+    ROUNDED fractions the stats operator emits, so verdicts are
+    engine-deterministic at the 6dp boundary.  Same scale shape as
+    ``repetition_stats`` plus a map-side projection.
+    """
+    r = repetition_stats(docs)
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_words") < min_words, F.lit("too_short")),
+            F.when(F.col("n_words") > max_words, F.lit("too_long")),
+            F.when(
+                F.col("dup_word_frac") > max_dup_word_frac,
+                F.lit("dup_words"),
+            ),
+            F.when(
+                F.col("top_bigram_frac") > max_top_bigram_frac,
+                F.lit("rep_bigram"),
+            ),
+        )
+    )
+    return r.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_bigram_frac",
+        reasons.alias("drop_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

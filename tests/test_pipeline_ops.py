@@ -496,3 +496,26 @@ def test_pii_scrub_redacts(spark):
     r4 = rows[4]
     assert (r4.n_email, r4.n_ipv4, r4.n_phone) == (0, 0, 0)
     assert r4.text_clean == "no pii here, just words and 123 numbers"
+
+
+def test_quality_filter_rule_branches(spark):
+    """Each Gopher rule fires on a purpose-built doc; a clean doc keeps;
+    a doc can accumulate multiple reasons."""
+    from gents_spark.operators.textstats import quality_filter
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    short = "just a few words"
+    dupy = " ".join(["spam"] * 35 + [f"u{i}" for i in range(5)])
+    bigr = " ".join(["ping pong"] * 20 + [f"x{i}" for i in range(20)])
+    docs = spark.createDataFrame(
+        [(1, clean), (2, short), (3, dupy), (4, bigr)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert rows[1].keep and rows[1].drop_reasons == []
+    # a 4-word doc also trips the bigram-mass rule (3 bigrams -> 1/3)
+    assert not rows[2].keep
+    assert rows[2].drop_reasons == ["too_short", "rep_bigram"]
+    assert not rows[3].keep and "dup_words" in rows[3].drop_reasons
+    assert not rows[4].keep
+    assert set(rows[4].drop_reasons) >= {"dup_words", "rep_bigram"}
