@@ -117,14 +117,23 @@ def max_bucket_count(
     tier: str,
     source_col: str = "source",
     ts_col: str = "event_time",
+    ts_end_col: str | None = None,
+    alignment: str = "direct",
 ) -> int:
     """Largest (source, bucket) row count — the hot-bucket probe.
 
     One map-side-combined count aggregation (same shuffle key as the
-    rollup itself); drives percentile_mode='auto'.
+    rollup itself); drives percentile_mode='auto'.  Buckets on the SAME
+    aligned timestamp the rollup will use, so the probe sees the true
+    hot bucket under any W2 alignment.
     """
     row = (
-        df.groupBy(F.col(source_col), bucket_col(ts_col, tier))
+        df.groupBy(
+            F.col(source_col),
+            F.date_trunc(
+                TIER_UNITS[tier], aligned_ts(ts_col, ts_end_col, alignment)
+            ),
+        )
         .count()
         .agg(F.max("count"))
         .collect()[0]
@@ -167,10 +176,10 @@ def rollup(
     ``[ts_col, ts_end_col)`` the bucketing timestamp is chosen by
     ``aligned_ts`` — ``direct`` (default, point semantics),
     ``start_bound``, ``end_bound``, or ``midpoint`` — GenTS's four
-    time-alignment methods (``gents/hfcollection.py:966-978``).  Note
-    the ``auto`` percentile probe and any ``gchunk_col`` co-partition
-    column must be derived from the SAME aligned timestamp by the
-    caller when alignment != direct.
+    time-alignment methods (``gents/hfcollection.py:966-978``).  The
+    ``auto`` percentile probe buckets on the same aligned timestamp;
+    any ``gchunk_col`` co-partition column must still be derived from
+    the aligned timestamp by the caller when alignment != direct.
 
     ``percentile_mode``:
 
@@ -193,7 +202,9 @@ def rollup(
     if percentile_mode not in ("exact", "sketch", "auto"):
         raise ValueError(f"unknown percentile_mode: {percentile_mode}")
     if with_percentiles and percentile_mode == "auto":
-        hot = max_bucket_count(df, tier, source_col, ts_col)
+        hot = max_bucket_count(
+            df, tier, source_col, ts_col, ts_end_col, alignment
+        )
         percentile_mode = "sketch" if hot > hot_bucket_limit else "exact"
     unit = TIER_UNITS[tier]
     v = F.col(value_col)

@@ -532,7 +532,10 @@ def expire_snapshots(
     metrics are untouched; only the ability to time-travel BEFORE the
     horizon is given up.  The compacted manifest is rewritten atomically
     (temp dir + rename) so a concurrent reader sees old or new, never
-    half.  Returns {"kept": n, "dropped": n}.
+    half.  Run QUIESCED with respect to writers: an append landing
+    between the two renames would be lost (Iceberg holds an exclusive
+    metadata lock for the same reason).  Returns {"kept": n,
+    "dropped": n}.
     """
     import shutil
 
