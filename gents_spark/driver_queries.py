@@ -781,7 +781,13 @@ def q_repetition_stats(spark, sf_dir):
     filters on (operators/textstats.py::repetition_stats)."""
     from gents_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    # the operator is pure map-side, so its parallelism equals the scan
+    # partitioning; the single-file gate corpus reads as ONE partition,
+    # so spread it first (a real corpus has many files/splits)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return repetition_stats(docs)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -804,7 +810,10 @@ def q_quality_filter(spark, sf_dir):
     frac 0-0.72 at sf0.01), exercising every rule branch."""
     from gents_spark.operators.textstats import quality_filter
 
-    return quality_filter(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return quality_filter(docs)
 
 
 def q_ann_cosine_topk(spark, sf_dir):

@@ -123,52 +123,58 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     bigram tie-break is lexicographic-min among max-count bigrams via a
     struct-min aggregate (no window).
 
-    Scale shape: word stats are pure map-side (``size`` /
-    ``array_distinct``); the bigram top-1 is explode -> (doc, bigram)
-    count -> per-doc struct-min — two shuffles on high-cardinality
-    keys, partially combined map-side.  Docs under 2 words get NULL
-    bigram columns.
+    Scale shape: ENTIRELY map-side — word stats via ``size`` /
+    ``array_distinct``, and the bigram top-1 via a run-length fold over
+    the doc's SORTED bigram array (equal bigrams are adjacent after
+    ``array_sort``, so the longest run is the max count, and scanning
+    ascending with strictly-greater replacement keeps the
+    lexicographically-smallest bigram among ties).  Zero shuffle, zero
+    join: per-doc text stats never need rows to meet other rows, so at
+    100 TB this runs as a pure scan-project.  Docs under 2 words get
+    NULL bigram columns.
     """
     from gents_spark.operators.dedup import shingles_col
 
     w = words_col()
-    base = docs.select(
+    sorted_bg = F.array_sort(shingles_col(2))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bestbg"),
+    )
+
+    def step(acc, x):
+        run_new = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        better = run_new > acc.best
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.when(better, run_new).otherwise(acc.best).alias("best"),
+            F.when(better, x).otherwise(acc.bestbg).alias("bestbg"),
+        )
+
+    top = F.aggregate(sorted_bg, init, step)
+    stats = docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(sorted_bg).alias("_nbg"),
+        top["best"].alias("_best"),
+        top["bestbg"].alias("_bestbg"),
     )
-    cnt = (
-        docs.select("doc_id", F.explode(shingles_col(2)).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-    )
-    top = (
-        cnt.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("c")).alias("nc"), F.col("bigram"))
-            ).alias("t"),
-            F.sum("c").alias("n_bigrams"),
-        )
-        .select(
-            "doc_id",
-            (-F.col("t.nc")).alias("top_bigram_n"),
-            F.col("t.bigram").alias("top_bigram"),
-            "n_bigrams",
-        )
-    )
-    out = base.join(top, "doc_id", "left")
     nw, nd = F.col("n_words"), F.col("n_distinct_words")
-    return out.select(
+    has_bg = F.col("_nbg") > 0
+    return stats.select(
         "doc_id",
         "n_words",
         "n_distinct_words",
         F.round((nw - nd) / nw, 6).alias("dup_word_frac"),
-        "top_bigram",
-        "top_bigram_n",
-        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
-            "top_bigram_frac"
-        ),
+        F.when(has_bg, F.col("_bestbg")).alias("top_bigram"),
+        F.when(has_bg, F.col("_best")).alias("top_bigram_n"),
+        F.when(
+            has_bg, F.round(F.col("_best") / F.col("_nbg"), 6)
+        ).alias("top_bigram_frac"),
     )
 
 
