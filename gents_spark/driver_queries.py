@@ -1728,7 +1728,8 @@ SESSION_ORACLES: dict[str, str] = {
         , split AS (SELECT doc_id,
                            {_HF.format(x="doc_id::VARCHAR")} < 0.2 AS is_test
                     FROM documents),
-        s2 AS (SELECT sh.doc_id, is_test, shingle
+        s2 AS (SELECT DISTINCT sh.doc_id, is_test,
+                      ('0x'||substring(md5(shingle),1,15))::BIGINT AS shingle
                FROM sh JOIN split USING (doc_id)),
         dfreq AS (SELECT shingle, count(*) AS c FROM s2 GROUP BY 1),
         rare AS (SELECT s2.doc_id, s2.is_test, s2.shingle

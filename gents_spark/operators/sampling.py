@@ -86,11 +86,20 @@ def ngram_contamination(
     otherwise reclamation waits for the ContextCleaner GC hook).
     """
     from gents_spark.operators.dedup import shingles_col
+    from gents_spark.operators.textstats import word_hash
 
     split = split_train_test(docs, "doc_id", test_frac)
+    # shingles join/aggregate as 60-bit md5 keys, not ~30-char strings:
+    # the inverted index and both verify joins shuffle on this column,
+    # so narrowing it cuts most of the operator's shuffle bytes.  The
+    # hash is the engine-portable md5 prefix (same expression in the
+    # DuckDB oracle), so cross-engine counts stay bit-identical even in
+    # the astronomically-unlikely collision case — both engines collide
+    # identically.
+    hashed = F.transform(shingles_col(n), word_hash)
     sh = (
         split.select(
-            "doc_id", "is_test", F.explode(shingles_col(n)).alias("shingle")
+            "doc_id", "is_test", F.explode(hashed).alias("shingle")
         )
         .distinct()
     )
