@@ -714,10 +714,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from gents_spark.operators.dedup import minhash_lsh_pairs
 
     # max_band_df: band-bucket frequency cap — degenerate corpora with
-    # many identical signatures stay linear, never C(k,2) in one bucket
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, max_band_df=50
+    # many identical signatures stay linear, never C(k,2) in one bucket.
+    # repartition: signatures are map-side, so their parallelism equals
+    # the scan partitioning; the gate corpus is one file
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return minhash_lsh_pairs(docs, n=3, max_band_df=50)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -725,10 +728,10 @@ def q_dedup_clusters(spark, sf_dir):
     become transitive GROUPS before keep-one-representative dedup."""
     from gents_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, max_band_df=50
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return dup_clusters(pairs)
+    return dup_clusters(minhash_lsh_pairs(docs, n=3, max_band_df=50))
 
 
 def q_dedup_keep(spark, sf_dir):
@@ -740,7 +743,9 @@ def q_dedup_keep(spark, sf_dir):
         minhash_lsh_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     clusters = dup_clusters(minhash_lsh_pairs(docs, n=3, max_band_df=50))
     return keep_representatives(docs, clusters)
 

@@ -164,17 +164,34 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """k=12 MinHash components per doc (columns mh0..mh11)."""
-    s = shingle_sets(docs, n).withColumn(
-        "h", F.pmod(word_hash(F.col("shingle")), F.lit(MINHASH_P))
+    """k=12 MinHash components per doc (columns mh0..mh11).
+
+    ENTIRELY map-side: the per-doc shingle-hash array is materialized
+    once, and each component is an ``array_min`` over a transformed
+    copy — no explode, no groupBy, zero shuffle (min over the raw
+    multiset equals min over the distinct shingle set, so no distinct
+    either).  Signatures are per-doc functions of the doc alone; at
+    100 TB this is a pure scan-project whose parallelism equals the
+    scan partitioning.  Docs shorter than one shingle produce no row,
+    matching the old explode+groupBy semantics.
+    """
+    hs = F.transform(
+        shingles_col(n),
+        lambda s: F.pmod(word_hash(s), F.lit(MINHASH_P)),
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(
-            f"mh{i}"
-        )
+    d = docs.select("doc_id", hs.alias("_hs")).filter(F.size("_hs") > 0)
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: F.pmod(
+                    F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)
+                ),
+            )
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return s.groupBy("doc_id").agg(*aggs)
+    return d.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
