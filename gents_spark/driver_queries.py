@@ -753,7 +753,10 @@ def q_dedup_keep(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     from gents_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash(docs, bits=16)
 
 
 def q_token_count(spark, sf_dir):

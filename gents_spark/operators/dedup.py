@@ -272,26 +272,30 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Per-doc SimHash: majority vote per bit over word hashes."""
-    exploded = docs.select("doc_id", F.explode(words_col()).alias("w"))
-    hashed = exploded.withColumn(
-        "wh", F.pmod(word_hash(F.col("w")), F.lit(1 << bits))
+    """Per-doc SimHash: majority vote per bit over word hashes.
+
+    Map-side: the word-hash array is materialized once per doc and each
+    bit's vote is an ``aggregate`` fold over it — no double explode
+    (words x bits), no groupBys, zero shuffle.  Votes count word
+    OCCURRENCES (multiset), same as the exploded formulation.
+    """
+    hw = F.transform(
+        words_col(), lambda w: F.pmod(word_hash(w), F.lit(1 << bits))
     )
-    per_bit = (
-        hashed.select(
-            "doc_id",
-            "wh",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    d = docs.select("doc_id", hw.alias("_hw"))
+
+    def bit_vote(b):
+        def merge(acc, h):
+            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return F.aggregate(F.col("_hw"), F.lit(0).cast("long"), merge)
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total + F.when(bit_vote(b) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
         )
-        .withColumn("vote", F.expr("(shiftright(wh, b) & 1) * 2 - 1"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(1, b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return d.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
