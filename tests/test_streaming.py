@@ -192,3 +192,57 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     assert got == exp
     assert len(exp) == 6  # 2 sessions x 3 users
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup == batch exact dedup on the content
+    fingerprint: duplicated token arrays across files collapse to one
+    surviving row per fingerprint; uniques all pass; output fingerprint
+    set equals the batch-distinct set."""
+    from gents_spark.streaming.dedup_stream import (
+        streaming_dedup,
+        token_fingerprint,
+    )
+    from gents_spark.streaming.rollup_stream import read_sequences_stream
+
+    in_path = str(tmp_path / "seqs")
+    out_path = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base = synth_sequences(spark, 2, 300, n_tok_lo=8, n_tok_hi=32)
+    # re-emit 50 docs' CONTENT under shard-suffixed ids (same tokens)
+    dups = (
+        base.orderBy("doc_id")
+        .limit(50)
+        .withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("#1")))
+    )
+    base.write.parquet(in_path)
+    dups.write.mode("append").parquet(in_path)
+
+    q = (
+        streaming_dedup(
+            read_sequences_stream(spark, in_path),
+            step_s=10,
+            watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_path)
+    batch = with_event_time(spark.read.parquet(in_path), step_s=10)
+    exp_fps = {
+        r["fp"]
+        for r in batch.select(
+            token_fingerprint().alias("fp")
+        ).distinct().collect()
+    }
+    got_fps = [r["fingerprint"] for r in got.select("fingerprint").collect()]
+    # one survivor per distinct content, nothing dropped, nothing extra
+    assert len(got_fps) == len(set(got_fps)) == len(exp_fps)
+    assert set(got_fps) == exp_fps
+    assert got.count() == base.count()  # the 50 re-emissions are gone
