@@ -1228,6 +1228,19 @@ _SHINGLE_SQL = """
            FROM w, unnest(range(1, len(ws) - 1)) AS t(i))
 """
 
+#: jaccard variant: same ``sh`` CTE name but 60-bit md5-prefix keys —
+#: mirrors operators/dedup.py::shingle_sets (the signature oracle keeps
+#: string shingles because the engine hashes those directly)
+_SHINGLE_HASH_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+    sh AS (SELECT DISTINCT doc_id,
+                  ('0x'||substring(md5(shingle),1,15))::BIGINT AS shingle
+           FROM sh0)
+"""
+
 _MINHASH_AB_SQL = [
     (1103515245, 12345), (1103245, 54321), (69069, 7), (1664525, 1013904223),
     (22695477, 1), (134775813, 10907), (214013, 2531011), (16843009, 826366247),
@@ -1268,7 +1281,7 @@ DEDUP_ORACLES: dict[str, str] = {
                (count(*) OVER (PARTITION BY fp) > 1) AS is_dup
         FROM k
     """,
-    "dedup_ngram_jaccard": _SHINGLE_SQL + """
+    "dedup_ngram_jaccard": _SHINGLE_HASH_SQL + """
         , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         -- stop-shingle cap (df <= 50) on CANDIDATE generation only;
         -- n_common verifies exactly over full shingle sets

@@ -72,9 +72,18 @@ def exact_dedup_groups(docs: DataFrame, prefix_words: int = 5) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the dedup working set."""
+    """(doc_id, shingle) distinct pairs — the dedup working set.
+
+    Shingles are 60-bit md5-prefix keys, hashed in the array BEFORE the
+    explode: the inverted-index and verify joins downstream shuffle
+    longs instead of ~20-char strings.  The SQL oracle applies the
+    identical hash expression, so set sizes and intersection counts are
+    bit-identical across engines even in the astronomically-unlikely
+    collision case — both engines collide identically.
+    """
+    hashed = F.transform(shingles_col(n), word_hash)
     return (
-        docs.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+        docs.select("doc_id", F.explode(hashed).alias("shingle"))
         .distinct()
     )
 
