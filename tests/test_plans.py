@@ -140,3 +140,35 @@ def test_interval_join_is_equi_join_not_cartesian(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_per_doc_text_stats_are_map_side(spark):
+    """The round-4 map-side rewrites must STAY map-side: per-doc stats
+    (repetition fold, Gopher filter, PII scrub, SimHash votes, MinHash
+    signatures) need no rows to meet other rows, so their plans contain
+    no aggregate-induced Exchange — only the explicit spread-the-
+    single-file repartition the driver queries add (RoundRobin), and
+    none at all for the bare operators."""
+    import re
+
+    from gents_spark.operators.dedup import minhash_signatures, simhash
+    from gents_spark.operators.textstats import (
+        pii_scrub,
+        quality_filter,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    for op in (repetition_stats, quality_filter, pii_scrub, simhash,
+               minhash_signatures):
+        p = op(docs)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert not re.search(r"^\(\d+\) Exchange", p, flags=re.M), (
+            op.__name__, p,
+        )
+        assert "HashAggregate" not in p and "SortAggregate" not in p, (
+            op.__name__,
+        )
