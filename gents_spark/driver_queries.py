@@ -811,6 +811,25 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_documents(spark, sf_dir):
+    """Concat-and-chop sequence packing (operators/packing.py) over the
+    documents table: per source, docs ordered by doc_id fill 2048-char
+    windows; each doc records the window of its first char and its
+    offset.  Exact integer window arithmetic — hash-matches the SQL
+    cumsum oracle."""
+    from gents_spark.operators.packing import pack_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    return pack_tokens(
+        docs, budget=2048, key="source", order="doc_id", weight="n_tok"
+    ).select(
+        "doc_id", "source", "n_tok", "cum_before", "pack_id",
+        "offset_in_pack",
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-rule keep/drop verdict with named drop reasons
     (operators/textstats.py::quality_filter) — thresholds chosen so the
@@ -1601,7 +1620,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "timestep_delta": q_timestep_delta,
     "bucket_consistency": q_bucket_consistency,
     "modal_fingerprint": q_modal_fingerprint,
-    "argmax_top1": q_argmax_top1,
     "filter_include_exclude": q_filter_include_exclude,
     "collection_stats": q_collection_stats,
     "dedup_exact": q_dedup_exact,
@@ -1616,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
+    "pack_documents": q_pack_documents,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1638,6 +1657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "argmax_top1": q_argmax_top1,
     "counter_agg_1h": q_counter_agg_1h,
     "multimodal_meta": q_multimodal_meta,
     "embedding_label_stats": q_embedding_label_stats,
@@ -1992,6 +2012,24 @@ ORACLES: dict[str, str] = {
                top_bigram, top_bigram_n,
                round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac
         FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    # concat-and-chop packing: exclusive per-source cumsum in doc_id
+    # order; integer window arithmetic
+    "pack_documents": """
+        SELECT doc_id, source, n_chars AS n_tok,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS cum_before,
+               (coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048)::BIGINT AS pack_id,
+               (coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) % 2048)::BIGINT AS offset_in_pack
+        FROM documents
     """,
     # Gopher-rule verdict over the repetition CTEs, same thresholds and
     # the same ROUNDED fractions as the engine (boundary-deterministic)

@@ -174,3 +174,34 @@ def test_asof_join_tolerance_bounds_staleness(spark):
         ).collect()
     }
     assert out == {1: 10, 2: None, 3: 30, 4: None}
+
+
+def test_pack_tokens_concat_and_chop(spark):
+    """Packing semantics on a hand-computable stream: budget 10, weights
+    4/4/4/3 -> cum_before 0,4,8,12; packs 0,0,0,1; the straddling third
+    doc belongs to the window of its FIRST token (offset 8); per-key
+    independence; budget validation."""
+    import pytest as _pytest
+
+    from gents_spark.operators.packing import pack_stats, pack_tokens
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 3),
+         ("b", 1, 9), ("b", 2, 2)],
+        "source string, doc_id long, n_tok long",
+    )
+    rows = {
+        (r.source, r.doc_id): r
+        for r in pack_tokens(df, budget=10).collect()
+    }
+    assert [(rows[("a", i)].pack_id, rows[("a", i)].offset_in_pack)
+            for i in (1, 2, 3, 4)] == [(0, 0), (0, 4), (0, 8), (1, 2)]
+    assert [(rows[("b", i)].pack_id, rows[("b", i)].offset_in_pack)
+            for i in (1, 2)] == [(0, 0), (0, 9)]
+    st = {
+        (r.source, r.pack_id): (r.n_seqs, r.sum_tok)
+        for r in pack_stats(pack_tokens(df, budget=10)).collect()
+    }
+    assert st[("a", 0)] == (3, 12) and st[("a", 1)] == (1, 3)
+    with _pytest.raises(ValueError):
+        pack_tokens(df, budget=0)
