@@ -811,6 +811,22 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def q_weighted_mix(spark, sf_dir):
+    """Data-mixing sampler: per-source keep fractions (up/down-weight
+    sources before training) via the content-addressed md5 rule —
+    map-side, reproducible, engine-parallel
+    (operators/sampling.py::weighted_mix)."""
+    from gents_spark.operators.sampling import weighted_mix
+
+    return weighted_mix(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 0.5, "src1": 1.0, "src2": 0.1},
+        key="doc_id",
+        strata="source",
+        default_frac=0.25,
+    ).select("doc_id", "source")
+
+
 def q_pack_documents(spark, sf_dir):
     """Concat-and-chop sequence packing (operators/packing.py) over the
     documents table: per source, docs ordered by doc_id fill 2048-char
@@ -1617,7 +1633,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "timestep_delta": q_timestep_delta,
     "bucket_consistency": q_bucket_consistency,
     "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
@@ -1635,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
     "pack_documents": q_pack_documents,
+    "weighted_mix": q_weighted_mix,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1657,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "timestep_delta": q_timestep_delta,
     "argmax_top1": q_argmax_top1,
     "counter_agg_1h": q_counter_agg_1h,
     "multimodal_meta": q_multimodal_meta,
@@ -2012,6 +2029,12 @@ ORACLES: dict[str, str] = {
                top_bigram, top_bigram_n,
                round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac
         FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    "weighted_mix": f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_HF.format(x="source || '|' || doc_id::VARCHAR")}
+              < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0
+                            WHEN 'src2' THEN 0.1 ELSE 0.25 END
     """,
     # concat-and-chop packing: exclusive per-source cumsum in doc_id
     # order; integer window arithmetic

@@ -148,3 +148,32 @@ def ngram_contamination(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    strata: str = "source",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Data-mixing sampler: keep a PER-STRATUM fraction of rows
+    (e.g. {"web": 0.1, "books": 1.0}) with the same content-addressed
+    md5 rule as ``stratified_sample`` — the standard corpus-mixture
+    step that up/down-weights sources before training.
+
+    Strata absent from ``weights`` keep ``default_frac`` (0 = dropped).
+    The hash is salted with the stratum, so a key drawn at 10% in one
+    stratum is an independent draw in another.  Pure map-side filter:
+    the per-stratum threshold joins the row via a CASE expression, not
+    a table — zero shuffle at any corpus size; reproducible across
+    runs, engines, and repartitioning.
+    """
+    for s, f in weights.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {f}")
+    thr = F.lit(float(default_frac))
+    for s, f in sorted(weights.items()):
+        thr = F.when(F.col(strata) == s, F.lit(float(f))).otherwise(thr)
+    salted = F.concat_ws("|", F.col(strata), F.col(key).cast("string"))
+    return df.filter(hash_frac(salted) < thr)

@@ -519,3 +519,30 @@ def test_quality_filter_rule_branches(spark):
     assert not rows[3].keep and "dup_words" in rows[3].drop_reasons
     assert not rows[4].keep
     assert set(rows[4].drop_reasons) >= {"dup_words", "rep_bigram"}
+
+
+def test_weighted_mix_per_stratum_fractions(spark):
+    """Data-mixing rates: each stratum's keep fraction tracks its
+    weight; weight 1.0 keeps everything, weight 0.0 drops everything;
+    membership is deterministic across calls; bad weights raise."""
+    from gents_spark.operators.sampling import weighted_mix
+
+    rows = [(f"d{i}", f"s{i % 4}") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    w = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    out = weighted_mix(docs, w, default_frac=0.25)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["s0"] == 1000
+    assert "s2" not in counts
+    assert 400 <= counts["s1"] <= 600          # ~0.5 of 1000
+    assert 150 <= counts.get("s3", 0) <= 350   # default 0.25
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in weighted_mix(docs, w, default_frac=0.25).collect())
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_mix(docs, {"s0": 1.5})
