@@ -846,6 +846,19 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table
+    (operators/similarity.py::kmeans_lloyd) — rows/schema-only in the
+    gate: the trainer is iterative (driver loop over exact-integer
+    assignment + mean jobs), not expressible as one SQL statement; its
+    semantics are pinned by test_kmeans_lloyd_separates_blobs
+    (separation, inertia descent, partition invariance)."""
+    from gents_spark.operators.similarity import kmeans_lloyd
+
+    out, _cents = kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+    return out
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-rule keep/drop verdict with named drop reasons
     (operators/textstats.py::quality_filter) — thresholds chosen so the
@@ -1633,7 +1646,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "bucket_consistency": q_bucket_consistency,
     "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
     "collection_stats": q_collection_stats,
@@ -1651,6 +1663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "pack_documents": q_pack_documents,
     "weighted_mix": q_weighted_mix,
+    "kmeans_clusters": q_kmeans_clusters,  # rows/schema-only (iterative)
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1673,6 +1686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green in
     # CORRECTNESS_r02/r03 (rows+schema+hash) ---
+    "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
     "argmax_top1": q_argmax_top1,
     "counter_agg_1h": q_counter_agg_1h,

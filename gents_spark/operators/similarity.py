@@ -386,3 +386,82 @@ def label_stats(emb: DataFrame) -> DataFrame:
         F.sum("n2").alias("sum_sq_norm"),
         F.round(F.avg(F.sqrt(F.col("n2").cast("double"))), 6).alias("avg_norm"),
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = 8, iters: int = 5
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic Lloyd k-means over quantized embeddings.
+
+    Returns ``(assignments, centroids)``: assignments =
+    (vec_id, cluster_id, sq_dist); centroids = the final k quantized
+    integer vectors.  The trainer behind a production IVF index
+    (``ivf_topk``'s docstring note) — seeds are the first ``k``
+    vec_ids, every iteration is one map-side assignment against the
+    BROADCAST centroid literals plus one groupBy mean, and all
+    arithmetic is exact-integer squared-L2 with a floor re-quantization
+    of each new centroid, so the result is bit-identical at any
+    partitioning.
+
+    Scale shape per iteration: zero joins — the k x dim centroid matrix
+    rides into the assignment expression as literals (k*dim ints, tiny);
+    the mean aggregation is map-side combined on a k-ary key.  Driver
+    holds only k centroids between iterations.
+    """
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    base = with_quantized(emb).select("vec_id", "q").persist()
+    cents = [
+        [int(x) for x in r["q"]]
+        for r in base.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors with vec_id < k for seeding")
+    dim = len(cents[0])
+
+    def assign_cols(cs):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(int(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"_d{i}")
+            for i, c in enumerate(cs)
+        ]
+        d = base.select("vec_id", "q", *dists)
+        best = F.lit(0)
+        bestd = F.col("_d0")
+        for i in range(1, len(cs)):
+            closer = F.col(f"_d{i}") < bestd
+            best = F.when(closer, F.lit(i)).otherwise(best)
+            bestd = F.when(closer, F.col(f"_d{i}")).otherwise(bestd)
+        return d.select(
+            "vec_id", "q",
+            best.alias("cluster_id"), bestd.alias("sq_dist"),
+        )
+
+    for _ in range(iters):
+        a = assign_cols(cents)
+        means = (
+            a.groupBy("cluster_id")
+            .agg(
+                *[
+                    F.floor(
+                        F.avg(F.element_at(F.col("q"), i + 1))
+                    ).cast("long").alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {r["cluster_id"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+        # an emptied cluster keeps its previous centroid
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    out = assign_cols(cents).select("vec_id", "cluster_id", "sq_dist")
+    return out, cents

@@ -546,3 +546,44 @@ def test_weighted_mix_per_stratum_fractions(spark):
 
     with _pytest.raises(ValueError):
         weighted_mix(docs, {"s0": 1.5})
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    """Lloyd k-means on two well-separated blobs: perfect separation,
+    non-increasing inertia across iterations, partition-count
+    invariance (bit-identical assignments), error paths."""
+    import random
+
+    from gents_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        center = 1.0 if blob == 0 else -1.0
+        v = [center + rng.gauss(0, 0.05) for _ in range(8)]
+        rows.append((i, v, blob))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a1, cents = kmeans_lloyd(emb, k=2, iters=4)
+    got = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    # perfect separation: cluster id is constant within each blob
+    blob0 = {got[i] for i in range(0, 40, 2)}
+    blob1 = {got[i] for i in range(1, 40, 2)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    assert len(cents) == 2 and len(cents[0]) == 8
+    # inertia non-increasing with more iterations
+    def inertia(df):
+        return df.agg(F.sum("sq_dist")).collect()[0][0]
+
+    i1 = inertia(kmeans_lloyd(emb, k=2, iters=1)[0])
+    i4 = inertia(a1)
+    assert i4 <= i1
+    # partition invariance
+    a2, _ = kmeans_lloyd(emb.repartition(7), k=2, iters=4)
+    assert sorted(a1.collect()) == sorted(a2.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(emb, k=0)
