@@ -863,13 +863,20 @@ def q_quality_filter(spark, sf_dir):
     """Gopher-rule keep/drop verdict with named drop reasons
     (operators/textstats.py::quality_filter) — thresholds chosen so the
     gate corpus yields a MIX of keeps and drops (words 10-99, dup-word
-    frac 0-0.72 at sf0.01), exercising every rule branch."""
+    frac 0-0.72 at sf0.01), exercising every rule branch.
+
+    The operator API returns ``drop_reasons array<string>``; the gate
+    projection joins it to a comma string because the driver's pandas
+    canonicalizer cannot hash list cells (r04 VERDICT item #1)."""
     from gents_spark.operators.textstats import quality_filter
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return quality_filter(docs)
+    out = quality_filter(docs)
+    return out.withColumn(
+        "drop_reasons", F.array_join("drop_reasons", ",")
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -2100,12 +2107,14 @@ ORACLES: dict[str, str] = {
             FROM base b LEFT JOIN top USING (doc_id)
         )
         SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
-               list_filter([
+               -- coalesce: DuckDB array_to_string(<empty list>) is NULL,
+               -- Spark array_join is ''
+               coalesce(array_to_string(list_filter([
                    CASE WHEN n_words < 30 THEN 'too_short' END,
                    CASE WHEN n_words > 100000 THEN 'too_long' END,
                    CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
                    CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
-               ], x -> x IS NOT NULL) AS drop_reasons,
+               ], x -> x IS NOT NULL), ','), '') AS drop_reasons,
                len(list_filter([
                    CASE WHEN n_words < 30 THEN 'too_short' END,
                    CASE WHEN n_words > 100000 THEN 'too_long' END,

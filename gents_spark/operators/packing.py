@@ -3,29 +3,49 @@
 Pretraining batches are built by CONCATENATING documents into a single
 token stream and CHOPPING it into fixed-size windows ("concat-and-chop",
 the packing used by GPT-style pipelines).  The distributed form: within
-each (key, chunk) group, order sequences deterministically, take the
-exclusive running token sum, and derive each sequence's window id and
-offset arithmetically —
+each key group, order sequences deterministically, take the exclusive
+running token sum, and derive each sequence's window id and offset
+arithmetically —
 
-    pack_id        = floor(cum_before / budget)
+    pack_id        = cum_before div budget   (integer division)
     offset_in_pack = cum_before % budget
 
 A sequence whose tokens straddle a window boundary is attributed to the
 window holding its FIRST token (its tail spills into the next window),
 exactly like the flat token stream.
 
-Scale shape: one window aggregation per (key, chunk) partition — the
-same per-key parallel-prefix family as gap-fill/sessionize; no global
-total order is ever materialized (a global single-stream pack would
-serialize the cumsum; per-(source, chunk) packs are what a sharded
-trainer consumes anyway).  Everything is exact integer arithmetic in
-whole-stage codegen.
+Scale shape: ``pack_tokens`` runs one window aggregation per key
+partition — fine while every key's corpus fits one task's sort.  For a
+GIANT single source (one key = half the corpus), ``pack_tokens_chunked``
+is the per-(key, chunk) parallel-prefix escape hatch — the same local
+prefix + tiny summary-lag + offset-join pattern as
+``sessions.sessionize_chunked`` / ``gapfill._locf_chunked`` — so no one
+task ever sorts a whole source.  Both are exact integer arithmetic in
+whole-stage codegen (``div``/``%`` on longs — no double rounding, exact
+past 2^53), and chunked output is EXACTLY equal to the plain operator
+(pinned by test).
+
+No global total order is ever materialized (a global single-stream pack
+would serialize the cumsum; per-source packs are what a sharded trainer
+consumes anyway).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _attach_pack_cols(df: DataFrame, budget: int) -> DataFrame:
+    """pack_id / offset_in_pack from an existing ``cum_before`` column.
+
+    Integral ``div`` + ``%`` on longs: exact for the full bigint range
+    (a double ``floor(a/b)`` loses exactness past 2^53 cumulative
+    tokens, which a 10^12-sequence corpus exceeds).
+    """
+    return df.withColumn(
+        "pack_id", F.expr(f"cum_before div {int(budget)}")
+    ).withColumn("offset_in_pack", F.col("cum_before") % F.lit(budget))
 
 
 def pack_tokens(
@@ -39,6 +59,8 @@ def pack_tokens(
 
     ``budget``: window size in tokens (or any additive weight unit);
     ``order`` must be unique within ``key`` for a deterministic stream.
+    One shuffle on ``key``; each key's stream sorts in one task — use
+    ``pack_tokens_chunked`` when a single key dominates the corpus.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -48,15 +70,76 @@ def pack_tokens(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(F.col(weight)).over(w), F.lit(0)).cast("long")
-    return (
-        df.withColumn("cum_before", cum)
-        .withColumn(
-            "pack_id", F.floor(F.col("cum_before") / F.lit(budget))
-        )
-        .withColumn(
-            "offset_in_pack", F.col("cum_before") % F.lit(budget)
-        )
+    return _attach_pack_cols(df.withColumn("cum_before", cum), budget)
+
+
+def pack_tokens_chunked(
+    df: DataFrame,
+    budget: int,
+    key: str = "source",
+    order: str = "doc_id",
+    weight: str = "n_tok",
+    chunk: str | Column | None = None,
+) -> DataFrame:
+    """``pack_tokens`` for a GIANT single key: parallel-prefix over
+    chunks, exactly equal to the plain operator (pinned by test).
+
+    ``chunk`` is a column name or expression that MUST be monotone
+    non-decreasing in ``order`` within each key (e.g. a doc_id prefix,
+    or ``substring(order, 1, p)`` for lexicographic ids) so that
+    chunk-major, order-minor iteration reproduces the plain per-key
+    order.  Default: the first 2 chars of ``order``.
+
+    1. local EXCLUSIVE prefix sum of ``weight`` per (key, chunk) —
+       windows run per chunk, so one key's corpus spreads over its
+       chunks instead of serializing into one task's sort;
+    2. per-(key, chunk) summary (total weight) is tiny — |keys x chunks|
+       rows; an exclusive prefix sum over summaries (lag window per key)
+       gives each chunk's starting OFFSET in the key's token stream;
+    3. offsets join back on (key, chunk):
+       cum_before = chunk_offset + local_cum.  No forced broadcast hint
+       — for the giant-single-key case the summary is tiny and AQE
+       broadcasts it on its own (round-3 ADVICE convention).
+
+    Two extra shuffles of summary-sized data vs the plain operator.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ch = (
+        F.col(chunk)
+        if isinstance(chunk, str)
+        else chunk
+        if chunk is not None
+        else F.substring(F.col(order), 1, 2)
     )
+    d = df.withColumn("_pch", ch)
+    wc = (
+        Window.partitionBy(key, "_pch")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "_lcum",
+        F.coalesce(F.sum(F.col(weight)).over(wc), F.lit(0)).cast("long"),
+    )
+    summ = d.groupBy(key, "_pch").agg(
+        F.sum(F.col(weight)).cast("long").alias("_ctot")
+    )
+    ws = Window.partitionBy(key).orderBy("_pch")
+    summ = summ.withColumn(
+        "_coff",
+        F.coalesce(
+            F.sum("_ctot").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    joined = d.join(summ.select(key, "_pch", "_coff"), [key, "_pch"])
+    out = joined.withColumn(
+        "cum_before", (F.col("_coff") + F.col("_lcum")).cast("long")
+    ).drop("_pch", "_lcum", "_coff")
+    return _attach_pack_cols(out, budget)
 
 
 def pack_stats(packed: DataFrame, key: str = "source") -> DataFrame:

@@ -287,60 +287,121 @@ def embedding_near_dup_docs(
     )
 
 
+def _cent_cos_arr(cents: list[tuple[int, list[int], int]]) -> F.Column:
+    """ONE array<struct(cos_c, ncid)> of centroid cosines against the
+    current row's (``q``, ``n2``) — centroids ride in as LITERALS
+    (k x dim ints), so the whole thing is a pure map-side projection:
+    zero joins, zero exchanges (the ``kmeans_lloyd.assign_cols`` shape,
+    r04 VERDICT #3).
+
+    ``ncid`` carries the NEGATED centroid id so that plain struct
+    ordering (cos_c first, ncid second) makes both the argmax and the
+    sorted probe ranking tie-break toward the SMALLEST cid, matching
+    ``row_number() OVER (ORDER BY cos DESC, cid ASC)`` in the oracle.
+    A single array expression keeps the Catalyst tree O(k x dim) — the
+    first cut projected k separate cosine columns and folded a
+    when-chain over them, which project-collapse inlined into an
+    O(k^2 x dim) tree that OOMed the driver at plan time.
+    """
+    entries = []
+    for cid, cvec, cn2 in cents:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(x)) for x in cvec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / F.sqrt((F.col("n2") * F.lit(int(cn2))).cast("double"))
+        entries.append(
+            F.struct(
+                cos.alias("cos_c"),
+                F.lit(-int(cid)).cast("long").alias("ncid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_assign(
+    base: DataFrame, cents: list[tuple[int, list[int], int]]
+) -> DataFrame:
+    """(vec_id, cid): argmax-cosine cell per corpus vector, MAP-SIDE.
+
+    ``cents`` = [(cid, quantized_vector, sq_norm)].  ``array_max`` over
+    the literal-centroid struct array — no Exchange between the corpus
+    scan and the assignment projection (plan-pinned by test)."""
+    m = F.array_max(_cent_cos_arr(cents))
+    return base.select("vec_id", (-m["ncid"]).cast("int").alias("cid"))
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
     n_queries: int = 20,
     n_centroids: int = 16,
     n_probe: int = 8,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-centroid partitioned search.
 
     The classic inverted-file ANN shape (the third similarity path next
     to brute-force and banded LSH):
 
-    1. centroids: ``n_centroids`` deterministic seed vectors (the first
-       vec_ids) — at corpus scale these come from a k-means job over a
-       sample; seeds keep the index reproducible and oracle-expressible,
-       and IVF quality is governed by ``n_probe``, not seed optimality;
-    2. assignment: every corpus vector joins the BROADCAST centroid set
-       and keeps its argmax-cosine cell — one map-side pass, the cell id
-       is the partition key of the index;
-    3. search: each query ranks the same broadcast centroids, probes its
-       top ``n_probe`` cells, and scores exactly ONLY vectors assigned
-       to probed cells — an equi-join on cell id.  Scanned fraction
+    1. centroids: by default ``n_centroids`` deterministic seed vectors
+       (the first vec_ids, cid = vec_id) — seeds keep the index
+       oracle-expressible; pass ``centroids`` (quantized integer
+       vectors, e.g. ``kmeans_lloyd(...)[1]``, cid = list index) for a
+       trained production index.  Either way the centroid set is TINY
+       (k x dim ints) and collected once to the driver;
+    2. assignment: every corpus vector keeps its argmax-cosine cell via
+       ``ivf_assign`` — a pure projection over centroid LITERALS, zero
+       exchange (the r04 crossJoin + row_number window shuffled
+       corpus x n_centroids rows for what is a per-row function);
+    3. search: each query ranks the same literal centroids (a sorted
+       struct array, sliced to ``n_probe``, exploded — queries are
+       ``n_queries`` rows, so the explode is negligible), probes its
+       top cells, and scores exactly ONLY vectors assigned to probed
+       cells — an equi-join on cell id.  Scanned fraction
        ~ n_probe/n_centroids of the corpus instead of all of it.
 
     Output matches ``cosine_topk``: (query_id, neighbor_id, rank, cos);
-    recall@k vs the exact scan is pinned by tests.
+    recall@k vs the exact scan is pinned by tests (trained >= seeded).
     """
     base = with_quantized(emb)
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
-    cos_to_cent = _dot(F.col("q"), F.col("cq")) / F.sqrt(
-        (F.col("n2") * F.col("cn2")).cast("double")
-    )
-    ranked = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cos_to_cent)
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cos_c"), F.asc("cid")
-                )
-            ),
+    if centroids is None:
+        rows = (
+            base.filter(F.col("vec_id") < n_centroids)
+            .orderBy("vec_id")
+            .collect()
         )
-    )
-    assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "cid")
+        cents = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
+                 for r in rows]
+    else:
+        cents = [
+            (i, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+            for i, c in enumerate(centroids)
+        ]
+    if not cents:
+        raise ValueError("empty centroid set")
+    assigned = ivf_assign(base, cents)
+    # probe ranking: default array_sort orders ascending (cos asc, ncid
+    # asc = cid desc); reversed, that is (cos desc, cid asc) — slice
+    # n_probe and explode, map-side on a tiny query set
     probes = (
-        ranked.filter(
-            (F.col("vec_id") < n_queries) & (F.col("crn") <= n_probe)
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cent_cos_arr(cents))),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
         )
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        .select("query_id", (-F.col("p.ncid")).cast("int").alias("cid"))
     )
     qside = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

@@ -172,3 +172,31 @@ def test_per_doc_text_stats_are_map_side(spark):
         assert "HashAggregate" not in p and "SortAggregate" not in p, (
             op.__name__,
         )
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """r04 VERDICT #3: IVF cell assignment is a pure per-row function —
+    argmax over literal centroids — so its plan has NO Exchange and no
+    aggregate between the corpus scan and the assigned-cell projection
+    (the old crossJoin + row_number window shuffled corpus x n_centroids
+    rows)."""
+    import re
+
+    from gents_spark.operators.similarity import (
+        ivf_assign,
+        with_quantized,
+    )
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    base = with_quantized(emb)
+    rows = base.filter("vec_id < 16").orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
+             for r in rows]
+    p = ivf_assign(base, cents)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert not re.search(r"^\(\d+\) Exchange", p, flags=re.M), p
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+    assert "Join" not in p and "Window" not in p

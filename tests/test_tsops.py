@@ -205,3 +205,39 @@ def test_pack_tokens_concat_and_chop(spark):
     assert st[("a", 0)] == (3, 12) and st[("a", 1)] == (1, 3)
     with _pytest.raises(ValueError):
         pack_tokens(df, budget=0)
+
+
+def test_pack_tokens_chunked_equals_plain(spark):
+    """The giant-single-key escape hatch is EXACTLY the plain operator:
+    chunked parallel-prefix packing (per-(key, chunk) local prefix +
+    summary-offset carry) reproduces cum_before/pack_id/offset_in_pack
+    bit-for-bit on multi-chunk data, including one dominant source
+    (the skew case the chunking exists for) and chunk-straddling packs."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.packing import pack_tokens, pack_tokens_chunked
+
+    # 'big' = 200 docs across 10 chunks (doc_id prefix), 'small' = 7;
+    # weights vary so pack boundaries straddle chunk boundaries
+    rows = [("big", f"{i//20:02d}-{i:04d}", 3 + i % 7) for i in range(200)]
+    rows += [("small", f"{i:02d}-x", 5) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, n_tok long"
+    ).repartition(8)
+    plain = {
+        (r.source, r.doc_id): (r.cum_before, r.pack_id, r.offset_in_pack)
+        for r in pack_tokens(df, budget=16).collect()
+    }
+    chunked = {
+        (r.source, r.doc_id): (r.cum_before, r.pack_id, r.offset_in_pack)
+        for r in pack_tokens_chunked(
+            df, budget=16, chunk=F.substring("doc_id", 1, 2)
+        ).collect()
+    }
+    assert chunked == plain and len(plain) == 207
+    # default chunk expression (2-char order prefix) also matches
+    chunked_dflt = {
+        (r.source, r.doc_id): (r.cum_before, r.pack_id, r.offset_in_pack)
+        for r in pack_tokens_chunked(df, budget=16).collect()
+    }
+    assert chunked_dflt == plain
