@@ -846,17 +846,53 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_pack_documents_chunked(spark, sf_dir):
+    """The chunked (giant-single-key) packing path, driver-stamped
+    against the SAME oracle as ``pack_documents`` — the two operators
+    are exactly equal by construction (r05; equality also pinned by
+    tests/test_tsops.py::test_pack_tokens_chunked_equals_plain).
+    ``doc_id div 128`` is the monotone chunk expression."""
+    from gents_spark.operators.packing import pack_tokens_chunked
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    return pack_tokens_chunked(
+        docs, budget=2048, key="source", order="doc_id", weight="n_tok",
+        chunk=F.expr("doc_id div 128"),
+    ).select(
+        "doc_id", "source", "n_tok", "cum_before", "pack_id",
+        "offset_in_pack",
+    )
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd k-means over the embeddings table
-    (operators/similarity.py::kmeans_lloyd) — rows/schema-only in the
-    gate: the trainer is iterative (driver loop over exact-integer
-    assignment + mean jobs), not expressible as one SQL statement; its
-    semantics are pinned by test_kmeans_lloyd_separates_blobs
-    (separation, inertia descent, partition invariance)."""
+    (operators/similarity.py::kmeans_lloyd).  The trainer is iterative
+    (driver loop over exact-integer assignment + mean jobs) but with
+    FIXED k/iters it IS SQL-expressible by unrolling each Lloyd round
+    into CTEs — r05 upgrades this from rows-only to a full
+    rows+schema+hash oracle (``_lloyd_sql``).  Semantics additionally
+    pinned by test_kmeans_lloyd_separates_blobs (separation, inertia
+    descent, partition invariance)."""
     from gents_spark.operators.similarity import kmeans_lloyd
 
     out, _cents = kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
     return out
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF-flat ANN with TRAINED coarse centroids: kmeans_lloyd (k=16,
+    3 iters) feeds ivf_topk's ``centroids`` — the production-shaped
+    index build (r04 VERDICT next-step #4).  Oracle: the same unrolled
+    Lloyd CTEs, their final centroids flowing into the IVF search SQL;
+    recall >= the seeded index is pinned by
+    test_ivf_topk_trained_centroids_recall."""
+    from gents_spark.operators.similarity import ivf_topk, kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = kmeans_lloyd(emb, k=16, iters=3)
+    return ivf_topk(emb, k=5, n_queries=20, n_probe=8, centroids=cents)
 
 
 def q_quality_filter(spark, sf_dir):
@@ -1324,6 +1360,95 @@ _EMB_Q_SQL = """
     base AS (SELECT * FROM qn WHERE n2 > 0)
 """
 
+
+def _lloyd_sql(k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled Lloyd k-means as a DuckDB CTE chain (appended after
+    ``_EMB_Q_SQL``'s ``base``).
+
+    Mirrors ``operators/similarity.kmeans_lloyd`` exactly: seeds = the
+    first ``k`` vec_ids of the n2>0 base; per round, argmin exact-integer
+    squared-L2 assignment (ties -> smallest cid, the engine's strict-<
+    fold) then per-dim ``floor(avg)`` re-quantized means, an emptied
+    cluster keeping its previous centroid.  Exposes ``c{iters}`` (final
+    centroids: cid, cv) and ``kfin`` (final ranked assignment: vec_id,
+    cid, d, rn) for the consuming oracle to select from.
+    """
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, qe AS cv FROM base"
+        f" WHERE vec_id < {k})"
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts += [
+            f"""a{t} AS (SELECT b.vec_id, c.cid,
+                (SELECT sum((x - y) * (x - y))
+                 FROM (SELECT unnest(b.qe) AS x, unnest(c.cv) AS y) z) AS d
+                FROM base b, {prev} c)""",
+            f"""s{t} AS (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d ASC, cid ASC) AS rn
+                FROM a{t})""",
+            f"""g{t} AS (SELECT vec_id, cid AS cluster_id FROM s{t}
+                WHERE rn = 1)""",
+            f"""e{t} AS (SELECT g.cluster_id, t.i, b.qe[t.i] AS x
+                FROM g{t} g JOIN base b USING (vec_id),
+                     unnest(range(1, {dim + 1})) t(i))""",
+            f"""m{t} AS (SELECT cluster_id, list(xm ORDER BY i) AS cv
+                FROM (SELECT cluster_id, i,
+                             CAST(floor(avg(x)) AS BIGINT) AS xm
+                      FROM e{t} GROUP BY 1, 2)
+                GROUP BY 1)""",
+            f"""c{t} AS (SELECT p.cid, coalesce(m{t}.cv, p.cv) AS cv
+                FROM {prev} p
+                LEFT JOIN m{t} ON m{t}.cluster_id = p.cid)""",
+        ]
+    parts.append(
+        f"""kfin AS (SELECT vec_id, cid, d,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d ASC, cid ASC) AS rn
+            FROM (SELECT b.vec_id, c.cid,
+                         (SELECT sum((x - y) * (x - y))
+                          FROM (SELECT unnest(b.qe) AS x,
+                                       unnest(c.cv) AS y) z) AS d
+                  FROM base b, c{iters} c))"""
+    )
+    return ",\n        ".join(parts)
+
+
+#: IVF-flat search tail shared by the seeded and trained oracles —
+#: expects a ``cents (cid, cq, cn2)`` CTE in scope
+_IVF_SEARCH_SQL = """
+        , cc AS (SELECT b.vec_id, c.cid,
+                      (SELECT sum(x*y)
+                       FROM (SELECT unnest(b.qe) AS x, unnest(c.cq) AS y) z)
+                          / sqrt((b.n2 * c.cn2)::DOUBLE) AS cos_c
+               FROM base b, cents c),
+        rk AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_c DESC, cid ASC) AS crn
+               FROM cc),
+        assigned AS (SELECT vec_id, cid FROM rk WHERE crn = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM rk
+                   WHERE vec_id < 20 AND crn <= 8),
+        pairs AS (SELECT p.query_id, asg.vec_id AS neighbor_id
+                  FROM probes p JOIN assigned asg ON asg.cid = p.cid
+                  WHERE asg.vec_id <> p.query_id),
+        scored AS (SELECT pr.query_id, pr.neighbor_id,
+                          (SELECT sum(x*y)
+                           FROM (SELECT unnest(a.qe) AS x,
+                                        unnest(b.qe) AS y) z)
+                              / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
+                   FROM pairs pr
+                   JOIN base a ON a.vec_id = pr.query_id
+                   JOIN base b ON b.vec_id = pr.neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC,
+                                                    neighbor_id ASC) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+        FROM r WHERE rank <= 5
+    """
+
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": """
         WITH k AS (SELECT doc_id,
@@ -1543,36 +1668,19 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "ann_ivf_topk": _EMB_Q_SQL + """
         , cents AS (SELECT vec_id AS cid, qe AS cq, n2 AS cn2
-                    FROM base WHERE vec_id < 16),
-        cc AS (SELECT b.vec_id, c.cid,
-                      (SELECT sum(x*y)
-                       FROM (SELECT unnest(b.qe) AS x, unnest(c.cq) AS y) z)
-                          / sqrt((b.n2 * c.cn2)::DOUBLE) AS cos_c
-               FROM base b, cents c),
-        rk AS (SELECT vec_id, cid,
-                      row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY cos_c DESC, cid ASC) AS crn
-               FROM cc),
-        assigned AS (SELECT vec_id, cid FROM rk WHERE crn = 1),
-        probes AS (SELECT vec_id AS query_id, cid FROM rk
-                   WHERE vec_id < 20 AND crn <= 8),
-        pairs AS (SELECT p.query_id, asg.vec_id AS neighbor_id
-                  FROM probes p JOIN assigned asg ON asg.cid = p.cid
-                  WHERE asg.vec_id <> p.query_id),
-        scored AS (SELECT pr.query_id, pr.neighbor_id,
-                          (SELECT sum(x*y)
-                           FROM (SELECT unnest(a.qe) AS x,
-                                        unnest(b.qe) AS y) z)
-                              / sqrt((a.n2 * b.n2)::DOUBLE) AS cos_raw
-                   FROM pairs pr
-                   JOIN base a ON a.vec_id = pr.query_id
-                   JOIN base b ON b.vec_id = pr.neighbor_id),
-        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY cos_raw DESC,
-                                                    neighbor_id ASC) AS rank
-              FROM scored)
-        SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
-        FROM r WHERE rank <= 5
+                    FROM base WHERE vec_id < 16)""" + _IVF_SEARCH_SQL,
+    # trained-centroid IVF: the unrolled Lloyd CTEs (k=16, 3 rounds)
+    # produce the centroid table, then the identical search tail runs —
+    # engine twin trains kmeans_lloyd and passes centroids= to ivf_topk
+    "ann_ivf_trained": _EMB_Q_SQL + ",\n        " + _lloyd_sql(16, 3) + """
+        , cents AS (SELECT cid, cv AS cq,
+                           (SELECT sum(x*x) FROM unnest(cv) t(x)) AS cn2
+                    FROM c3)""" + _IVF_SEARCH_SQL,
+    # unrolled Lloyd k-means (k=8, 3 rounds): final assignment +
+    # exact-integer squared distance
+    "kmeans_clusters": _EMB_Q_SQL + ",\n        " + _lloyd_sql(8, 3) + """
+        SELECT vec_id, cid::INT AS cluster_id, d::BIGINT AS sq_dist
+        FROM kfin WHERE rn = 1
     """,
     "embedding_near_dup": _EMB_Q_SQL + """
         , docs AS (SELECT doc_id AS vec_id, source FROM documents),
@@ -1641,6 +1749,37 @@ DEDUP_ORACLES: dict[str, str] = {
 #: since r02 and green (rows+schema+hash) in CORRECTNESS_r02/r03 are
 #: rotated to the tail — their standing evidence is those gate files.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- changed or new in r05 (must be in the stamped head-50) ---
+    "quality_filter": q_quality_filter,
+    "pack_documents": q_pack_documents,
+    "pack_documents_chunked": q_pack_documents_chunked,
+    "kmeans_clusters": q_kmeans_clusters,  # r05: oracle via unrolled Lloyd
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
+    "lttb_downsample": q_lttb_downsample,  # rows/schema-only (sequential)
+    # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
+    "bucket_consistency": q_bucket_consistency,
+    "timestep_delta": q_timestep_delta,
+    "argmax_top1": q_argmax_top1,
+    "counter_agg_1h": q_counter_agg_1h,
+    "multimodal_meta": q_multimodal_meta,
+    "embedding_label_stats": q_embedding_label_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "year_bounds": q_year_bounds,
+    "time_spine": q_time_spine,
+    "range_label": q_range_label,
+    "tier_label": q_tier_label,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_segment": q_revenue_by_segment,
+    "customers_no_orders": q_customers_no_orders,
+    "customers_with_recent_orders": q_customers_with_recent_orders,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
+    "distinct_union": q_distinct_union,
+    "local_supplier_volume": q_local_supplier_volume,
+    "part_brand_stats": q_part_brand_stats,
+    "props_extract": q_props_extract,
+    "shipping_priority": q_shipping_priority,
+    # --- r04-stamped keepers filling the head ---
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
@@ -1663,23 +1802,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
     "token_count": q_token_count,
+    # --- rotated tail: untouched this round, driver-green
+    # (rows+schema+hash) in CORRECTNESS_r04 ---
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
-    "quality_filter": q_quality_filter,
-    "pack_documents": q_pack_documents,
     "weighted_mix": q_weighted_mix,
-    "kmeans_clusters": q_kmeans_clusters,  # rows/schema-only (iterative)
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
     "sessionize_events": q_sessionize_events,
     "state_durations": q_state_durations,
     "m4_downsample": q_m4_downsample,
-    "lttb_downsample": q_lttb_downsample,  # rows/schema-only (sequential)
     "interval_join_follow": q_interval_join_follow,
     "contamination_ngram": q_contamination_ngram,
     "stratified_sample": q_stratified_sample,
@@ -1691,29 +1827,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
-    # --- rotated tail: untouched this round, driver-green in
-    # CORRECTNESS_r02/r03 (rows+schema+hash) ---
-    "bucket_consistency": q_bucket_consistency,
-    "timestep_delta": q_timestep_delta,
-    "argmax_top1": q_argmax_top1,
-    "counter_agg_1h": q_counter_agg_1h,
-    "multimodal_meta": q_multimodal_meta,
-    "embedding_label_stats": q_embedding_label_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "year_bounds": q_year_bounds,
-    "time_spine": q_time_spine,
-    "range_label": q_range_label,
-    "tier_label": q_tier_label,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_segment": q_revenue_by_segment,
-    "customers_no_orders": q_customers_no_orders,
-    "customers_with_recent_orders": q_customers_with_recent_orders,
-    "topk_orders_per_segment": q_topk_orders_per_segment,
-    "distinct_union": q_distinct_union,
-    "local_supplier_volume": q_local_supplier_volume,
-    "part_brand_stats": q_part_brand_stats,
-    "props_extract": q_props_extract,
-    "shipping_priority": q_shipping_priority,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -2420,3 +2533,7 @@ ORACLES: dict[str, str] = {
     """,
     **DEDUP_ORACLES,
 }
+
+# the chunked packer is exactly equal to the plain one by construction
+# (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
+ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]

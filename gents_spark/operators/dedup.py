@@ -291,7 +291,9 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     hw = F.transform(
         words_col(), lambda w: F.pmod(word_hash(w), F.lit(1 << bits))
     )
-    d = docs.select("doc_id", hw.alias("_hw"))
+    # NULL/empty-text docs emit NO row (mirrors minhash_signatures'
+    # size guard and the oracle's unnest semantics — r04 ADVICE)
+    d = docs.select("doc_id", hw.alias("_hw")).filter(F.size("_hw") > 0)
 
     def bit_vote(b):
         def merge(acc, h):

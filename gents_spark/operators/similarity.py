@@ -483,28 +483,33 @@ def kmeans_lloyd(
     dim = len(cents[0])
 
     def assign_cols(cs):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias(f"_d{i}")
+        # argmin via array_min over ONE struct array: min squared
+        # distance, ties -> smallest cid (plain struct ordering — no
+        # negation needed for a minimum).  The original per-centroid
+        # distance columns + strict-< when-chain fold was semantically
+        # identical, but project-collapse inlined the k distance
+        # expressions into the chain — an O(k^2 x dim) Catalyst tree
+        # that OOMed the driver at k=16 (same failure mode as
+        # ``_cent_cos_arr``'s docstring notes for IVF).
+        entries = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(int(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).cast("int").alias("cid"),
+            )
             for i, c in enumerate(cs)
         ]
-        d = base.select("vec_id", "q", *dists)
-        best = F.lit(0)
-        bestd = F.col("_d0")
-        for i in range(1, len(cs)):
-            closer = F.col(f"_d{i}") < bestd
-            best = F.when(closer, F.lit(i)).otherwise(best)
-            bestd = F.when(closer, F.col(f"_d{i}")).otherwise(bestd)
-        return d.select(
+        m = F.array_min(F.array(*entries))
+        return base.select(
             "vec_id", "q",
-            best.alias("cluster_id"), bestd.alias("sq_dist"),
+            m["cid"].alias("cluster_id"), m["d"].alias("sq_dist"),
         )
 
     for _ in range(iters):
@@ -525,4 +530,9 @@ def kmeans_lloyd(
         # an emptied cluster keeps its previous centroid
         cents = [new.get(i, cents[i]) for i in range(k)]
     out = assign_cols(cents).select("vec_id", "cluster_id", "sq_dist")
+    # release the training cache before returning (r04 ADVICE): the
+    # final assignment recomputes cheaply from the centroid literals,
+    # and a long-lived session should not hold the quantized corpus
+    # until ContextCleaner GC
+    base.unpersist()
     return out, cents
