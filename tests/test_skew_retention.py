@@ -97,3 +97,59 @@ def test_retention_coarse_grain_no_overdelete(spark, tmp_path):
     assert read_tier(spark, out + "/tiers", "1m").count() > 0
     # cutoff at/after month end: now it expires
     assert expirable_chunks(spark, out + "/manifest", "1m", "2026-03-01")
+
+
+def test_salting_spreads_shuffle_partitions_under_skew(spark):
+    """r04 VERDICT next-step #7: a stress fixture where salting is
+    LOAD-BEARING.  One source holds 60% of all rows and the tier is 1d
+    (a single bucket), so the unsalted (source, bucket) shuffle puts
+    the hot source's entire corpus into ONE reduce partition — the
+    straggler whose wall-clock IS the job at 100 TB.  The salted key
+    spreads it ~n_salt ways.  The assertion is on actual partition
+    sizes under Spark's own hash partitioning, so it fails if
+    ``with_salt`` stops salting (e.g. returns a constant) or the salt
+    column is dropped from the phase-1 key."""
+    from gents_spark.operators.rollup import bucket_col
+
+    df = synth_sequences(spark, 3, 3000, hot_source_frac=0.6)
+    raw = with_event_time(df, step_s=1).withColumn(
+        "bucket_start", bucket_col("event_time", "1d")
+    )
+    n_parts = 16
+
+    def max_frac(keyed):
+        counts = (
+            keyed.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in counts)
+        return max(r["count"] for r in counts) / total
+
+    unsalted = max_frac(
+        raw.repartition(n_parts, F.col("source"), F.col("bucket_start"))
+    )
+    salted = max_frac(
+        with_salt(raw, 8).repartition(
+            n_parts, F.col("source"), F.col("bucket_start"), F.col("_salt")
+        )
+    )
+    # hot source = 60% of rows in one partition unsalted; salted spreads
+    # it across salt values (bound leaves room for hash collisions)
+    assert unsalted >= 0.55
+    assert salted <= 0.30
+    # and the salted two-phase rollup still equals the direct one here
+    a = (
+        salted_rollup(raw, "1d", n_salt=8)
+        .orderBy("source", "bucket_start")
+        .toPandas()
+    )
+    b = (
+        rollup(raw, "1d", with_percentiles=False)
+        .orderBy("source", "bucket_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
