@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "rollup_1h_midpoint",
     "repetition_stats",
     "pii_scrub",
+    # round-5 additions: map-side IVF assignment, chunked packing
+    "ann_ivf_topk",
+    "pack_documents_chunked",
 ]
 
 

@@ -530,16 +530,42 @@ def expire_snapshots(
     Rows older than ``older_than_ts`` are dropped EXCEPT each (tier,
     chunk)'s latest row — current membership, resume, and lineage
     metrics are untouched; only the ability to time-travel BEFORE the
-    horizon is given up.  The compacted manifest is rewritten atomically
-    (temp dir + rename) so a concurrent reader sees old or new, never
-    half.  Run QUIESCED with respect to writers: an append landing
-    between the two renames would be lost (Iceberg holds an exclusive
-    metadata lock for the same reason).  Returns {"kept": n,
-    "dropped": n}.
-    """
-    import shutil
+    horizon is given up.
 
-    m = read_manifest(spark, manifest_dir)
+    Concurrency (r04 ADVICE rewrite — the old version swapped the whole
+    directory with two renames, between which ``read_manifest`` silently
+    saw an EMPTY manifest): compaction now happens INSIDE the live
+    directory, which never disappears —
+
+    1. snapshot the current parquet file list;
+    2. read + compact those rows into one new ``manifest-*.parquet``
+       moved into the directory;
+    3. delete exactly the snapshotted files.
+
+    Every intermediate state yields correct current membership: during
+    the window readers see old rows + compacted rows, and every
+    membership/snapshot reader already dedupes by the latest
+    (checkpoint_ts, status) row per (tier, chunk).  A concurrent APPEND
+    is also safe — its file is created after the snapshot in step 1, so
+    step 3 never deletes it (its rows are at worst duplicated, again
+    deduped by readers).  Only two concurrent expire_snapshots runs
+    must be externally serialized (they would double-compact).  Returns
+    {"kept": n, "dropped": n}.
+    """
+    import glob
+    import shutil
+    import uuid
+
+    # step 1: snapshot BEFORE reading, so any append that the read
+    # below misses is also missing from the deletion list
+    old_files = [
+        f
+        for f in os.listdir(manifest_dir)
+        if f.endswith(".parquet")
+    ]
+    m = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(manifest_dir, f) for f in old_files]
+    )
     w = F.struct("checkpoint_ts", "status")
     latest = m.groupBy("tier", "chunk").agg(F.max(w).alias("_top"))
     keep = (
@@ -557,9 +583,16 @@ def expire_snapshots(
     # would re-infer types and can null-type an all-None column)
     keep.coalesce(1).write.mode("overwrite").parquet(tmp)
     n_kept = spark.read.parquet(tmp).count()
-    old = manifest_dir.rstrip("/") + ".expired"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(manifest_dir, old)
-    os.replace(tmp, manifest_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    # step 2: move the compacted part-file(s) into the live dir
+    for pf in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
+        os.replace(
+            pf,
+            os.path.join(
+                manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet"
+            ),
+        )
+    # step 3: drop exactly the files the compaction consumed
+    for f in old_files:
+        os.remove(os.path.join(manifest_dir, f))
+    shutil.rmtree(tmp, ignore_errors=True)
     return {"kept": n_kept, "dropped": total - n_kept}
