@@ -305,3 +305,47 @@ def test_snapshot_time_travel_and_expiry(spark, seqs, tmp_path):
     # resume after compaction still skips everything
     m3 = pipe.run(full, out, run_id="rC", resume=True)
     assert m3["tiers"]["1d"]["written"] == 0
+
+
+def test_duplicate_manifest_rows_preserve_membership(spark, seqs, tmp_path):
+    """Pin the invariant expire_snapshots' concurrency argument relies
+    on (``plans/manifest.py:525``): every membership/resume reader
+    dedupes by the latest (checkpoint_ts, status) row per (tier,
+    chunk), so the transient mid-compaction state — original manifest
+    files coexisting with the freshly appended compacted copy — yields
+    exactly the current membership, and resume still skips everything.
+    """
+    import os
+    import shutil
+    import time
+
+    from gents_spark.plans.manifest import completed_chunks, expire_snapshots
+
+    out = str(tmp_path / "dup")
+    mdir = os.path.join(out, "manifest")
+    pipe = TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None)
+    pipe.run(seqs, out, run_id="rA")
+    before = {r["chunk"] for r in completed_chunks(spark, mdir, "1d").collect()}
+    assert before
+
+    # mid-compaction transient: every row present twice
+    for f in [f for f in os.listdir(mdir) if f.endswith(".parquet")]:
+        shutil.copy(
+            os.path.join(mdir, f), os.path.join(mdir, f"manifest-dup-{f[9:]}")
+        )
+    rows_dup = read_manifest(spark, mdir).count()
+    assert (
+        {r["chunk"] for r in completed_chunks(spark, mdir, "1d").collect()}
+        == before
+    )
+    m = pipe.run(seqs, out, run_id="rB", resume=True)
+    assert m["tiers"]["1d"]["written"] == 0
+
+    # expiry from the duplicated state converges: duplicates collapse,
+    # membership unchanged
+    rep = expire_snapshots(spark, mdir, older_than_ts=time.time())
+    assert rep["kept"] + rep["dropped"] == rows_dup
+    assert (
+        {r["chunk"] for r in completed_chunks(spark, mdir, "1d").collect()}
+        == before
+    )
