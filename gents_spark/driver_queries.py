@@ -1019,10 +1019,12 @@ def q_m4_downsample(spark, sf_dir):
 
 def q_lttb_downsample(spark, sf_dir):
     """LTTB (Steinarsson 2013) to <=16 points per user via per-series
-    vectorized applyInPandas.  The selection chain is inherently
-    sequential per series — not SQL-expressible, so no oracle; its
+    vectorized applyInPandas.  The selection chain is sequential per
+    series; for the FIXED gate n_out=16 it unrolls into 14 CTE steps,
+    so the DuckDB oracle (``_lttb_oracle_sql``) replays it exactly —
+    bitwise, thanks to the engine's left-to-right centroid folds.  Its
     invariants (subset-of-input, endpoints kept, exact count) are
-    pinned by tests/test_sessions_downsample.py."""
+    additionally pinned by tests/test_sessions_downsample.py."""
     from gents_spark.operators.downsample import lttb
 
     return lttb(
@@ -1756,7 +1758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,  # r05: oracle via unrolled Lloyd
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained": q_ann_ivf_trained,
-    "lttb_downsample": q_lttb_downsample,  # rows/schema-only (sequential)
+    "lttb_downsample": q_lttb_downsample,  # r05: oracle via unrolled chain
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2537,3 +2539,109 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+
+def _lttb_oracle_sql(n_out: int = 16) -> str:
+    """LTTB as an UNROLLED DuckDB CTE chain (r05 — upgrades
+    ``lttb_downsample`` from rows-only to hash-matched).
+
+    The per-series selection chain has ``n_out - 2`` sequential steps;
+    for the fixed gate ``n_out`` each step becomes one CTE pair
+    (next-bucket centroid ``c{i}``, area-argmax pick ``p{i}``), exactly
+    the trick ``_lloyd_sql`` uses for k-means.  Bitwise parity with
+    ``operators/downsample._lttb_series`` holds because every float op
+    is mirrored 1:1 in IEEE double:
+
+    - ``tus``: pandas delivers ``datetime64[ns]`` to the engine, so the
+      engine's float timestamps are ``epoch_ns`` cast to DOUBLE (both
+      sides round the same int64 to the nearest double);
+    - bucket edges: ``trunc(i * ((n-2)/14.0) + 1)`` reproduces
+      ``np.linspace(1, n-1, 15).astype(int64)`` including float
+      truncation (verified for all n in [17, 400]);
+    - centroids: the engine sums buckets with ``np.cumsum(...)[-1]``
+      (guaranteed left-to-right fold) and the oracle with an ordered
+      ``list_reduce`` — identical rounding at every partial sum,
+      whereas ``.mean()``'s pairwise summation would diverge in ulp
+      for buckets >= 8 points;
+    - argmax ties: ``np.argmax`` keeps the FIRST max == ``row_number
+      ... ORDER BY area DESC, rn ASC``.
+
+    Series with n <= n_out pass through whole (both branches exercised
+    at sf0.001; all-big at sf0.01).
+    """
+    last = n_out - 3  # step whose "next bucket" is the final point
+    parts = [
+        f"""pts AS (
+      SELECT user_id, ts, value,
+             CAST(epoch_ns(ts) AS DOUBLE) AS tus,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    big AS (SELECT * FROM pts WHERE n > {n_out}),
+    edges AS (
+      SELECT u.user_id, u.n, t.i,
+             CASE WHEN t.i = {n_out - 2} THEN u.n - 1
+                  ELSE CAST(trunc(CAST(t.i AS DOUBLE)
+                       * ((CAST(u.n AS DOUBLE) - 2.0) / {n_out - 2}.0)
+                       + 1.0) AS BIGINT)
+             END AS lo
+      FROM (SELECT DISTINCT user_id, n FROM big) u,
+           range({n_out - 1}) t(i)
+    ),
+    p_1 AS (SELECT user_id, tus AS a_t, value AS a_v FROM big WHERE rn = 0)"""
+    ]
+    for i in range(n_out - 2):
+        prev = f"p{i - 1}" if i > 0 else "p_1"
+        if i == last:
+            cent = (
+                f"c{i} AS (SELECT user_id, tus AS cx, value AS cy"
+                f" FROM big WHERE rn = n - 1)"
+            )
+        else:
+            cent = f"""c{i} AS (
+      SELECT b.user_id,
+             list_reduce(list(b.tus ORDER BY b.rn), (x, y) -> x + y)
+                 / count(*) AS cx,
+             list_reduce(list(b.value ORDER BY b.rn), (x, y) -> x + y)
+                 / count(*) AS cy
+      FROM big b
+      JOIN edges e1 ON b.user_id = e1.user_id AND e1.i = {i + 1}
+      JOIN edges e2 ON b.user_id = e2.user_id AND e2.i = {i + 2}
+      WHERE b.rn >= e1.lo AND b.rn < e2.lo
+      GROUP BY b.user_id
+    )"""
+        pick = f"""p{i} AS (
+      SELECT user_id, ts, value, tus AS a_t, value AS a_v FROM (
+        SELECT b.user_id, b.ts, b.value, b.tus,
+               row_number() OVER (
+                 PARTITION BY b.user_id
+                 ORDER BY abs((s.a_t - c.cx) * (b.value - s.a_v)
+                            - (s.a_t - b.tus) * (c.cy - s.a_v)) DESC,
+                          b.rn ASC
+               ) AS rk
+        FROM big b
+        JOIN edges el ON b.user_id = el.user_id AND el.i = {i}
+        JOIN edges eh ON b.user_id = eh.user_id AND eh.i = {i + 1}
+        JOIN {prev} s ON b.user_id = s.user_id
+        JOIN c{i} c ON b.user_id = c.user_id
+        WHERE b.rn >= el.lo AND b.rn < eh.lo
+      ) WHERE rk = 1
+    )"""
+        parts += [cent, pick]
+    picks = "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, ts, value FROM p{i}" for i in range(n_out - 2)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT user_id, ts, value FROM pts WHERE n <= {n_out}
+    UNION ALL
+    SELECT user_id, ts, value FROM big WHERE rn = 0 OR rn = n - 1
+    UNION ALL
+    {picks}"""
+    )
+
+
+ORACLES["lttb_downsample"] = _lttb_oracle_sql()

@@ -14,9 +14,12 @@ here on DataFrames:
 - **LTTB** (Steinarsson 2013, "largest triangle three buckets"): picks
   per bucket the point maximizing the triangle area with the previously
   SELECTED point and the next bucket's centroid.  The selection is a
-  sequential chain, so it is not SQL-expressible; it runs as a
+  sequential chain, so it has no direct relational form; it runs as a
   vectorized NumPy pass per series via ``applyInPandas`` — parallel
-  across series, O(n) within one.  A single giant series would use
+  across series, O(n) within one.  (For a FIXED small ``n_out`` the
+  chain unrolls into n_out-2 CTE steps — that is how the driver-gate
+  DuckDB oracle checks it bitwise; see
+  ``driver_queries._lttb_oracle_sql``.)  A single giant series would use
   two-level LTTB (chunk-partial then final over ~n_out*chunks points),
   noted below, not implemented until a caller needs it.
 """
@@ -89,9 +92,18 @@ def _lttb_series(ts_us, vals, n_out):
     for i in range(n_out - 2):
         lo, hi = edges[i], edges[i + 1]
         nlo, nhi = hi, (n - 1 if i == n_out - 3 else edges[i + 2])
-        # centroid of the NEXT bucket (the "third point")
-        cx = ts_us[nlo:nhi].mean() if nhi > nlo else ts_us[n - 1]
-        cy = vals[nlo:nhi].mean() if nhi > nlo else vals[n - 1]
+        # centroid of the NEXT bucket (the "third point").  The sum is
+        # cumsum[-1] — a guaranteed LEFT-TO-RIGHT float fold — rather
+        # than .mean()'s pairwise summation, so the SQL oracle can
+        # reproduce it bitwise with an ordered list_reduce (the
+        # driver-gate hash compares doubles exactly; pairwise partial
+        # sums diverge in ulp for buckets >= 8 elements).
+        if nhi > nlo:
+            k = nhi - nlo
+            cx = np.cumsum(ts_us[nlo:nhi])[-1] / k
+            cy = np.cumsum(vals[nlo:nhi])[-1] / k
+        else:
+            cx, cy = ts_us[n - 1], vals[n - 1]
         bx, by = ts_us[lo:hi], vals[lo:hi]
         area = np.abs(
             (ts_us[a] - cx) * (by - vals[a]) - (ts_us[a] - bx) * (cy - vals[a])
