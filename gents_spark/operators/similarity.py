@@ -114,8 +114,28 @@ def lsh_bucket_pairs(
       order-total (cos desc, then smallest ids via negation), so the
       result is deterministic, unlike ``max_by`` under ties.
     """
-    keys = band_keys(emb, bands=bands, bits_per_band=bits_per_band)
-    base = with_quantized(emb).join(keys, "vec_id")
+    # band keys AND quantization computed in ONE map-side projection —
+    # the explode carries (q, n2) with it, so no vec_id self-join is
+    # needed to re-attach payloads (that join cost two corpus-scale
+    # exchanges; the shuffled volume into the bucket join is identical
+    # either way: corpus x bands rows with q attached)
+    q = quantized()
+    base = (
+        emb.select(
+            "vec_id",
+            q.alias("q"),
+            _sq_norm(q).alias("n2"),
+            F.explode(
+                _band_entries(bands=bands, bits_per_band=bits_per_band)
+            ).alias("bk"),
+        )
+        .filter(F.col("n2") > 0)
+        .select(
+            "vec_id", "q", "n2",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
     sizes = base.groupBy("band", "key").agg(F.count("*").alias("n_members"))
     a = base.alias("a")
     b = base.alias("b")
@@ -170,7 +190,19 @@ def band_keys(
     band -> smaller buckets.  Same banding shape as the MinHash path in
     dedup.py.
     """
-    entries = F.array(
+    entries = _band_entries(bands=bands, bits_per_band=bits_per_band, col=col)
+    return emb.select("vec_id", F.explode(entries).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _band_entries(
+    bands: int = 8, bits_per_band: int = 8, col: str = "embedding"
+) -> F.Column:
+    """array<struct(band, key)> of per-band sign keys — the map-side
+    banding expression shared by ``band_keys`` and
+    ``lsh_bucket_pairs``."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -187,9 +219,6 @@ def band_keys(
             )
             for b in range(bands)
         ]
-    )
-    return emb.select("vec_id", F.explode(entries).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 
@@ -355,10 +384,12 @@ def ivf_topk(
        vectors, e.g. ``kmeans_lloyd(...)[1]``, cid = list index) for a
        trained production index.  Either way the centroid set is TINY
        (k x dim ints) and collected once to the driver;
-    2. assignment: every corpus vector keeps its argmax-cosine cell via
-       ``ivf_assign`` — a pure projection over centroid LITERALS, zero
-       exchange (the r04 crossJoin + row_number window shuffled
-       corpus x n_centroids rows for what is a per-row function);
+    2. assignment: every corpus vector keeps its argmax-cosine cell —
+       ``ivf_assign``'s argmax expression projected INLINE on the
+       corpus scan, zero exchange (the r04 crossJoin + row_number
+       window shuffled corpus x n_centroids rows for what is a per-row
+       function; r05 also dropped the vec_id self-join that re-shuffled
+       the corpus to attach the cell id);
     3. search: each query ranks the same literal centroids (a sorted
        struct array, sliced to ``n_probe``, exploded — queries are
        ``n_queries`` rows, so the explode is negligible), probes its
@@ -385,7 +416,6 @@ def ivf_topk(
         ]
     if not cents:
         raise ValueError("empty centroid set")
-    assigned = ivf_assign(base, cents)
     # probe ranking: default array_sort orders ascending (cos asc, ncid
     # asc = cid desc); reversed, that is (cos desc, cid asc) — slice
     # n_probe and explode, map-side on a tiny query set
@@ -408,11 +438,15 @@ def ivf_topk(
         F.col("q").alias("qa"),
         F.col("n2").alias("na"),
     )
-    cside = base.join(assigned, "vec_id").select(
+    # cell id is a pure per-row function of (q, n2) over centroid
+    # literals — project it INLINE instead of joining ``ivf_assign``'s
+    # output back onto the corpus (that join shuffled the corpus twice
+    # on vec_id for what is a map-side expression)
+    cside = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb"),
-        "cid",
+        (-F.array_max(_cent_cos_arr(cents))["ncid"]).cast("int").alias("cid"),
     )
     cand = (
         F.broadcast(probes)

@@ -200,3 +200,43 @@ def test_ivf_assignment_is_map_side(spark):
     assert not re.search(r"^\(\d+\) Exchange", p, flags=re.M), p
     assert "HashAggregate" not in p and "SortAggregate" not in p
     assert "Join" not in p and "Window" not in p
+
+
+def test_ivf_topk_single_exchange_no_corpus_self_join(spark):
+    """r05: the IVF search plan must not re-shuffle the corpus to attach
+    cell ids — assignment is projected inline on the corpus side, probe
+    and query sides join by BROADCAST, so the ONLY hash Exchange left is
+    the final per-query top-k window on query_id (candidates, not the
+    corpus), and there is no sort-merge join anywhere."""
+    import re
+
+    from gents_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    p = ivf_topk(emb)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in p, p
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_]+)", p)
+    assert set(hash_ex) <= {"query_id"}, (hash_ex, p)
+
+
+def test_lsh_bucket_pairs_no_vec_id_exchange(spark):
+    """r05: banded-LSH bucket search computes band keys and quantized
+    payloads in ONE map-side projection — no corpus self-join on vec_id
+    to re-attach (q, n2); the only hash Exchanges are on the bucket key
+    (band, key)."""
+    import re
+
+    from gents_spark.operators.similarity import lsh_bucket_pairs
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    p = lsh_bucket_pairs(emb)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_]+)", p)
+    assert hash_ex and all(c in ("band", "key") for c in hash_ex), (hash_ex,)

@@ -451,3 +451,43 @@ def test_cohort_retention_values(spark):
     assert got[(w0, 1)] == 1          # u1 retained
     assert got[(w1, 0)] == 1          # u3's own cohort
     assert len(got) == 3
+
+
+def test_lttb_oracle_bitwise_parity_large_buckets(spark, tmp_path):
+    """Pin the bitwise engine/oracle parity contract of the r05
+    ``lttb_downsample`` hash oracle (driver_queries._lttb_oracle_sql)
+    on data with interior buckets >= 8 points — the regime where a
+    revert of the engine's sequential cumsum centroid folds back to
+    ``.mean()`` (numpy pairwise summation) diverges in ulp and flips
+    argmax picks.  Values are irregular floats so partial-sum rounding
+    actually occurs."""
+    import duckdb
+
+    from gents_spark.driver_queries import _lttb_oracle_sql
+
+    rows = []
+    for uid in range(7):
+        n = 120 + 17 * uid  # buckets of ~8-16 points (n_out=16)
+        for i in range(n):
+            rows.append(
+                (
+                    uid,
+                    T0 + timedelta(seconds=7 * i + (i * i) % 5),
+                    ((i * 2654435761 + uid * 97) % 99991) / 7.0,
+                )
+            )
+    # one short series exercises the n <= n_out passthrough branch
+    rows += [(99, T0 + timedelta(seconds=i), float(i)) for i in range(9)]
+    df = _ev(spark, rows)
+    path = str(tmp_path / "ev.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    eng = lttb(spark.read.parquet(path), n_out=16).collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    ora = con.sql(_lttb_oracle_sql(16)).fetchall()
+
+    key_e = sorted((r.user_id, r.ts, float(r.value).hex()) for r in eng)
+    key_o = sorted((u, t, float(v).hex()) for u, t, v in ora)
+    assert len(key_e) == 7 * 16 + 9
+    assert key_e == key_o
