@@ -80,12 +80,14 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     identical hash expression, so set sizes and intersection counts are
     bit-identical across engines even in the astronomically-unlikely
     collision case — both engines collide identically.
+
+    Dedup is ``array_distinct`` BEFORE the explode — per-doc set
+    semantics computed map-side (doc_id is unique in ``docs``), where a
+    post-explode ``.distinct()`` would shuffle the whole exploded
+    corpus index just to drop within-doc repeats (r05).
     """
-    hashed = F.transform(shingles_col(n), word_hash)
-    return (
-        docs.select("doc_id", F.explode(hashed).alias("shingle"))
-        .distinct()
-    )
+    hashed = F.array_distinct(F.transform(shingles_col(n), word_hash))
+    return docs.select("doc_id", F.explode(hashed).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -93,6 +95,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
@@ -108,8 +111,21 @@ def ngram_jaccard_pairs(
     EVERY common shingle is hotter than the cap are missed (such pairs
     share boilerplate, not content).  The candidate join is the standard
     frequency-capped inverted-index shape of AllPairs/PPJoin.
+
+    The shingle index feeds FIVE consumers (sizes, df counts, the
+    candidate self-join, both verify sides); it is persisted so the
+    explode+md5 runs once — since ``shingle_sets`` went map-side (no
+    distinct Exchange to act as a ReusedExchange point, r05) an
+    unpersisted index would be recomputed per consumer.
+    ``cache_handles``: same contract as ``ngram_contamination`` —
+    pass a list to receive the handle and unpersist after consuming;
+    otherwise reclamation is left to the ContextCleaner.
     """
-    s = shingle_sets(docs, n)
+    from pyspark import StorageLevel
+
+    s = shingle_sets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(s)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_src = s
     if max_shingle_df is not None:

@@ -96,12 +96,13 @@ def ngram_contamination(
     # DuckDB oracle), so cross-engine counts stay bit-identical even in
     # the astronomically-unlikely collision case — both engines collide
     # identically.
-    hashed = F.transform(shingles_col(n), word_hash)
-    sh = (
-        split.select(
-            "doc_id", "is_test", F.explode(hashed).alias("shingle")
-        )
-        .distinct()
+    # per-doc distinct via array_distinct BEFORE the explode: map-side
+    # set semantics (doc_id unique, is_test functionally dependent on
+    # it) — a post-explode .distinct() would shuffle the entire
+    # exploded index once more for nothing (r05)
+    hashed = F.array_distinct(F.transform(shingles_col(n), word_hash))
+    sh = split.select(
+        "doc_id", "is_test", F.explode(hashed).alias("shingle")
     )
     # the shingle index feeds FOUR consumers (df counts, capped
     # candidates, and both exact-verify sides); without a persist Spark
