@@ -351,6 +351,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     safety valve; exhausting it with labels still changing RAISES
     (returning silently would hand ``keep_representatives`` wrong
     cluster_ids — round-2 ADVICE).
+
+    Each round's labels are materialized with ``localCheckpoint`` —
+    persist alone does NOT truncate logical lineage, so the plan tree
+    nested one level per round and the driver OOMed stringifying it at
+    diameter ~24 (caught by
+    test_dup_clusters_random_graph_vs_union_find).  With the per-round
+    cut, plan size is O(1) in rounds — the standard iterative-graph
+    shape (GraphX/GraphFrames checkpoint the same way).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -366,7 +374,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         it = 0
@@ -397,7 +405,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                         F.col("label"), F.coalesce("min_neigh", "label")
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -405,7 +413,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break

@@ -626,3 +626,61 @@ def test_ivf_topk_trained_centroids_recall(spark):
         kk = (r["query_id"], r["neighbor_id"])
         if kk in ex_cos:
             assert r["cos"] == ex_cos[kk]
+
+
+def test_dup_clusters_random_graph_vs_union_find(spark):
+    """Property pin: min-label propagation == union-find on a seeded
+    random graph that includes LONG CHAINS (so convergence needs many
+    rounds — diameter ~24, not the 1-2 hops of the hand fixtures) plus
+    isolated pairs and a dense blob."""
+    import random
+
+    from gents_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(42)
+    edges = []
+    # one 24-node chain: multi-round diameter for label propagation
+    chain = [rng.randrange(10_000) for _ in range(24)]
+    edges += list(zip(chain, chain[1:]))
+    # a dense 15-node blob
+    blob = rng.sample(range(10_000, 11_000), 15)
+    edges += [(a, b) for i, a in enumerate(blob) for b in blob[i + 1:]
+              if rng.random() < 0.4]
+    # scattered random pairs
+    edges += [
+        (rng.randrange(20_000), rng.randrange(20_000)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for a, b in edges:
+        union(a, b)
+    expected = {}
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in parent:
+        expected[n] = comp_min[find(n)]
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == expected
