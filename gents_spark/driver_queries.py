@@ -703,6 +703,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """No cache_handles passed: the gate returns a LAZY DataFrame (the
+    driver collects it later), so the persisted shingle index cannot be
+    unpersisted here — reclamation is the ContextCleaner's, the same
+    documented convention as contamination_ngram/minhash (r04 VERDICT
+    standing item; bench clears caches between passes)."""
     from gents_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(

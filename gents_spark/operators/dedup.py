@@ -352,13 +352,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     (returning silently would hand ``keep_representatives`` wrong
     cluster_ids — round-2 ADVICE).
 
-    Each round's labels are materialized with ``localCheckpoint`` —
-    persist alone does NOT truncate logical lineage, so the plan tree
-    nested one level per round and the driver OOMed stringifying it at
+    Each round's labels are materialized with a checkpoint — persist
+    alone does NOT truncate logical lineage, so the plan tree nested
+    one level per round and the driver OOMed stringifying it at
     diameter ~24 (caught by
     test_dup_clusters_random_graph_vs_union_find).  With the per-round
     cut, plan size is O(1) in rounds — the standard iterative-graph
-    shape (GraphX/GraphFrames checkpoint the same way).
+    shape (GraphX/GraphFrames checkpoint the same way).  When the
+    session has a checkpoint dir configured the cut is a RELIABLE
+    ``checkpoint()`` (replicated; survives executor loss — what a
+    production cluster run should use); otherwise ``localCheckpoint``
+    (executor-local blocks: an executor loss mid-convergence fails the
+    job, acceptable for single-JVM/local runs).  Superseded rounds'
+    label blocks (one row per doc appearing in a duplicate pair, NOT
+    the corpus) are reclaimed by the ContextCleaner as references
+    drop.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -370,11 +378,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
+    def _cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        try:
+            reliable = sc.getCheckpointDir() is not None
+        except AttributeError:  # very old PySpark
+            reliable = False
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    labels = _cut(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
     try:
         it = 0
@@ -397,7 +412,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                 .groupBy(F.col("a").alias("doc_id"))
                 .agg(F.min("nlabel").alias("min_neigh"))
             )
-            new_labels = (
+            new_labels = _cut(
                 labels.join(neigh, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -405,7 +420,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                         F.col("label"), F.coalesce("min_neigh", "label")
                     ).alias("label"),
                 )
-                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")

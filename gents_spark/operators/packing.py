@@ -88,7 +88,12 @@ def pack_tokens_chunked(
     non-decreasing in ``order`` within each key (e.g. a doc_id prefix,
     or ``substring(order, 1, p)`` for lexicographic ids) so that
     chunk-major, order-minor iteration reproduces the plain per-key
-    order.  Default: the first 2 chars of ``order``.
+    order.  Default: the first 2 chars of ``order`` — valid ONLY for
+    string ids (a string prefix is always monotone in the full string's
+    lexicographic order); for a NUMERIC order column the stringified
+    prefix is NOT monotone (9 -> '9' sorts after 100 -> '10'), so the
+    default RAISES and the caller must pass an explicit chunk (e.g.
+    ``F.col(order) div 100_000``).
 
     1. local EXCLUSIVE prefix sum of ``weight`` per (key, chunk) —
        windows run per chunk, so one key's corpus spreads over its
@@ -105,6 +110,16 @@ def pack_tokens_chunked(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if chunk is None:
+        from pyspark.sql.types import StringType
+
+        if not isinstance(df.schema[order].dataType, StringType):
+            raise ValueError(
+                f"default chunk (2-char prefix) requires a string "
+                f"'{order}' column — a stringified numeric prefix is "
+                f"not monotone ('9' > '10'); pass chunk= explicitly, "
+                f"e.g. F.col('{order}') div 100000"
+            )
     ch = (
         F.col(chunk)
         if isinstance(chunk, str)

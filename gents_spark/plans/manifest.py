@@ -69,9 +69,15 @@ def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
             "engine_version": pa.array(cols[9], pa.string()),
         }
     )
-    pq.write_table(
-        table, os.path.join(manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")
-    )
+    # temp name + atomic rename: a concurrent reader or
+    # expire_snapshots listing must never see a half-written parquet
+    # footer.  The temp name is "_"-prefixed — Spark's default path
+    # filter skips _/. files, so even a whole-directory
+    # spark.read.parquet(manifest_dir) cannot pick it up mid-write.
+    name = f"manifest-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(manifest_dir, "_" + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(manifest_dir, name))
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
@@ -542,14 +548,21 @@ def expire_snapshots(
        moved into the directory;
     3. delete exactly the snapshotted files.
 
-    Every intermediate state yields correct current membership: during
-    the window readers see old rows + compacted rows, and every
-    membership/snapshot reader already dedupes by the latest
-    (checkpoint_ts, status) row per (tier, chunk).  A concurrent APPEND
-    is also safe — its file is created after the snapshot in step 1, so
-    step 3 never deletes it (its rows are at worst duplicated, again
-    deduped by readers).  Only two concurrent expire_snapshots runs
-    must be externally serialized (they would double-compact).  Returns
+    Every intermediate state yields correct current MEMBERSHIP: a read
+    whose file listing falls fully before or fully after the window
+    sees either old rows, old + compacted rows, or compacted rows —
+    every membership/snapshot reader dedupes by the latest
+    (checkpoint_ts, status) row per (tier, chunk), and compaction
+    itself drops exact-duplicate rows, so a crash between steps 2 and 3
+    is repaired by the next run.  A concurrent APPEND is safe — its
+    file is created (atomically, temp + rename in
+    ``_append_manifest_rows``) after the snapshot in step 1, so step 3
+    never deletes it.  LIMITATION (unlike real Iceberg, whose readers
+    pin an immutable metadata file): a reader whose Spark file LISTING
+    precedes step 3 but whose scan runs after it fails fast with
+    FileNotFoundException and must retry — transient failure, never
+    silent wrong data.  Two concurrent expire_snapshots runs must be
+    externally serialized (they would double-compact).  Returns
     {"kept": n, "dropped": n}.
     """
     import glob
@@ -558,11 +571,15 @@ def expire_snapshots(
 
     # step 1: snapshot BEFORE reading, so any append that the read
     # below misses is also missing from the deletion list
+    if not os.path.isdir(manifest_dir):
+        return {"kept": 0, "dropped": 0}
     old_files = [
         f
         for f in os.listdir(manifest_dir)
         if f.endswith(".parquet")
     ]
+    if not old_files:
+        return {"kept": 0, "dropped": 0}
     m = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(manifest_dir, f) for f in old_files]
     )
@@ -575,6 +592,10 @@ def expire_snapshots(
             | (F.struct("checkpoint_ts", "status") == F.col("_top"))
         )
         .drop("_top")
+        # collapse exact-duplicate rows (a crash between steps 2 and 3
+        # leaves every surviving row twice; without this a rerun would
+        # preserve the duplicates forever)
+        .dropDuplicates()
     )
     total = m.count()
     tmp = manifest_dir.rstrip("/") + ".compact-tmp"

@@ -341,11 +341,20 @@ def test_duplicate_manifest_rows_preserve_membership(spark, seqs, tmp_path):
     m = pipe.run(seqs, out, run_id="rB", resume=True)
     assert m["tiers"]["1d"]["written"] == 0
 
-    # expiry from the duplicated state converges: duplicates collapse,
-    # membership unchanged
+    # expiry from the duplicated state converges: duplicates COLLAPSE
+    # (no exact-duplicate row survives compaction) and membership is
+    # unchanged
     rep = expire_snapshots(spark, mdir, older_than_ts=time.time())
     assert rep["kept"] + rep["dropped"] == rows_dup
+    after = read_manifest(spark, mdir)
+    assert after.count() == rep["kept"]
+    assert after.dropDuplicates().count() == after.count()
     assert (
         {r["chunk"] for r in completed_chunks(spark, mdir, "1d").collect()}
         == before
     )
+    # empty/missing dirs degrade gracefully (r05 review: the explicit
+    # file listing must not crash where read_manifest returned empty)
+    assert expire_snapshots(
+        spark, str(tmp_path / "nope"), older_than_ts=time.time()
+    ) == {"kept": 0, "dropped": 0}

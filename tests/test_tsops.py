@@ -241,3 +241,18 @@ def test_pack_tokens_chunked_equals_plain(spark):
         for r in pack_tokens_chunked(df, budget=16).collect()
     }
     assert chunked_dflt == plain
+
+
+def test_pack_tokens_chunked_rejects_numeric_default_chunk(spark):
+    """r05 review: the default 2-char-prefix chunk is only monotone for
+    string ids ('9' > '10' stringified) — numeric order columns must
+    raise instead of silently packing in the wrong order."""
+    import pytest
+
+    from gents_spark.operators.packing import pack_tokens_chunked
+
+    df = spark.createDataFrame(
+        [(1, "s", 5)], "doc_id long, source string, n_tok long"
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        pack_tokens_chunked(df, budget=10)

@@ -1,7 +1,12 @@
 """Design-for-scale audit: physical-plan features of every gate query.
 
-Compiles (does NOT execute) each ``__spark_entry__.queries()`` entry
-against an sf dir and reports the plan features that matter at 100 TB:
+Compiles each ``__spark_entry__.queries()`` entry against an sf dir —
+WITHOUT running the query's own action — and reports the plan features
+that matter at 100 TB.  (A few operators run bounded driver-side jobs
+at DataFrame-construction time and therefore execute during the audit
+too: ivf_topk collects its k seed centroids, kmeans/trained-IVF run the
+k-row-per-iteration Lloyd loop, dup_clusters runs its convergence loop
+— all metadata-scale by design, but not free.)
 
 - ``shuf``   hash-partitioning Exchanges (each is a full shuffle of its
              input; the number that must survive a 1000-executor run)
