@@ -710,9 +710,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     standing item; bench clears caches between passes)."""
     from gents_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=50
+    # repartition: the shingle explode+hash that materializes the
+    # persisted index is map-side, so its parallelism equals the scan's
+    # — and the single-file gate corpus scans as ONE partition
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=50)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1071,10 +1075,12 @@ def q_contamination_ngram(spark, sf_dir):
     count) via the frequency-capped inverted index (df<=50)."""
     from gents_spark.operators.sampling import ngram_contamination
 
-    return ngram_contamination(
-        _t(spark, sf_dir, "documents"), n=5, test_frac=0.2,
-        max_shingle_df=50,
+    # repartition: the index-materializing explode+hash is map-side and
+    # the single-file gate corpus scans as ONE partition
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return ngram_contamination(docs, n=5, test_frac=0.2, max_shingle_df=50)
 
 
 def q_source_correlation(spark, sf_dir):
