@@ -327,30 +327,34 @@ def _cent_cos_arr(cents: list[tuple[int, list[int], int]]) -> F.Column:
     ordering (cos_c first, ncid second) makes both the argmax and the
     sorted probe ranking tie-break toward the SMALLEST cid, matching
     ``row_number() OVER (ORDER BY cos DESC, cid ASC)`` in the oracle.
-    A single array expression keeps the Catalyst tree O(k x dim) — the
-    first cut projected k separate cosine columns and folded a
-    when-chain over them, which project-collapse inlined into an
-    O(k^2 x dim) tree that OOMed the driver at plan time.
+
+    The whole centroid table rides in as THREE array literals (vectors,
+    sq-norms, negated ids) iterated by an index-aware ``transform`` —
+    the Catalyst tree is O(1) in k and dim (3 Literal nodes + one
+    lambda), where the previous per-centroid loop built O(k x dim)
+    Literal nodes (and the cut before it an O(k^2 x dim) when-chain
+    that OOMed the driver at plan time).  A production-sized index
+    (k=1024-4096 cells) only grows the literal VALUES, not the plan.
     """
-    entries = []
-    for cid, cvec, cn2 in cents:
+    vecs = F.lit([[int(x) for x in cvec] for _, cvec, _ in cents])
+    n2s = F.lit([int(cn2) for _, _, cn2 in cents])
+    ncids = F.lit([-int(cid) for cid, _, _ in cents])
+
+    def entry(cv, i):
         dot = F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(int(x)) for x in cvec]),
-                lambda a, b: a * b,
-            ),
+            F.zip_with(F.col("q"), cv, lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        cos = dot / F.sqrt((F.col("n2") * F.lit(int(cn2))).cast("double"))
-        entries.append(
-            F.struct(
-                cos.alias("cos_c"),
-                F.lit(-int(cid)).cast("long").alias("ncid"),
-            )
+        cos = dot / F.sqrt(
+            (F.col("n2") * F.element_at(n2s, i + 1)).cast("double")
         )
-    return F.array(*entries)
+        return F.struct(
+            cos.alias("cos_c"),
+            F.element_at(ncids, i + 1).cast("long").alias("ncid"),
+        )
+
+    return F.transform(vecs, entry)
 
 
 def ivf_assign(
