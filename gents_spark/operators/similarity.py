@@ -335,10 +335,27 @@ def _cent_cos_arr(cents: list[tuple[int, list[int], int]]) -> F.Column:
     Literal nodes (and the cut before it an O(k^2 x dim) when-chain
     that OOMed the driver at plan time).  A production-sized index
     (k=1024-4096 cells) only grows the literal VALUES, not the plan.
+
+    The literals are built by PARSING one SQL string per array rather
+    than ``F.lit`` on a nested Python list: py4j converts ``lit``
+    element-by-element (~0.85s for 16x64 ints, minutes at k=1024),
+    while the JVM parses the same values from a single string in
+    milliseconds (measured 0.037s at k=1024 x dim 64).
     """
-    vecs = F.lit([[int(x) for x in cvec] for _, cvec, _ in cents])
-    n2s = F.lit([int(cn2) for _, _, cn2 in cents])
-    ncids = F.lit([-int(cid) for cid, _, _ in cents])
+    vecs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in cvec) + ")"
+            for _, cvec, _ in cents
+        )
+        + ")"
+    )
+    n2s = F.expr(
+        "array(" + ",".join(f"{int(cn2)}L" for _, _, cn2 in cents) + ")"
+    )
+    ncids = F.expr(
+        "array(" + ",".join(f"{-int(cid)}L" for cid, _, _ in cents) + ")"
+    )
 
     def entry(cv, i):
         dot = F.aggregate(
@@ -529,22 +546,33 @@ def kmeans_lloyd(
         # expressions into the chain — an O(k^2 x dim) Catalyst tree
         # that OOMed the driver at k=16 (same failure mode as
         # ``_cent_cos_arr``'s docstring notes for IVF).
-        entries = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"),
-                        F.array(*[F.lit(int(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).cast("int").alias("cid"),
+        # centroid matrix as ONE parsed array literal + index-aware
+        # transform (the ``_cent_cos_arr`` shape): plan is O(1) in k,
+        # and parsing beats k x dim per-element ``F.lit`` py4j round
+        # trips — which this loop would otherwise pay EVERY iteration
+        vecs = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+                for c in cs
             )
-            for i, c in enumerate(cs)
-        ]
-        m = F.array_min(F.array(*entries))
+            + ")"
+        )
+        m = F.array_min(
+            F.transform(
+                vecs,
+                lambda cv, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"), cv, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.cast("int").alias("cid"),
+                ),
+            )
+        )
         return base.select(
             "vec_id", "q",
             m["cid"].alias("cluster_id"), m["d"].alias("sq_dist"),
