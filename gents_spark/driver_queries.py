@@ -1213,7 +1213,13 @@ def q_funnel_conversion(spark, sf_dir):
     click opens a [ts, ts+24h) window; a same-user purchase inside it
     marks the click converted.  Composes the binned interval join
     (operators/sessions.py) with an exists-style distinct — no cross
-    join, no EXISTS subquery per row."""
+    join, no EXISTS subquery per row.
+
+    Scale shape: the output is DAY-level, so the converted side is
+    aggregated to (click_day, n_converted) BEFORE meeting the click
+    counts — a broadcast join of two day-cardinality tables — instead
+    of sort-merge-joining the conversion verdict back onto every click
+    row (the full click table never pays a join)."""
     from gents_spark.operators.sessions import point_in_interval_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1226,31 +1232,30 @@ def q_funnel_conversion(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    conv = (
+    conv_days = (
         point_in_interval_join(
             purchases, clicks, key="user_id", ts="ts",
             start="w_start", end="w_end", grain_s=86400,
         )
-        .select("click_id")
+        .select(
+            "click_id",
+            F.date_trunc("day", F.col("w_start")).alias("click_day"),
+        )
         .distinct()
-        .withColumn("converted", F.lit(1))
+        .groupBy("click_day")
+        .agg(F.count("*").alias("n_converted"))
     )
-    per_click = clicks.join(conv, "click_id", "left")
-    return (
-        per_click.groupBy(
-            F.date_trunc("day", F.col("w_start")).alias("click_day")
-        )
-        .agg(
-            F.count("*").alias("n_clicks"),
-            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias(
-                "n_converted"
-            ),
-            F.round(
-                F.sum(F.coalesce(F.col("converted"), F.lit(0)))
-                / F.count("*"),
-                6,
-            ).alias("conv_rate"),
-        )
+    clicks_per_day = clicks.groupBy(
+        F.date_trunc("day", F.col("w_start")).alias("click_day")
+    ).agg(F.count("*").alias("n_clicks"))
+    n_conv = F.coalesce(F.col("n_converted"), F.lit(0))
+    return clicks_per_day.join(
+        F.broadcast(conv_days), "click_day", "left"
+    ).select(
+        "click_day",
+        "n_clicks",
+        n_conv.alias("n_converted"),
+        F.round(n_conv / F.col("n_clicks"), 6).alias("conv_rate"),
     )
 
 
