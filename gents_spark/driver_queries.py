@@ -1819,9 +1819,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
-    "token_count": q_token_count,
+    # rewritten r05 (day-level aggregation before the join) -> needs a
+    # fresh driver stamp; token_count rotated to the tail in its place
+    "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
+    "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
@@ -1844,7 +1847,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_correlation": q_source_correlation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
-    "funnel_conversion": q_funnel_conversion,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
