@@ -195,22 +195,25 @@ class TierPipeline:
         - raw is shuffled ONCE, hash-partitioned on ``(source, _gchunk)``
           where ``_gchunk = date_trunc(<chunk grain>, event_time)`` — the
           one big exchange of the whole build;
-        - every tier aggregation groups by ``(source, _gchunk, bucket)``,
-          every gap-fill window partitions by ``(source, _gchunk)``, and
-          every payload join keys on ``(source, _gchunk, bucket_start)``
-          — all supersets of the partitioning keys, so Catalyst's
+        - every tier aggregation groups by ``(source, _gchunk, bucket)``
+          and every gap-fill window partitions by ``(source, _gchunk)``
+          — supersets of the partitioning keys, so Catalyst's
           clustering rule makes them ZERO-exchange (sorts only);
         - payloads compose from the in-memory finer-tier base (persisted)
           instead of a parquet read-back of the written tier — same rows
-          (the written tier minus its gap-filled rows IS the base);
+          (the written tier minus its gap-filled rows IS the base) —
+          and join AFTER gap-fill so the payload aggregation has exactly
+          one consumer (gap-fill triple-scans its input; see the join
+          comment below).  That join's exchange is coarse-tier-sized;
         - all tiers are written in ONE dynamic-partition-overwrite job
           (``write_tiers_combined``) with NO pre-write shuffle (the
           chunk-grain co-partitioning keeps files per chunk dir bounded
           by the source count), plus one stats job over the written
           columns and one driver-side manifest append.
 
-        Remaining exchanges: the raw repartition and per-gapfill
-        day-summary carries (tiny, |sources x chunks| rows).  Skew note:
+        Remaining exchanges: the raw repartition, per-gapfill
+        day-summary carries (tiny, |sources x chunks| rows), and the
+        coarse-tier payload joins (coarse-tier row counts).  Skew note:
         the chunk-grain co-partition spreads a hot source over its
         chunks; a pathological single (source, chunk) hotspot is what
         ``use_salting`` remains for.
@@ -343,6 +346,7 @@ class TierPipeline:
                     tier_df = tier_df.join(
                         dv, ["source", gck, "bucket_start"], "left"
                     )
+                pay = None
                 if self.payloads and (
                     prev_base is not None or self.payloads == "all"
                 ):
@@ -362,18 +366,11 @@ class TierPipeline:
                             raw, tier, value_col="n_tok", ts_col="event_time",
                             gchunk_col=gck,
                         )
-                        pay_gck = gck
                     else:
                         finer_df, pay_gck = prev_base
                         pay = attach_payload(
                             finer_df, tier, gchunk_col=pay_gck
                         )
-                    join_keys = ["source", "bucket_start"]
-                    if gck and pay_gck:
-                        join_keys = ["source", gck, "bucket_start"]
-                    tier_df = tier_df.join(
-                        pay.select(*join_keys, "payload"), join_keys, "left"
-                    )
                 if self.gapfill_mode:
                     tier_df = gapfill(
                         tier_df, tier, mode=self.gapfill_mode, gchunk_col=gck
@@ -382,6 +379,23 @@ class TierPipeline:
                     tier_df = tier_df.withColumn("filled", F.lit(False))
                     if gck:
                         tier_df = tier_df.drop(gck)
+                if pay is not None:
+                    # Joined AFTER gap-fill, on (source, bucket_start):
+                    # gap-fill scans its input ~3x (gen branch, chunk
+                    # summary, original passthrough), and with the join
+                    # inside, every scan re-ran the payload aggregation
+                    # + pandas-UDF encode.  Post-gap-fill the payload
+                    # agg has exactly ONE consumer; generated buckets
+                    # have no finer rows, so they get NULL payloads from
+                    # the left join exactly as the passthrough gave
+                    # them.  The exchange this adds is coarse-tier-sized
+                    # (payloads are never built for the finest tier
+                    # unless payloads='all').
+                    tier_df = tier_df.join(
+                        pay.select("source", "bucket_start", "payload"),
+                        ["source", "bucket_start"],
+                        "left",
+                    )
                 finals[tier] = tier_df
                 # every base is read at least twice inside the single
                 # write job (gap-fill's original + generated branches;
