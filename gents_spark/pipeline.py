@@ -314,37 +314,38 @@ class TierPipeline:
                         gchunk_col=gck,
                     )
                 tier_df = base
+                # sketch columns join AFTER gap-fill (same reason as the
+                # payload join below: gap-fill triple-scans its input,
+                # and each scan would re-run the sketch aggregation over
+                # raw); generated buckets get NULL sketches either way
+                side_joins: list[DataFrame] = []
                 if self.store_sketches and gck:
                     # mergeable percentile sketch column on every tier
                     # row (operators/sketches.py): after retention
                     # expires raw, coarser percentiles recompose by
-                    # merging stored finer-tier sketches.  Same grouping
-                    # keys as the rollup -> zero-exchange agg + join.
+                    # merging stored finer-tier sketches
                     from gents_spark.operators.sketches import (
                         value_histogram,
                     )
 
-                    vh = value_histogram(raw, tier, gchunk_col=gck).select(
-                        "source", gck, "bucket_start", "vh"
-                    )
-                    tier_df = tier_df.join(
-                        vh, ["source", gck, "bucket_start"], "left"
+                    side_joins.append(
+                        value_histogram(raw, tier, gchunk_col=gck).select(
+                            "source", "bucket_start", "vh"
+                        )
                     )
                 if self.store_distinct and gck:
                     # mergeable HLL distinct-doc sketch per tier row:
                     # distinct counts survive raw expiry and union
-                    # losslessly upward (register-wise max).  Same
-                    # grouping keys -> zero-exchange agg + join.
+                    # losslessly upward (register-wise max)
                     from gents_spark.operators.sketches import (
                         distinct_sketch,
                     )
 
-                    dv = distinct_sketch(
-                        raw, tier, key_col="doc_id",
-                        ts_col="event_time", gchunk_col=gck,
-                    ).select("source", gck, "bucket_start", "dv_sketch")
-                    tier_df = tier_df.join(
-                        dv, ["source", gck, "bucket_start"], "left"
+                    side_joins.append(
+                        distinct_sketch(
+                            raw, tier, key_col="doc_id",
+                            ts_col="event_time", gchunk_col=gck,
+                        ).select("source", "bucket_start", "dv_sketch")
                     )
                 pay = None
                 if self.payloads and (
@@ -379,6 +380,10 @@ class TierPipeline:
                     tier_df = tier_df.withColumn("filled", F.lit(False))
                     if gck:
                         tier_df = tier_df.drop(gck)
+                for sj in side_joins:
+                    tier_df = tier_df.join(
+                        sj, ["source", "bucket_start"], "left"
+                    )
                 if pay is not None:
                     # Joined AFTER gap-fill, on (source, bucket_start):
                     # gap-fill scans its input ~3x (gen branch, chunk
