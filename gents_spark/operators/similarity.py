@@ -386,6 +386,66 @@ def ivf_assign(
     return base.select("vec_id", (-m["ncid"]).cast("int").alias("cid"))
 
 
+def _cent_arrays(cents: list[tuple[int, list[int], int]]):
+    """Centroids as numpy int64 arrays, sorted by cid so that numpy's
+    first-max argmax tie-breaks toward the SMALLEST cid exactly like the
+    HOF struct-max's negated-id ordering."""
+    import numpy as np
+
+    ordered = sorted(cents, key=lambda c: c[0])
+    cids = np.array([c[0] for c in ordered], dtype=np.int64)
+    cmat = np.array([c[1] for c in ordered], dtype=np.int64)  # k x dim
+    cn2 = np.array([c[2] for c in ordered], dtype=np.int64)
+    return cids, cmat, cn2
+
+
+def _assign_batches(cents, extra_cols):
+    """mapInPandas closure: per Arrow batch, ONE int64 matmul against
+    the centroid matrix replaces k x dim interpreted lambda steps per
+    row.  Bit-equal to the HOF path: dot products are exact int64
+    (|dot| < 2^53 so the float64 cast is lossless; overflow needs
+    dim * Q^2 * sqrt(dim) > 2^63 — dim ~3000 at Q=1000), the cosine is
+    the same IEEE-754 double sqrt/divide, and ties break to the
+    smallest cid on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat, cn2 = _cent_arrays(cents)
+    cmat_t = cmat.T
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n2 = pdf["n2"].to_numpy().astype(np.int64)
+            dots = qm @ cmat_t
+            denom = np.sqrt((n2[:, None] * cn2[None, :]).astype(np.float64))
+            cell = cids[np.argmax(dots / denom, axis=1)].astype(np.int32)
+            out = {"vec_id": pdf["vec_id"], "cid": cell}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def ivf_assign_arrow(
+    base: DataFrame, cents: list[tuple[int, list[int], int]]
+) -> DataFrame:
+    """Arrow/numpy twin of ``ivf_assign`` for production-scale k.
+
+    The HOF argmax evaluates k x dim interpreted lambda steps per row
+    (~1µs each): exact and exchange-free, but at an index-sized
+    k=1024-4096 that is ~0.1-1 ms of expression time PER ROW.  This
+    path computes the SAME argmax with one numpy int64 matmul per Arrow
+    batch — still map-side (ArrowEvalPython, no Exchange), pinned
+    bit-equal to ``ivf_assign`` by tests including cosine ties."""
+    return base.select("vec_id", "q", "n2").mapInPandas(
+        _assign_batches(cents, ()), "vec_id long, cid int"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -393,6 +453,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 8,
     centroids: list[list[int]] | None = None,
+    assign: str = "hof",
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-centroid partitioned search.
 
@@ -462,13 +523,28 @@ def ivf_topk(
     # cell id is a pure per-row function of (q, n2) over centroid
     # literals — project it INLINE instead of joining ``ivf_assign``'s
     # output back onto the corpus (that join shuffled the corpus twice
-    # on vec_id for what is a map-side expression)
-    cside = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("qb"),
-        F.col("n2").alias("nb"),
-        (-F.array_max(_cent_cos_arr(cents))["ncid"]).cast("int").alias("cid"),
-    )
+    # on vec_id for what is a map-side expression).  assign="arrow"
+    # swaps the interpreted HOF argmax for the numpy-matmul batch twin
+    # (``ivf_assign_arrow``) — same values, same no-Exchange shape, the
+    # right default once k reaches index size (1024+ cells)
+    if assign == "arrow":
+        cside = base.select("vec_id", "q", "n2").mapInPandas(
+            _assign_batches(cents, ("q", "n2")),
+            "vec_id long, cid int, q array<long>, n2 long",
+        ).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qb"),
+            F.col("n2").alias("nb"),
+            "cid",
+        )
+    else:
+        cside = base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qb"),
+            F.col("n2").alias("nb"),
+            (-F.array_max(_cent_cos_arr(cents))["ncid"]).cast("int")
+            .alias("cid"),
+        )
     cand = (
         F.broadcast(probes)
         .join(cside, "cid")

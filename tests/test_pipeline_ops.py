@@ -362,6 +362,51 @@ def test_ivf_topk_recall_and_shape(spark):
             assert r["cos"] == ex_cos[k]
 
 
+def test_ivf_assign_arrow_bit_equal(spark):
+    """The numpy-matmul Arrow assignment is bit-identical to the HOF
+    argmax — including cosine TIES (two identical centroids must both
+    resolve to the smaller cid) — and the full ivf_topk output is
+    row-identical under assign="arrow"."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gents_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_topk,
+        with_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = with_quantized(emb)
+    rows = (
+        base.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
+        for r in rows
+    ]
+    # duplicate centroid 3 as cid 99: every vector equidistant from both
+    # must land on 3 in both implementations (and list order must not
+    # matter for the arrow path — pass 99 first)
+    cents_tied = [(99, cents[3][1], cents[3][2])] + cents
+    hof = {
+        (r["vec_id"], r["cid"])
+        for r in ivf_assign(base, cents_tied).collect()
+    }
+    arw = {
+        (r["vec_id"], r["cid"])
+        for r in ivf_assign_arrow(base, cents_tied).collect()
+    }
+    assert hof == arw
+    assert not any(cid == 99 for _, cid in hof)
+
+    k_h = ivf_topk(emb, k=5, n_queries=20).collect()
+    k_a = ivf_topk(emb, k=5, n_queries=20, assign="arrow").collect()
+    assert sorted(map(tuple, k_h), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, k_a), key=lambda t: (t[0], t[2])
+    )
+
+
 def test_classify_columns_data_driven(spark):
     """F6: classification is driven by the DATA — a constant-per-group
     column classifies static, a varying one time_varying, a key-like one
