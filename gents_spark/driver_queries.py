@@ -939,11 +939,16 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """Seeded IVF with the numpy-matmul Arrow cell assignment — the
+    production path for index-sized k (the HOF argmax costs k x dim
+    interpreted lambda steps per corpus row; the matmul batch is pinned
+    bit-equal by test_ivf_assign_arrow_bit_equal).  ann_ivf_trained
+    keeps the pure-JVM HOF assignment so the gate exercises both."""
     from gents_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
         _t(spark, sf_dir, "embeddings"),
-        k=5, n_queries=20, n_centroids=16, n_probe=8,
+        k=5, n_queries=20, n_centroids=16, n_probe=8, assign="arrow",
     )
 
 

@@ -212,7 +212,14 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         shingles_col(n),
         lambda s: F.pmod(word_hash(s), F.lit(MINHASH_P)),
     )
-    d = docs.select("doc_id", hs.alias("_hs")).filter(F.size("_hs") > 0)
+    # guard on size(words) >= n (== size(_hs) > 0: a slice/zip_with
+    # chain preserves greatest(size(w)-(n-1),0) elements): filtering on
+    # the _hs alias would collapse into the projection and re-evaluate
+    # the whole shingle+hash transform per row (no cross-operator
+    # subexpression elimination between Filter and Project)
+    d = docs.filter(F.size(words_col()) >= n).select(
+        "doc_id", hs.alias("_hs")
+    )
     cols = [
         F.array_min(
             F.transform(
@@ -316,8 +323,15 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         words_col(), lambda w: F.pmod(word_hash(w), F.lit(1 << bits))
     )
     # NULL/empty-text docs emit NO row (mirrors minhash_signatures'
-    # size guard and the oracle's unnest semantics — r04 ADVICE)
-    d = docs.select("doc_id", hw.alias("_hw")).filter(F.size("_hw") > 0)
+    # size guard and the oracle's unnest semantics — r04 ADVICE).
+    # Guard on size(words), not size(_hw): transform preserves length,
+    # and a filter on the _hw alias collapses into the projection and
+    # re-evaluates the whole split+hash transform per row (measured 2x
+    # on the bench corpus — filter/project pairs get no cross-operator
+    # subexpression elimination)
+    d = docs.filter(F.size(words_col()) > 0).select(
+        "doc_id", hw.alias("_hw")
+    )
 
     def bit_vote(b):
         def merge(acc, h):
