@@ -32,6 +32,15 @@ from gents_spark.operators.rollup import TIER_UNITS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Deliberately NOT repartitioned: the gate/bench fact files are small
+    # (events@sf0.1 = 100k rows, 1 row group), so an up-front
+    # repartition(defaultParallelism) costs a full shuffle that exceeds
+    # the parallelism win — measured +0.5..1.0s on EVERY touched query
+    # (rollup_1m 1.12->1.94s, rollup_1h 0.52->1.04s, asof 1.75->2.43s;
+    # e2e 43.6->47.4s).  At production scale the same scan arrives in
+    # thousands of splits, so the exchange buys nothing there either.
+    # Queries whose first stage does heavy per-row work (shingling in
+    # contamination/jaccard) repartition inside their own wrappers.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
