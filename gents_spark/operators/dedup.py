@@ -55,7 +55,9 @@ def shingles_col(n: int = 3) -> F.Column:
             F.slice(w, 1 + j, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return acc
+    # NULL text propagates NULL through split/slice/zip_with; coalesce
+    # keeps the documented empty-array contract (size()=0, not -1)
+    return F.coalesce(acc, F.array().cast("array<string>"))
 
 
 def exact_dedup_groups(docs: DataFrame, prefix_words: int = 5) -> DataFrame:
@@ -386,9 +388,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     production cluster run should use); otherwise ``localCheckpoint``
     (executor-local blocks: an executor loss mid-convergence fails the
     job, acceptable for single-JVM/local runs).  Superseded rounds'
-    label blocks (one row per doc appearing in a duplicate pair, NOT
-    the corpus) are reclaimed by the ContextCleaner as references
-    drop.
+    localCheckpoint blocks (one row per doc appearing in a duplicate
+    pair, NOT the corpus) are reclaimed by the ContextCleaner as
+    references drop; RELIABLE checkpoint files are only auto-removed
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` —
+    otherwise they live until the checkpoint dir is cleaned with the
+    application, so a long-lived session running dedup repeatedly
+    should set that conf or use a per-run checkpoint subdir.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))

@@ -482,6 +482,12 @@ def ivf_topk(
     Output matches ``cosine_topk``: (query_id, neighbor_id, rank, cos);
     recall@k vs the exact scan is pinned by tests (trained >= seeded).
     """
+    if assign not in ("hof", "arrow"):
+        raise ValueError(
+            f"assign={assign!r}: expected 'hof' or 'arrow' (a typo here "
+            "would silently run the interpreted per-row argmax at "
+            "production index sizes)"
+        )
     base = with_quantized(emb)
     if centroids is None:
         rows = (

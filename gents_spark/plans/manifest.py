@@ -616,4 +616,19 @@ def expire_snapshots(
     for f in old_files:
         os.remove(os.path.join(manifest_dir, f))
     shutil.rmtree(tmp, ignore_errors=True)
+    # orphan sweep: a writer that crashed between pq.write_table and
+    # os.replace leaves its "_*.parquet.tmp" invisible to readers but
+    # never deleted by any other path.  Age-gate by mtime (not
+    # older_than_ts, which callers often set to now()): an in-flight
+    # append's temp lives milliseconds, so an hour-old temp is always
+    # a crash residue.
+    now = time.time()
+    for f in os.listdir(manifest_dir):
+        if f.startswith("_") and f.endswith(".parquet.tmp"):
+            p = os.path.join(manifest_dir, f)
+            try:
+                if now - os.path.getmtime(p) > 3600:
+                    os.remove(p)
+            except OSError:
+                pass
     return {"kept": n_kept, "dropped": total - n_kept}

@@ -296,9 +296,21 @@ def test_snapshot_time_travel_and_expiry(spark, seqs, tmp_path):
     with pytest.raises(ValueError):
         snapshot_chunks(spark, mdir, as_of_run="nope")
 
+    # crash residue: a writer that died between write_table and
+    # os.replace leaves an "_*.parquet.tmp"; expire must sweep ones
+    # past the age gate and leave a fresh (possibly in-flight) one
+    stale = os.path.join(mdir, "_manifest-deadbeef.parquet.tmp")
+    fresh = os.path.join(mdir, "_manifest-cafef00d.parquet.tmp")
+    for p in (stale, fresh):
+        with open(p, "wb") as fh:
+            fh.write(b"partial")
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+
     # expiry: drop pre-ts1 history, keep each chunk's latest row
     n_rows_before = read_manifest(spark, mdir).count()
     rep = expire_snapshots(spark, mdir, older_than_ts=time.time())
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
     assert rep["dropped"] > 0
     assert rep["kept"] + rep["dropped"] == n_rows_before
     assert {r["chunk"] for r in snapshot_chunks(spark, mdir).collect()} == cur

@@ -63,6 +63,19 @@ def test_short_doc_has_no_shingles(spark, docs):
     assert shingle_sets(docs).filter(F.col("doc_id") == 5).count() == 0
 
 
+def test_null_text_shingles_empty_not_null(spark):
+    """shingles_col's contract is empty array (size 0), never NULL —
+    split/slice/zip_with would otherwise propagate NULL text to a NULL
+    result whose size() is -1, silently flipping >=/< comparisons in
+    any future consumer."""
+    from gents_spark.operators.dedup import shingles_col
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "a b c d")], "doc_id int, text string"
+    ).select("doc_id", F.size(shingles_col(3)).alias("n"))
+    assert {r["doc_id"]: r["n"] for r in df.collect()} == {1: 0, 2: 0, 3: 2}
+
+
 def test_minhash_lsh_catches_exact_dup(docs):
     from gents_spark.operators.dedup import minhash_lsh_pairs
 
@@ -337,6 +350,18 @@ def test_embedding_lsh_candidate_band_cap(spark):
     assert sum(1 for a, b in full if a < 30 and b < 30) == 435  # C(30,2)
     assert not any(a < 30 and b < 30 for a, b in capped)
     assert (100, 101) in capped
+
+
+def test_ivf_topk_rejects_unknown_assign(spark):
+    """A typo'd assign= must raise, not silently run the interpreted
+    per-row argmax at production index sizes."""
+    import pytest as _pytest
+
+    from gents_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="assign="):
+        ivf_topk(emb, k=2, n_queries=2, assign="Arrow")
 
 
 def test_ivf_topk_recall_and_shape(spark):
