@@ -1330,6 +1330,43 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
+def q_ewma_1h(spark, sf_dir):
+    """Trailing-24h EWMA smoother over hourly per-source means
+    (operators/anomaly.py::ewma_smooth).  Hourly means come from exact
+    cents-sums (integer, order-independent) divided in a fixed
+    expression shape, and the fold is left-to-right with alpha=0.25
+    (exactly representable) — bit-identical to the DuckDB twin."""
+    from gents_spark.operators.anomaly import ewma_smooth
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .withColumn(
+            "v",
+            (F.col("s").cast("double") / F.lit(100.0))
+            / F.col("c").cast("double"),
+        )
+    )
+    out = ewma_smooth(
+        hourly, key="source", order="bucket_start", value="v",
+        alpha=0.25, window=24,
+    )
+    return out.select(
+        "source",
+        "bucket_start",
+        F.col("c").alias("cnt"),
+        "n_in_window",
+        F.round("ewma", 6).alias("ewma_24h"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1789,6 +1826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained": q_ann_ivf_trained,
     "lttb_downsample": q_lttb_downsample,  # r05: oracle via unrolled chain
+    "ewma_1h": q_ewma_1h,  # new r05: EWMA smoother (column_classes
+    # rotated to the tail on its r04 stamp to keep the head at 50)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1818,7 +1857,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "sketch_merge_1h": q_sketch_merge_1h,
-    "column_classes": q_column_classes,
     "asof_enrich": q_asof_enrich,
     "asof_tolerance": q_asof_tolerance,
     "twa_1h": q_twa_1h,
@@ -1838,6 +1876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
+    "column_classes": q_column_classes,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2321,6 +2360,33 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN hourly h
           ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
+    # ORDER BY order, list_reduce seeds with the first element and folds
+    # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "ewma_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ), wv AS (
+            SELECT source, bucket_start, c,
+                   (CAST(s AS DOUBLE) / 100.0) / CAST(c AS DOUBLE) AS v
+            FROM h
+        ), lw AS (
+            SELECT source, bucket_start, c,
+                   list(v) OVER (PARTITION BY source ORDER BY bucket_start
+                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                       AS l
+            FROM wv
+        )
+        SELECT source, bucket_start, c AS cnt,
+               len(l)::BIGINT AS n_in_window,
+               round(list_reduce(l, (acc, x) -> x * 0.25 + acc * 0.75), 6)
+                   AS ewma_24h
+        FROM lw
     """,
     "twa_1h": """
         WITH t AS (SELECT event_type AS source,

@@ -86,3 +86,55 @@ def rolling_zscore(
     if threshold is not None:
         out = out.filter(F.abs(F.col("zscore")) >= threshold)
     return out
+
+
+def ewma_smooth(
+    series: DataFrame,
+    key: str = "source",
+    order: str = "bucket_start",
+    value: str = "v",
+    alpha: float = 0.25,
+    window: int = 24,
+) -> DataFrame:
+    """Exponentially weighted moving average over the trailing
+    ``window`` points per key — the classic tier-timeseries smoother
+    (RRDtool/Graphite EWMA consolidation; GenTS has no smoothing path,
+    its aggregation is plain mean, ``gents/timeseries.py``).
+
+    Adds ``n_in_window`` (frame size, <= window) and ``ewma``: the
+    fold ``acc = x*alpha + acc*(1-alpha)`` over the frame in event-time
+    order, seeded with the frame's OLDEST point.  Bounding the frame
+    (rather than folding from the series start) keeps the state
+    O(window) per row and makes the result oracle-expressible without
+    numerically explosive ``(1-alpha)^t`` closed forms.
+
+    Determinism: callers should feed a ``value`` derived from exact
+    integer aggregates (e.g. cents-sum / count) — the fold itself is
+    plain double mul/add in a FIXED left-to-right order (collect_list
+    over a ROWS frame preserves ORDER BY order), so with
+    exactly-representable alpha (0.25) the result is bit-identical
+    across engines.
+
+    Scale shape: ONE shuffle on ``key``, one frame-bounded window, an
+    O(window) JVM codegen fold per row — no self-join, no UDF; series
+    length per key is unbounded, state is not.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha={alpha}: expected (0, 1]")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    vals = F.collect_list(value).over(w)
+    d = series.withColumn("_vals", vals)
+    fold = F.aggregate(
+        F.slice(F.col("_vals"), 2, window),
+        F.element_at(F.col("_vals"), 1).cast("double"),
+        lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
+    )
+    return (
+        d.withColumn("n_in_window", F.size("_vals").cast("long"))
+        .withColumn("ewma", fold)
+        .drop("_vals")
+    )

@@ -491,3 +491,41 @@ def test_lttb_oracle_bitwise_parity_large_buckets(spark, tmp_path):
     key_o = sorted((u, t, float(v).hex()) for u, t, v in ora)
     assert len(key_e) == 7 * 16 + 9
     assert key_e == key_o
+
+
+def test_ewma_smooth_hand_computed(spark):
+    """Pin the fold semantics: seeded with the frame's oldest point,
+    acc = x*0.25 + acc*0.75 left-to-right, frame bounded at `window`."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.anomaly import ewma_smooth
+
+    rows = [("a", i, float(v)) for i, v in enumerate([8.0, 4.0, 2.0, 6.0])]
+    df = spark.createDataFrame(rows, "source string, t int, v double")
+    got = {
+        r["t"]: (r["n_in_window"], r["ewma"])
+        for r in ewma_smooth(
+            df, key="source", order="t", value="v", alpha=0.25, window=3
+        ).collect()
+    }
+    # t=0: seed 8; t=1: 4*.25+8*.75=7; t=2: 2*.25+7*.75=5.75
+    # t=3 frame [4,2,6]: seed 4 -> 2*.25+4*.75=3.5 -> 6*.25+3.5*.75=4.125
+    assert got == {0: (1, 8.0), 1: (2, 7.0), 2: (3, 5.75), 3: (3, 4.125)}
+
+    with pytest.raises(ValueError):
+        ewma_smooth(df, alpha=0.0)
+
+
+def test_ewma_1h_plan_shuffles_only_aggregates(spark):
+    """The gate query's plan: exactly two exchanges, BOTH carrying
+    hourly-aggregate rows (partial aggs into the final groupBy, hourly
+    rows into the per-source window) -- never the raw event table.
+    Collapsing to one exchange (repartition-by-source before the agg)
+    would shuffle every raw row, the scale-wrong trade."""
+    from gents_spark.driver_queries import q_ewma_1h
+
+    plan = q_ewma_1h(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "PythonUDF" not in plan
