@@ -81,9 +81,10 @@ BENCH_QUERIES = [
     "rollup_1h_midpoint",
     "repetition_stats",
     "pii_scrub",
-    # round-5 additions: map-side IVF assignment, chunked packing
+    # round-5 additions: map-side IVF assignment, chunked packing, EWMA
     "ann_ivf_topk",
     "pack_documents_chunked",
+    "ewma_1h",
 ]
 
 
