@@ -61,3 +61,70 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
         assert r["cnt"] == 150          # 100 + 50
         assert r["max_seq"] == 1049     # offset 1000 + 49
         assert r["sum_tok"] > 0
+
+
+def test_streaming_ewma_matches_batch_bit_equal(spark, tmp_path):
+    """streaming_ewma across a restart == the unbounded-frame batch
+    fold (ewma_smooth with window >= series length), bit-equal doubles:
+    both run x*0.25 + acc*0.75 left-to-right from the same seed."""
+    from pyspark.sql import Window
+
+    from gents_spark.operators.anomaly import ewma_smooth
+    from gents_spark.streaming.stateful import streaming_ewma
+
+    in_path = str(tmp_path / "ein")
+    out_path = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+
+    def batch(offset, per_source):
+        df = parse_seq(synth_sequences(spark, 2, per_source)).select(
+            "source",
+            (F.col("seq") + offset).alias("seq"),
+            (F.col("n_tok").cast("double") / 7.0).alias("v"),
+        )
+        df.write.mode("append").parquet(in_path)
+
+    def run():
+        stream = (
+            spark.readStream.schema("source string, seq long, v double")
+            .parquet(in_path)
+        )
+        q = (
+            streaming_ewma(stream, alpha=0.25)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch(0, 150)
+    run()
+    batch(1000, 75)
+    run()  # restart: state must seed from the checkpoint, not re-fold
+
+    out = spark.read.parquet(out_path)
+    w = Window.partitionBy("source").orderBy(F.desc("n"))
+    got = {
+        r["source"]: (r["n"], r["ewma"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    ref = ewma_smooth(
+        spark.read.parquet(in_path),
+        key="source", order="seq", value="v", alpha=0.25, window=10**6,
+    )
+    want = {
+        r["source"]: (r["n_in_window"], r["ewma"])
+        for r in ref.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("seq"))
+            )
+        ).filter(F.col("rn") == 1).collect()
+    }
+    assert got == want  # exact, including the doubles
