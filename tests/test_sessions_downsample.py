@@ -529,3 +529,41 @@ def test_ewma_1h_plan_shuffles_only_aggregates(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "PythonUDF" not in plan
+
+
+def test_ewma_smooth_fuzz_vs_python_fold(spark):
+    """Property pin for the frame-order assumption: collect_list over a
+    ROWS frame must feed the fold in ORDER BY order regardless of input
+    partitioning.  Engine result must be BIT-equal to a pure-Python
+    left-to-right fold over the same doubles (shuffled input, several
+    alphas/windows)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.anomaly import ewma_smooth
+
+    rng = random.Random(7)
+    for alpha, window in [(0.25, 3), (0.5, 5), (0.125, 24), (1.0, 4)]:
+        n = 40
+        vals = {k: [rng.randint(-500, 500) / 4.0 for _ in range(n)]
+                for k in ("a", "b")}
+        rows = [(k, i, v) for k, vs in vals.items() for i, v in enumerate(vs)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(
+            rows, "source string, t int, v double"
+        ).repartition(7)  # order must come from the window, not the input
+        got = {
+            (r["source"], r["t"]): r["ewma"]
+            for r in ewma_smooth(
+                df, key="source", order="t", value="v",
+                alpha=alpha, window=window,
+            ).collect()
+        }
+        for k, vs in vals.items():
+            for i in range(n):
+                frame = vs[max(0, i - window + 1): i + 1]
+                acc = frame[0]
+                for x in frame[1:]:
+                    acc = x * alpha + acc * (1.0 - alpha)
+                assert got[(k, i)] == acc, (alpha, window, k, i)
