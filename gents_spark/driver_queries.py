@@ -1367,6 +1367,34 @@ def q_ewma_1h(spark, sf_dir):
     )
 
 
+def q_cusum_1h(spark, sf_dir):
+    """CUSUM drift screen over hourly per-source cents-sums
+    (operators/anomaly.py::cusum_drift).  The statistic is computed
+    entirely in exact bigint window aggregates (closed form over
+    cumsum/running-extrema, no fold), so it hash-matches the DuckDB
+    twin with only a final display division in doubles."""
+    from gents_spark.operators.anomaly import cusum_drift
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    out = cusum_drift(
+        hourly, key="source", order="bucket_start", value="s",
+        scale_div=100.0,
+    )
+    return out.select(
+        "source", "bucket_start", "cnt", "s", "cusum_pos", "cusum_neg"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1828,6 +1856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lttb_downsample": q_lttb_downsample,  # r05: oracle via unrolled chain
     "ewma_1h": q_ewma_1h,  # new r05: EWMA smoother (column_classes
     # rotated to the tail on its r04 stamp to keep the head at 50)
+    "cusum_1h": q_cusum_1h,  # new r05: CUSUM drift (modal_fingerprint
+    # rotated to the tail on its r04 stamp to keep the head at 50)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1862,7 +1892,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
     "collection_stats": q_collection_stats,
     "dedup_exact": q_dedup_exact,
@@ -1877,6 +1906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "column_classes": q_column_classes,
+    "modal_fingerprint": q_modal_fingerprint,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2360,6 +2390,44 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN hourly h
           ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    # CUSUM closed-form twin: every statistic term is an exact BIGINT
+    # window aggregate; doubles only in the final display division
+    "cusum_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, bucket_start, s, cnt,
+                   count(*) OVER (PARTITION BY source) AS n,
+                   count(*) OVER (PARTITION BY source) * s
+                     - sum(s) OVER (PARTITION BY source) AS dev
+            FROM h
+        ), cs AS (
+            -- NB: DuckDB identifiers are case-insensitive, so the
+            -- running sum must NOT be aliased "S" (it would shadow the
+            -- cents column "s" in every downstream reference)
+            SELECT source, bucket_start, s, cnt, n,
+                   sum(dev) OVER (PARTITION BY source ORDER BY bucket_start
+                                  ROWS UNBOUNDED PRECEDING) AS cum_dev
+            FROM d
+        ), c AS (
+            SELECT source, bucket_start, s, cnt, n, cum_dev,
+                   least(0, min(cum_dev) OVER w) AS min_cum,
+                   greatest(0, max(cum_dev) OVER w) AS max_cum
+            FROM cs
+            WINDOW w AS (PARTITION BY source ORDER BY bucket_start
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT source, bucket_start, cnt, s,
+               round(CAST(cum_dev - min_cum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum_pos,
+               round(CAST(max_cum - cum_dev AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum_neg
+        FROM c
     """,
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds

@@ -138,3 +138,74 @@ def ewma_smooth(
         .withColumn("ewma", fold)
         .drop("_vals")
     )
+
+
+def cusum_drift(
+    series: DataFrame,
+    key: str = "source",
+    order: str = "bucket_start",
+    value: str = "s",
+    scale_div: float = 100.0,
+) -> DataFrame:
+    """One-sided positive/negative CUSUM drift screen over an exact
+    integer ``value`` column (e.g. hourly cents-sums), per key in
+    ``order`` — the classic changepoint statistic (Page 1954), the
+    standard drift alarm for training-data feeds (a source whose volume
+    or value level shifts shows a ramp the rolling z-score misses).
+
+    Exactness: the textbook recursion ``pos_t = max(0, pos_{t-1} + d_t)``
+    is a sequential fold, but it has a closed form over running
+    aggregates — with ``S_t = cumsum(d)`` (d = n*v_t - sum_v, the
+    deviation from the key mean scaled by n to stay integer):
+
+        pos_t = S_t - min(0, running_min(S))
+        neg_t = max(0, running_max(S)) - S_t
+
+    Every term is a BIGINT window aggregate (ROWS UNBOUNDED PRECEDING),
+    so the statistic is exact and engine-independent; doubles appear
+    only in the final display division by ``n * scale_div``.
+
+    Scale shape: one shuffle on ``key``; two frame-cumulative window
+    passes over the already-aggregated series (hourly rows — bounded
+    per key), no fold, no UDF, no self-join.
+
+    Overflow bound: the scaled deviation needs ``n * max|value| < 2^63``
+    (a 10-year hourly series, n~9e4, leaves ~1e14 headroom per value —
+    ample for cents-sums; ANSI mode raises loudly rather than wrapping
+    if a caller exceeds it; coarsen ``value``'s fixed-point scale to
+    regain headroom).
+    """
+    kw = Window.partitionBy(key)
+    ow = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(value).over(kw)
+    tot = F.sum(value).over(kw)
+    d = n * F.col(value) - tot
+    d_col = F.col("_d")
+    s = F.sum(d_col).over(ow)
+    out = (
+        series.withColumn("_d", d)
+        .withColumn("_S", s)
+        .withColumn(
+            "_minS", F.least(F.lit(0).cast("long"), F.min("_S").over(ow))
+        )
+        .withColumn(
+            "_maxS", F.greatest(F.lit(0).cast("long"), F.max("_S").over(ow))
+        )
+        .withColumn("_n", F.count(value).over(kw))
+    )
+    div = (F.col("_n") * F.lit(float(scale_div))).cast("double")
+    return (
+        out.withColumn(
+            "cusum_pos",
+            F.round((F.col("_S") - F.col("_minS")).cast("double") / div, 6),
+        )
+        .withColumn(
+            "cusum_neg",
+            F.round((F.col("_maxS") - F.col("_S")).cast("double") / div, 6),
+        )
+        .drop("_d", "_S", "_minS", "_maxS", "_n")
+    )

@@ -567,3 +567,37 @@ def test_ewma_smooth_fuzz_vs_python_fold(spark):
                 for x in frame[1:]:
                     acc = x * alpha + acc * (1.0 - alpha)
                 assert got[(k, i)] == acc, (alpha, window, k, i)
+
+
+def test_cusum_drift_closed_form_equals_recursion(spark):
+    """The window closed form (cumsum minus running extrema) must equal
+    the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
+    exact integers, for a shuffled multi-key input."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.anomaly import cusum_drift
+
+    rng = random.Random(11)
+    vals = {k: [rng.randint(0, 2000) for _ in range(60)] for k in ("a", "b")}
+    rows = [(k, i, v) for k, vs in vals.items() for i, v in enumerate(vs)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "source string, t int, s long"
+    ).repartition(5)
+    got = {
+        (r["source"], r["t"]): (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_drift(
+            df, key="source", order="t", value="s", scale_div=100.0
+        ).collect()
+    }
+    for k, vs in vals.items():
+        n, tot = len(vs), sum(vs)
+        pos = neg = 0
+        for i, v in enumerate(vs):
+            d = n * v - tot
+            pos = max(0, pos + d)
+            neg = max(0, neg - d)
+            want = (round(pos / (n * 100.0), 6), round(neg / (n * 100.0), 6))
+            assert got[(k, i)] == want, (k, i)
