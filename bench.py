@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pack_documents_chunked",
     "ewma_1h",
     "cusum_1h",
+    "trend_slope",
 ]
 
 

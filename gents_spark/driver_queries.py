@@ -1395,6 +1395,27 @@ def q_cusum_1h(spark, sf_dir):
     )
 
 
+def q_trend_slope(spark, sf_dir):
+    """Per-source OLS trend over hourly cents-sums indexed by absolute
+    epoch-hour (operators/anomaly.py::ols_trend) — normal-equation
+    terms stay exact bigints; the two final divisions mirror the DuckDB
+    twin expression-for-expression."""
+    from gents_spark.operators.anomaly import ols_trend
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+    )
+    return ols_trend(
+        hourly, key="source", order_idx="t", value="s", scale_div=100.0
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1858,6 +1879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated to the tail on its r04 stamp to keep the head at 50)
     "cusum_1h": q_cusum_1h,  # new r05: CUSUM drift (modal_fingerprint
     # rotated to the tail on its r04 stamp to keep the head at 50)
+    "trend_slope": q_trend_slope,  # new r05: OLS drift rate
+    # (filter_include_exclude rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1892,7 +1915,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "filter_include_exclude": q_filter_include_exclude,
     "collection_stats": q_collection_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1907,6 +1929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "column_classes": q_column_classes,
     "modal_fingerprint": q_modal_fingerprint,
+    "filter_include_exclude": q_filter_include_exclude,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2390,6 +2413,35 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN hourly h
           ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    # OLS twin: normal-equation terms aggregate as exact integers
+    # (DuckDB sums bigints into hugeint — still exact); the two final
+    # divisions repeat the engine's expression shape term for term
+    "trend_slope": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, epoch(bucket_start)::BIGINT // 3600 AS t, s
+            FROM h
+        ), g AS (
+            SELECT source, count(*)::BIGINT AS n,
+                   sum(t) AS st, sum(s) AS sv,
+                   sum(t * s) AS stv, sum(t * t) AS stt
+            FROM d GROUP BY 1
+        )
+        SELECT source, n AS n_buckets,
+               round(CAST(n * stv - st * sv AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE) / 100.0, 6)
+                   AS slope,
+               round((CAST(sv AS DOUBLE)
+                      - (CAST(n * stv - st * sv AS DOUBLE)
+                         / CAST(n * stt - st * st AS DOUBLE))
+                        * CAST(st AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+        FROM g
     """,
     # CUSUM closed-form twin: every statistic term is an exact BIGINT
     # window aggregate; doubles only in the final display division

@@ -209,3 +209,57 @@ def cusum_drift(
         )
         .drop("_d", "_S", "_minS", "_maxS", "_n")
     )
+
+
+def ols_trend(
+    series: DataFrame,
+    key: str = "source",
+    order_idx: str = "t",
+    value: str = "s",
+    scale_div: float = 100.0,
+) -> DataFrame:
+    """Per-key least-squares trend slope + intercept over an exact
+    integer ``value`` column indexed by integer ``order_idx`` — the
+    drift-RATE companion to ``cusum_drift``'s drift alarm (is this
+    source's level moving, and how fast per bucket?).
+
+    Exactness: the normal-equation terms (n, Σt, Σv, Σtv, Σt²) are one
+    grouped aggregation of bigints, and
+
+        slope     = (n*Σtv - Σt*Σv) / (n*Σt² - (Σt)²)
+        intercept = (Σv - slope*Σt) / n
+
+    keeps every numerator/denominator an exact bigint; doubles appear
+    only in the two final divisions (identical expression shape in the
+    DuckDB twin).  Zero-variance keys (a single bucket) yield NULL
+    slope rather than a division error under ANSI.
+
+    Scale shape: ONE partial+final aggregation — the same shuffle class
+    as any rollup; no window, no join, no fold.
+    """
+    t = F.col(order_idx).cast("long")
+    v = F.col(value).cast("long")
+    g = series.groupBy(key).agg(
+        F.count("*").alias("_n"),
+        F.sum(t).alias("_st"),
+        F.sum(v).alias("_sv"),
+        F.sum(t * v).alias("_stv"),
+        F.sum(t * t).alias("_stt"),
+    )
+    n, st, sv, stv, stt = (
+        F.col("_n"), F.col("_st"), F.col("_sv"), F.col("_stv"), F.col("_stt")
+    )
+    den = n * stt - st * st
+    slope = F.when(
+        den != 0, (n * stv - st * sv).cast("double") / den.cast("double")
+    )
+    intercept = F.when(
+        den != 0,
+        (sv.cast("double") - slope * st.cast("double")) / n.cast("double"),
+    )
+    return g.select(
+        key,
+        n.alias("n_buckets"),
+        F.round(slope / F.lit(float(scale_div)), 6).alias("slope"),
+        F.round(intercept / F.lit(float(scale_div)), 6).alias("intercept"),
+    )

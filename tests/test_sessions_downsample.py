@@ -601,3 +601,42 @@ def test_cusum_drift_closed_form_equals_recursion(spark):
             neg = max(0, neg - d)
             want = (round(pos / (n * 100.0), 6), round(neg / (n * 100.0), 6))
             assert got[(k, i)] == want, (k, i)
+
+
+def test_ols_trend_recovers_known_line(spark):
+    """Exact-integer normal equations: a noiseless line comes back
+    exactly; adding a symmetric residual pattern leaves the slope
+    unchanged (residuals sum to zero at both moment equations)."""
+    from fractions import Fraction
+
+    from gents_spark.operators.anomaly import ols_trend
+
+    # v = 300*t + 5000 (cents), t = 0..9; symmetric residual +/-7 at
+    # t=2/t=7 keeps sum(r)=0 and sum(t*r)=7*(7-2)... NOT zero — so
+    # compute the expected slope exactly with Fractions instead
+    vals = [300 * t + 5000 for t in range(10)]
+    vals[2] += 7
+    vals[7] -= 7
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(vals)],
+        "source string, t long, s long",
+    )
+    got = ols_trend(
+        df, key="source", order_idx="t", value="s", scale_div=100.0
+    ).collect()[0]
+    n = 10
+    st, sv = sum(range(n)), sum(vals)
+    stv = sum(t * v for t, v in enumerate(vals))
+    stt = sum(t * t for t in range(n))
+    slope = Fraction(n * stv - st * sv, n * stt - st * st)
+    inter = (Fraction(sv) - slope * st) / n
+    assert got["n_buckets"] == 10
+    assert got["slope"] == pytest.approx(float(slope) / 100.0, abs=5e-7)
+    assert got["intercept"] == pytest.approx(float(inter) / 100.0, abs=5e-7)
+
+    # single-bucket key: NULL slope, not a division error (ANSI)
+    one = spark.createDataFrame(
+        [("b", 5, 100)], "source string, t long, s long"
+    )
+    r = ols_trend(one).collect()[0]
+    assert r["slope"] is None and r["intercept"] is None
