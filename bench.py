@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ewma_1h",
     "cusum_1h",
     "trend_slope",
+    "seasonal_1h",
 ]
 
 

@@ -1416,6 +1416,30 @@ def q_trend_slope(spark, sf_dir):
     )
 
 
+def q_seasonal_1h(spark, sf_dir):
+    """Hour-of-day seasonal baseline + residual per source over hourly
+    cents-sums (operators/anomaly.py::seasonal_baseline) — exact
+    integer sums/counts, one double division, mirrored by the DuckDB
+    twin."""
+    from gents_spark.operators.anomaly import seasonal_baseline
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+    )
+    out = seasonal_baseline(
+        hourly, key="source", ts="bucket_start", value="s", scale_div=100.0
+    )
+    return out.select(
+        "source", "bucket_start", "s",
+        F.col("hod").cast("int").alias("hod"), "expected", "residual",
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1881,6 +1905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated to the tail on its r04 stamp to keep the head at 50)
     "trend_slope": q_trend_slope,  # new r05: OLS drift rate
     # (filter_include_exclude rotated to the tail on its r04 stamp)
+    "seasonal_1h": q_seasonal_1h,  # new r05: hour-of-day decomposition
+    # (collection_stats rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1915,7 +1941,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "collection_stats": q_collection_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1930,6 +1955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_classes": q_column_classes,
     "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
+    "collection_stats": q_collection_stats,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2413,6 +2439,30 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN hourly h
           ON e.event_type = h.source AND e.ts >= h.matched_bucket
+    """,
+    # seasonal twin: exact integer sums/counts per (source, hour-of-day),
+    # one double division, residual in doubles — same expression shape
+    "seasonal_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, bucket_start, s,
+                   hour(bucket_start)::INT AS hod
+            FROM h
+        ), e AS (
+            SELECT source, bucket_start, s, hod,
+                   CAST(sum(s) OVER w AS DOUBLE)
+                     / CAST(count(s) OVER w AS DOUBLE) AS ex
+            FROM d
+            WINDOW w AS (PARTITION BY source, hod)
+        )
+        SELECT source, bucket_start, s, hod,
+               round(ex / 100.0, 6) AS expected,
+               round((CAST(s AS DOUBLE) - ex) / 100.0, 6) AS residual
+        FROM e
     """,
     # OLS twin: normal-equation terms aggregate as exact integers
     # (DuckDB sums bigints into hugeint — still exact); the two final

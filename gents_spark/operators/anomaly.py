@@ -263,3 +263,42 @@ def ols_trend(
         F.round(slope / F.lit(float(scale_div)), 6).alias("slope"),
         F.round(intercept / F.lit(float(scale_div)), 6).alias("intercept"),
     )
+
+
+def seasonal_baseline(
+    series: DataFrame,
+    key: str = "source",
+    ts: str = "bucket_start",
+    value: str = "s",
+    scale_div: float = 100.0,
+) -> DataFrame:
+    """Hour-of-day seasonal profile + residual per key — the additive
+    decomposition half the drift screens assume away: a feed with a
+    strong daily cycle trips level-based alarms (cusum/zscore) every
+    morning unless the expected-by-hour baseline is removed first.
+
+    ``expected`` is the key's exact mean of ``value`` over all rows
+    sharing the bucket's hour-of-day (integer sum / count — one double
+    division), ``residual = value - expected``.  Both are window
+    aggregates over PARTITION BY (key, hod): one shuffle, no join, no
+    second pass over raw data (the input is already the hourly tier).
+    """
+    hod = F.hour(F.col(ts)).alias("hod")
+    w = Window.partitionBy(key, "hod")
+    div = F.lit(float(scale_div))
+    expected = (
+        F.sum(value).over(w).cast("double")
+        / F.count(value).over(w).cast("double")
+    )
+    return (
+        series.withColumn("hod", hod)
+        .withColumn("_exp", expected)
+        .withColumn("expected", F.round(F.col("_exp") / div, 6))
+        .withColumn(
+            "residual",
+            F.round(
+                (F.col(value).cast("double") - F.col("_exp")) / div, 6
+            ),
+        )
+        .drop("_exp")
+    )

@@ -640,3 +640,30 @@ def test_ols_trend_recovers_known_line(spark):
     )
     r = ols_trend(one).collect()[0]
     assert r["slope"] is None and r["intercept"] is None
+
+
+def test_seasonal_baseline_hand_values(spark):
+    """Baseline = exact per-(key, hour-of-day) mean; residual = value
+    minus that mean."""
+    from datetime import datetime
+
+    from gents_spark.operators.anomaly import seasonal_baseline
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 9), 1000),
+        ("a", datetime(2024, 1, 2, 9), 2000),   # hod 9 mean = 1500
+        ("a", datetime(2024, 1, 1, 10), 700),   # hod 10 mean = 700
+        ("b", datetime(2024, 1, 1, 9), 40),     # separate key
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    )
+    got = {
+        (r["source"], r["bucket_start"].day, r["hod"]):
+            (r["expected"], r["residual"])
+        for r in seasonal_baseline(df).collect()
+    }
+    assert got[("a", 1, 9)] == (15.0, -5.0)
+    assert got[("a", 2, 9)] == (15.0, 5.0)
+    assert got[("a", 1, 10)] == (7.0, 0.0)
+    assert got[("b", 1, 9)] == (0.4, 0.0)
