@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "pack_documents_chunked",
     "ewma_1h",
+    "holt_1h",
     "cusum_1h",
     "trend_slope",
     "seasonal_1h",

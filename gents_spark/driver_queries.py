@@ -1440,6 +1440,48 @@ def q_seasonal_1h(spark, sf_dir):
     )
 
 
+def q_holt_1h(spark, sf_dir):
+    """Trailing-24h Holt level+trend smoother over hourly per-source
+    means (operators/anomaly.py::holt_smooth).  Same exact-cents-mean
+    input and left-to-right fold discipline as ``ewma_1h``; the DuckDB
+    twin unrolls the two-state fold into 23 materialized CTE steps
+    (``_holt_oracle_sql``) because DuckDB 1.0's list_reduce corrupts
+    struct accumulators after the first step."""
+    from gents_spark.operators.anomaly import holt_smooth
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .withColumn(
+            "v",
+            (F.col("s").cast("double") / F.lit(100.0))
+            / F.col("c").cast("double"),
+        )
+    )
+    out = holt_smooth(
+        hourly, key="source", order="bucket_start", value="v",
+        alpha=0.5, beta=0.25, window=24,
+    )
+    return out.select(
+        "source",
+        "bucket_start",
+        F.col("c").alias("cnt"),
+        "n_in_window",
+        F.round("holt_level", 6).alias("holt_level"),
+        F.round("holt_trend", 6).alias("holt_trend"),
+        F.round(F.col("holt_level") + F.col("holt_trend"), 6).alias(
+            "forecast_1"
+        ),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1907,6 +1949,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (filter_include_exclude rotated to the tail on its r04 stamp)
     "seasonal_1h": q_seasonal_1h,  # new r05: hour-of-day decomposition
     # (collection_stats rotated to the tail on its r04 stamp)
+    "holt_1h": q_holt_1h,  # new r05: Holt level+trend smoother
+    # (asof_enrich rotated to the tail on its r04 stamp; asof_tolerance
+    # keeps the asof family in the head)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1936,7 +1981,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "sketch_merge_1h": q_sketch_merge_1h,
-    "asof_enrich": q_asof_enrich,
     "asof_tolerance": q_asof_tolerance,
     "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -1952,6 +1996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
+    "asof_enrich": q_asof_enrich,
     "column_classes": q_column_classes,
     "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
@@ -2807,6 +2852,76 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+
+def _holt_oracle_sql(window: int = 24) -> str:
+    """Holt double-exponential smoothing as an UNROLLED DuckDB CTE
+    chain — the two-state fold of ``operators/anomaly.holt_smooth``
+    replayed step by step.
+
+    Why not ``list_reduce`` with a struct accumulator (the obvious
+    twin of the engine's ``F.aggregate`` struct fold): DuckDB 1.0
+    evaluates the FIRST fold step with pure simultaneous-field
+    semantics but on later steps the output struct vector aliases the
+    accumulator, so fields written earlier in the step leak into
+    fields computed later — the result matches neither sequential nor
+    simultaneous semantics (verified empirically; 3-element probe:
+    ``b`` sees the updated ``l`` from step 2 on).  The unrolled chain
+    sidesteps the lambda machinery entirely.
+
+    Each of the ``window - 1`` steps is one ``AS MATERIALIZED`` CTE
+    (materialization forces per-step evaluation; without it DuckDB
+    substitutes the alias chain and the expression tree grows ~4x per
+    step).  ``lnew`` is written out twice per step — once for the
+    level, once inside the trend's subtraction — exactly like the
+    inlined repetition in the engine's fold lambda, so both engines
+    subtract the identical double.  Bitwise parity fuzzed over 300
+    random series (1..24 points) against a pure-Python fold.
+    """
+    steps = [
+        "s1 AS MATERIALIZED (SELECT source, bucket_start, c, l, n, "
+        "l[1] AS lv, 0.0::DOUBLE AS bv FROM b0)"
+    ]
+    for k in range(2, window + 1):
+        lnew = f"l[{k}] * 0.5 + (lv + bv) * 0.5"
+        steps.append(
+            f"s{k} AS MATERIALIZED (SELECT source, bucket_start, c, l, n, "
+            f"CASE WHEN n >= {k} THEN {lnew} ELSE lv END AS lv, "
+            f"CASE WHEN n >= {k} THEN (({lnew}) - lv) * 0.25 + bv * 0.75 "
+            f"ELSE bv END AS bv "
+            f"FROM s{k-1})"
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ), wv AS (
+            SELECT source, bucket_start, c,
+                   (CAST(s AS DOUBLE) / 100.0) / CAST(c AS DOUBLE) AS v
+            FROM h
+        ), b0 AS (
+            SELECT source, bucket_start, c,
+                   list(v) OVER (PARTITION BY source ORDER BY bucket_start
+                                 ROWS BETWEEN {window - 1} PRECEDING
+                                 AND CURRENT ROW) AS l,
+                   len(list(v) OVER (PARTITION BY source ORDER BY bucket_start
+                                 ROWS BETWEEN {window - 1} PRECEDING
+                                 AND CURRENT ROW)) AS n
+            FROM wv
+        ),
+        {chain}
+        SELECT source, bucket_start, c AS cnt, n::BIGINT AS n_in_window,
+               round(lv, 6) AS holt_level, round(bv, 6) AS holt_trend,
+               round(lv + bv, 6) AS forecast_1
+        FROM s{window}
+    """
+
+
+ORACLES["holt_1h"] = _holt_oracle_sql()
 
 
 def _lttb_oracle_sql(n_out: int = 16) -> str:

@@ -140,6 +140,84 @@ def ewma_smooth(
     )
 
 
+def holt_smooth(
+    series: DataFrame,
+    key: str = "source",
+    order: str = "bucket_start",
+    value: str = "v",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    window: int = 24,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the
+    trailing ``window`` points per key — the trend-aware upgrade of
+    ``ewma_smooth``: a plain EWMA lags a ramping series forever, Holt's
+    second state tracks the ramp and the one-step forecast
+    ``level + trend`` stays on it (Holt 1957; RRDtool's HWPREDICT is
+    the same recurrence plus a seasonal term).
+
+    Per row adds ``n_in_window``, ``holt_level``, ``holt_trend``: the
+    left-to-right fold over the ordered frame
+
+        l' = x*alpha + (l + b)*(1 - alpha)
+        b' = (l'' - l)*beta + b*(1 - beta)
+
+    seeded with (oldest point, 0.0).  ``l''`` is the l' EXPRESSION
+    repeated inline, not the bound value — both engines then compute
+    ``b'`` from the identical double, which is what makes the fold
+    bit-reproducible (see the oracle note below).
+
+    Determinism: same contract as ``ewma_smooth`` — feed a ``value``
+    derived from exact integer aggregates, pick exactly-representable
+    alpha/beta (0.5, 0.25), and the fold is pure double mul/add in a
+    fixed order, bit-identical across engines.  The DuckDB twin CANNOT
+    use ``list_reduce`` with a struct accumulator: DuckDB 1.0 evaluates
+    the first fold step with simultaneous field semantics but later
+    steps leak in-place field updates (the output struct vector aliases
+    the accumulator), so a two-state fold diverges from any pure
+    semantics.  The twin instead unrolls the fold into ``window - 1``
+    chained ``AS MATERIALIZED`` CTE steps (materialization also stops
+    exponential alias-substitution blowup); see
+    ``driver_queries._holt_oracle_sql``.
+
+    Scale shape: identical to ``ewma_smooth`` — ONE shuffle on ``key``,
+    one frame-bounded window, an O(window) JVM codegen fold per row; no
+    self-join, no UDF, state bounded regardless of series length.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha={alpha}: expected (0, 1]")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta={beta}: expected (0, 1]")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    a, oma = F.lit(alpha), F.lit(1.0 - alpha)
+    bt, omb = F.lit(beta), F.lit(1.0 - beta)
+
+    def _step(acc, x):
+        lnew = x * a + (acc["l"] + acc["b"]) * oma
+        # the subtraction re-derives lnew from the SAME inputs so both
+        # engines subtract the identical double (see docstring)
+        bnew = ((x * a + (acc["l"] + acc["b"]) * oma) - acc["l"]) * bt \
+            + acc["b"] * omb
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    d = series.withColumn("_vals", F.collect_list(value).over(w))
+    seed = F.struct(
+        F.element_at(F.col("_vals"), 1).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    fold = F.aggregate(F.slice(F.col("_vals"), 2, window), seed, _step)
+    return (
+        d.withColumn("n_in_window", F.size("_vals").cast("long"))
+        .withColumn("holt_level", fold["l"])
+        .withColumn("holt_trend", fold["b"])
+        .drop("_vals")
+    )
+
+
 def cusum_drift(
     series: DataFrame,
     key: str = "source",

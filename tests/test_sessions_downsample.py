@@ -569,6 +569,76 @@ def test_ewma_smooth_fuzz_vs_python_fold(spark):
                 assert got[(k, i)] == acc, (alpha, window, k, i)
 
 
+def test_holt_smooth_tracks_ramp_ewma_lags(spark):
+    """Semantic pin: on a pure ramp x_t = t, Holt's one-step forecast
+    (level + trend) converges onto the ramp while plain EWMA lags it
+    forever — the reason the second state exists."""
+    from gents_spark.operators.anomaly import ewma_smooth, holt_smooth
+
+    rows = [("a", i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, t int, v double")
+    h = {
+        r["t"]: (r["holt_level"], r["holt_trend"])
+        for r in holt_smooth(
+            df, key="source", order="t", value="v",
+            alpha=0.5, beta=0.25, window=24,
+        ).collect()
+    }
+    e = {
+        r["t"]: r["ewma"]
+        for r in ewma_smooth(
+            df, key="source", order="t", value="v", alpha=0.5, window=24
+        ).collect()
+    }
+    t = 39
+    level, trend = h[t]
+    assert abs((level + trend) - (t + 1)) < 0.1  # forecast on the ramp
+    assert abs(trend - 1.0) < 0.05  # slope learned
+    assert (t - e[t]) > 0.9  # EWMA still lags by ~(1-a)/a = 1 step
+
+    with pytest.raises(ValueError):
+        holt_smooth(df, beta=0.0)
+
+
+def test_holt_smooth_fuzz_vs_python_fold(spark):
+    """BIT-equality of the two-state struct fold against a pure-Python
+    left-to-right fold (shuffled multi-partition input, several
+    alpha/beta/window combos) — pins both the frame-order assumption
+    and the inlined-lnew expression shape the DuckDB oracle mirrors."""
+    import random
+
+    from gents_spark.operators.anomaly import holt_smooth
+
+    rng = random.Random(13)
+    for alpha, beta, window in [(0.5, 0.25, 3), (0.25, 0.5, 5),
+                                (0.5, 0.25, 24), (1.0, 0.75, 4)]:
+        n = 40
+        vals = {k: [rng.randint(-500, 500) / 4.0 for _ in range(n)]
+                for k in ("a", "b")}
+        rows = [(k, i, v) for k, vs in vals.items() for i, v in enumerate(vs)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(
+            rows, "source string, t int, v double"
+        ).repartition(7)
+        got = {
+            (r["source"], r["t"]): (r["holt_level"], r["holt_trend"])
+            for r in holt_smooth(
+                df, key="source", order="t", value="v",
+                alpha=alpha, beta=beta, window=window,
+            ).collect()
+        }
+        for k, vs in vals.items():
+            for i in range(n):
+                frame = vs[max(0, i - window + 1): i + 1]
+                l, b = frame[0], 0.0
+                for x in frame[1:]:
+                    lnew = x * alpha + (l + b) * (1.0 - alpha)
+                    bnew = ((x * alpha + (l + b) * (1.0 - alpha)) - l) \
+                        * beta + b * (1.0 - beta)
+                    l, b = lnew, bnew
+                assert got[(k, i)] == (l, b), (alpha, beta, window, k, i)
+
+
 def test_cusum_drift_closed_form_equals_recursion(spark):
     """The window closed form (cumsum minus running extrema) must equal
     the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
