@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "cusum_1h",
     "trend_slope",
     "seasonal_1h",
+    "autocorr_1h",
+    "gap_report_1h",
 ]
 
 

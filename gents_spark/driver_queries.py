@@ -1482,6 +1482,49 @@ def q_holt_1h(spark, sf_dir):
     )
 
 
+def q_autocorr_1h(spark, sf_dir):
+    """Lag-1 autocorrelation of hourly per-source cents-sums on the
+    strict bucket grid (operators/anomaly.py::autocorr) — the
+    persistence screen.  Pearson terms are exact DECIMAL(38,0) sums
+    (HUGEINT in the DuckDB twin); doubles only in the one final
+    num/sqrt(den) expression, identical shape both sides."""
+    from gents_spark.operators.anomaly import autocorr
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+    )
+    return autocorr(
+        hourly, key="source", ts="bucket_start", value="s",
+        lag=1, step_s=3600, min_pairs=8,
+    )
+
+
+def q_gap_report_1h(spark, sf_dir):
+    """Per-user gap census over hourly presence buckets
+    (operators/gapfill.py::gap_report) — how much would gap-fill
+    generate, and is the damage one hole or a cadence mismatch.  All
+    integer arithmetic on epoch seconds except the final coverage
+    division."""
+    from gents_spark.operators.gapfill import gap_report
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("user_id").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return gap_report(
+        hourly, tier_name="1h", key="source", ts="bucket_start"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1952,6 +1995,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_1h": q_holt_1h,  # new r05: Holt level+trend smoother
     # (asof_enrich rotated to the tail on its r04 stamp; asof_tolerance
     # keeps the asof family in the head)
+    "autocorr_1h": q_autocorr_1h,  # new r05: persistence screen
+    # (twa_1h rotated to the tail on its r04 stamp)
+    "gap_report_1h": q_gap_report_1h,  # new r05: gap census
+    # (sketch_merge_1h rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -1980,9 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1d": q_rollup_1d,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
-    "sketch_merge_1h": q_sketch_merge_1h,
     "asof_tolerance": q_asof_tolerance,
-    "twa_1h": q_twa_1h,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_exact": q_dedup_exact,
@@ -1997,6 +2042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
+    "twa_1h": q_twa_1h,
+    "sketch_merge_1h": q_sketch_merge_1h,
     "column_classes": q_column_classes,
     "modal_fingerprint": q_modal_fingerprint,
     "filter_include_exclude": q_filter_include_exclude,
@@ -2579,6 +2626,72 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "autocorr_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), lg AS (
+            SELECT source, bucket_start, s::HUGEINT AS y,
+                   lag(s::HUGEINT) OVER w AS x,
+                   lag(bucket_start) OVER w AS xt
+            FROM h WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+        ), p AS (
+            SELECT * FROM lg
+            WHERE xt IS NOT NULL
+              AND epoch(bucket_start) - epoch(xt) = 3600
+        ), g AS (
+            SELECT source, count(*)::BIGINT AS n_pairs,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM p GROUP BY source
+        )
+        SELECT source, n_pairs,
+               round(CASE WHEN n_pairs >= 8
+                      AND sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                                - sx::DOUBLE * sx::DOUBLE)
+                               * (n_pairs::DOUBLE * syy::DOUBLE
+                                  - sy::DOUBLE * sy::DOUBLE)) > 0
+                     THEN (n_pairs::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                                 * (n_pairs::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE))
+                     END, 6) AS acf
+        FROM g
+    """,
+    "gap_report_1h": """
+        WITH h AS (
+            SELECT user_id AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, bucket_start,
+                   CASE WHEN lag(bucket_start) OVER w IS NULL THEN 0
+                        ELSE (epoch(bucket_start)
+                              - epoch(lag(bucket_start) OVER w)) // 3600 - 1
+                   END AS gap_n
+            FROM h WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+        ), g AS (
+            SELECT source,
+                   min(bucket_start) AS first_bucket,
+                   max(bucket_start) AS last_bucket,
+                   count(*)::BIGINT AS n_present,
+                   ((epoch(max(bucket_start)) - epoch(min(bucket_start)))
+                    // 3600 + 1)::BIGINT AS n_expected,
+                   sum(CASE WHEN gap_n > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_gaps,
+                   max(gap_n)::BIGINT AS max_gap_buckets
+            FROM d GROUP BY source
+        )
+        SELECT source, first_bucket, last_bucket, n_present, n_expected,
+               n_expected - n_present AS n_missing, n_gaps, max_gap_buckets,
+               round(n_present::DOUBLE / n_expected::DOUBLE, 6) AS coverage
+        FROM g
+    """,
     "ewma_1h": """
         WITH h AS (
             SELECT event_type AS source,

@@ -289,6 +289,81 @@ def cusum_drift(
     )
 
 
+def autocorr(
+    series: DataFrame,
+    key: str = "source",
+    ts: str = "bucket_start",
+    value: str = "s",
+    lag: int = 1,
+    step_s: int = 3600,
+    min_pairs: int = 8,
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation over a regular bucket grid —
+    the persistence screen that separates a trending/sticky feed
+    (r -> 1), white noise (r -> 0) and an oscillating/flapping feed
+    (r < 0) before the drift alarms (``cusum_drift``/``ols_trend``)
+    are tuned on it.
+
+    Pairs are STRICT grid neighbours: (row at t, row at t - lag*step_s)
+    — a lag over rows would silently pair across data gaps and bias r
+    toward whatever the gap pattern is, so the lagged row is taken only
+    when its bucket is exactly ``lag*step_s`` older.  Keys with fewer
+    than ``min_pairs`` valid pairs (or zero variance on either side)
+    yield NULL ``acf``.
+
+    Exactness: ``value`` must be an exact integer column (cents-sums);
+    the five Pearson terms (Sx, Sy, Sxx, Syy, Sxy) are sums of
+    DECIMAL(38,0) products — overflow-safe at 10^12-sequence scale
+    where a bigint Σx² would wrap — and every term is order-independent.
+    Doubles appear only in the final num/sqrt(den) expression, written
+    in one fixed shape (DuckDB twin: HUGEINT sums, same final shape),
+    so the statistic hash-matches bit-for-bit.
+
+    Scale shape: one window (the lag) partitioned by key + one grouped
+    aggregation — the same shuffle class as any per-source rollup; no
+    join, no UDF, no collect.
+    """
+    if lag < 1:
+        raise ValueError(f"lag={lag}: expected >= 1")
+    w = Window.partitionBy(key).orderBy(ts)
+    x = F.lag(F.col(value).cast("decimal(38,0)"), lag).over(w)
+    xt = F.lag(F.col(ts), lag).over(w)
+    y = F.col(value).cast("decimal(38,0)")
+    pairs = (
+        series.withColumn("_x", x)
+        .withColumn("_xt", xt)
+        .filter(
+            F.col("_xt").isNotNull()
+            & (
+                F.unix_timestamp(ts) - F.unix_timestamp("_xt")
+                == F.lit(lag * step_s)
+            )
+        )
+    )
+    g = pairs.groupBy(key).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(F.col("_x") * y).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    acf = F.when(
+        (F.col("n_pairs") >= min_pairs) & (den > 0),
+        (n * sxy - sx * sy) / den,
+    )
+    return g.select(
+        key,
+        F.col("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    )
+
+
 def ols_trend(
     series: DataFrame,
     key: str = "source",

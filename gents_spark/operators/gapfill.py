@@ -393,3 +393,62 @@ def _locf_chunked(joined: DataFrame, fill_cols: list[str]) -> DataFrame:
     for c in fill_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_carry_{c}")))
     return out.drop("_gchunk", *[f"_carry_{c}" for c in fill_cols])
+
+
+def gap_report(
+    tier: DataFrame,
+    tier_name: str = "1h",
+    key: str = "source",
+    ts: str = "bucket_start",
+) -> DataFrame:
+    """Per-key gap census over a tier — the PLANNING half of gap-fill:
+    before generating LOCF/linear rows (``gapfill``), report how much
+    would be generated and where the damage is (a source with one
+    3-hour hole needs reconciliation; one missing every 7th bucket is a
+    cadence mismatch — compare FIXTURES.md ``gaps`` scenario).
+
+    Per key, over the bucket span [min, max]:
+
+    - ``n_present`` observed buckets, ``n_expected`` the dense count
+      ``(max - min)/step + 1``, ``n_missing`` their difference;
+    - ``n_gaps`` maximal runs of missing buckets (pairs of neighbours
+      more than one step apart), ``max_gap_buckets`` the longest run;
+    - ``coverage`` = n_present/n_expected (double, one division).
+
+    Everything except ``coverage`` is exact integer arithmetic on
+    epoch seconds, so the DuckDB twin hash-matches trivially.
+
+    Scale shape: one lag window + one grouped aggregation on ``key`` —
+    no spine is materialized (the report costs O(present rows), not
+    O(expected rows), exactly why it should run BEFORE a naive
+    spine-join gap-fill of a 99%-sparse source).
+    """
+    step = TIER_SECONDS[tier_name]
+    w = Window.partitionBy(key).orderBy(ts)
+    e = F.unix_timestamp(ts)
+    prev = F.lag(e).over(w)
+    gap_n = F.when(
+        prev.isNotNull(), ((e - prev) / F.lit(step)).cast("long") - 1
+    ).otherwise(F.lit(0))
+    d = tier.select(key, F.col(ts)).withColumn("_gap_n", gap_n)
+    g = d.groupBy(key).agg(
+        F.count("*").alias("n_present"),
+        (
+            (F.max(e) - F.min(e)) / F.lit(step) + 1
+        ).cast("long").alias("n_expected"),
+        F.min(ts).alias("first_bucket"),
+        F.max(ts).alias("last_bucket"),
+        F.sum(F.when(F.col("_gap_n") > 0, 1).otherwise(0))
+        .cast("long").alias("n_gaps"),
+        F.max("_gap_n").alias("max_gap_buckets"),
+    )
+    return g.select(
+        key, "first_bucket", "last_bucket", "n_present", "n_expected",
+        (F.col("n_expected") - F.col("n_present")).alias("n_missing"),
+        "n_gaps", "max_gap_buckets",
+        F.round(
+            F.col("n_present").cast("double")
+            / F.col("n_expected").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

@@ -639,6 +639,68 @@ def test_holt_smooth_fuzz_vs_python_fold(spark):
                 assert got[(k, i)] == (l, b), (alpha, beta, window, k, i)
 
 
+def test_autocorr_known_series_and_gap_exclusion(spark):
+    """Value pins: a strict ramp has acf=1, an alternating series
+    acf=-1 (computed on the lagged pairs); a hole in the grid must DROP
+    the straddling pair (strict-neighbour rule), not pair across it;
+    too-few pairs or zero variance yield NULL."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.anomaly import autocorr
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append(("ramp", t0 + timedelta(hours=i), 100 * (i + 1)))
+        rows.append(("alt", t0 + timedelta(hours=i), 500 if i % 2 else -500))
+        if i != 10:  # hole at hour 10 -> pairs (9,10) and (10,11) gone
+            rows.append(("holey", t0 + timedelta(hours=i), 100 * (i + 1)))
+        rows.append(("flat", t0 + timedelta(hours=i), 7))
+    rows.append(("tiny", t0, 5))
+    rows.append(("tiny", t0 + timedelta(hours=1), 9))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    )
+    got = {
+        r["source"]: (r["n_pairs"], r["acf"])
+        for r in autocorr(df, min_pairs=2).collect()
+    }
+    assert got["ramp"][0] == 19 and abs(got["ramp"][1] - 1.0) < 1e-9
+    assert got["alt"][0] == 19 and abs(got["alt"][1] + 1.0) < 1e-9
+    # runs 0..9 and 11..19 -> 9 + 8 in-grid pairs; (9,10),(10,11) gone
+    assert got["holey"][0] == 17
+    assert got["flat"] == (19, None)  # zero variance
+    assert got["tiny"] == (1, None)  # below min_pairs
+
+    with pytest.raises(ValueError):
+        autocorr(df, lag=0)
+
+
+def test_gap_report_hand_values(spark):
+    """Hand-built grid: source a has runs of 2 and 1 missing buckets,
+    source b is dense, source c is a single bucket."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.gapfill import gap_report
+
+    t0 = datetime(2024, 1, 1)
+    hours = {"a": [0, 1, 4, 5, 7], "b": [0, 1, 2], "c": [3]}
+    rows = [
+        (k, t0 + timedelta(hours=h)) for k, hs in hours.items() for h in hs
+    ]
+    df = spark.createDataFrame(rows, "source string, bucket_start timestamp")
+    got = {
+        r["source"]: (
+            r["n_present"], r["n_expected"], r["n_missing"], r["n_gaps"],
+            r["max_gap_buckets"], r["coverage"],
+        )
+        for r in gap_report(df).collect()
+    }
+    assert got["a"] == (5, 8, 3, 2, 2, 0.625)
+    assert got["b"] == (3, 3, 0, 0, 0, 1.0)
+    assert got["c"] == (1, 1, 0, 0, 0, 1.0)
+
+
 def test_cusum_drift_closed_form_equals_recursion(spark):
     """The window closed form (cumsum minus running extrema) must equal
     the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
