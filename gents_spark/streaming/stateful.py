@@ -141,3 +141,130 @@ def streaming_ewma(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("status", StringType()),
+        StructField("last_seen_us", LongType()),
+        StructField("gap_s", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+GAP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seen_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("stale", LongType()),
+    ]
+)
+
+
+def _gap_update_fn(liveness_s: int):
+    liveness_us = int(liveness_s) * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_seen + liveness with no new data:
+            # the feed is STALE.  Emit once; do not re-arm (a second
+            # alarm for the same silence is noise — recovery re-arms).
+            last_us, n, _ = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            state.update((last_us, n, 1))
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "status": ["stale"],
+                    "last_seen_us": [last_us],
+                    "gap_s": [(wm_us - last_us) // 1_000_000],
+                    "n_events": [n],
+                }
+            )
+            return
+        last_us, n, stale = state.get if state.exists else (None, 0, 0)
+        batch_max_us = None
+        batch_min_us = None
+        cnt = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cnt += len(pdf)
+            arr = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            mx, mn = int(arr.max()) // 1000, int(arr.min()) // 1000
+            batch_max_us = mx if batch_max_us is None else max(batch_max_us, mx)
+            batch_min_us = mn if batch_min_us is None else min(batch_min_us, mn)
+        rows = []
+        if batch_max_us is not None:
+            # the FIRST resumed event ends the silence, so the closed
+            # gap is measured to the batch min, not the batch max
+            gap_us = (
+                batch_min_us - last_us if last_us is not None else 0
+            )
+            if last_us is not None and gap_us > liveness_us:
+                # data resumed after a silence longer than liveness —
+                # report the gap that just closed (pairs with the
+                # earlier 'stale' alarm if the watermark saw it)
+                rows.append(("recovered", batch_max_us, gap_us // 1_000_000))
+            new_last = max(last_us or 0, batch_max_us)
+            n += cnt
+            state.update((new_last, n, 0))
+            # re-arm: fire when the watermark passes the deadline.  A
+            # deadline already behind the watermark would be rejected,
+            # so clamp 1ms past it (fires at the next micro-batch).
+            deadline_ms = new_last // 1000 + int(liveness_s) * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+            # late (pre-watermark) stragglers can make gap negative;
+            # the live row's cadence delta clamps at 0
+            rows.append(("live", new_last, max(gap_us, 0) // 1_000_000))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]] * len(rows),
+                    "status": [r[0] for r in rows],
+                    "last_seen_us": [r[1] for r in rows],
+                    "gap_s": [r[2] for r in rows],
+                    "n_events": [n] * len(rows),
+                }
+            )
+
+    return update
+
+
+def streaming_gap_detect(
+    stream: DataFrame,
+    liveness_s: int = 7200,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """stream: (source, ts) -> liveness monitor rows per source — the
+    STREAMING twin of ``operators/gapfill.gap_report``: a batch census
+    reports gaps after the fact; this fires while the gap is open.
+
+    Per source the state is (last_seen, n_events, stale).  Every batch
+    with data emits a ``live`` row and re-arms an EVENT-TIME timeout at
+    ``last_seen + liveness_s``; if the watermark passes the deadline
+    with no new data the state times out and emits ONE ``stale`` alarm
+    (gap_s = watermark - last_seen, a lower bound on the real gap).
+    When data later resumes after a silence > liveness_s, a
+    ``recovered`` row reports the exact gap that closed — so alarm and
+    closure pair up even if the stale alarm was missed (watermark
+    stalled).  Event-time timeout (not processing-time) keeps the
+    semantics replay-deterministic: re-running the same files through
+    the checkpoint yields the same alarms, which is what the restart
+    test pins.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source")
+        .applyInPandasWithState(
+            _gap_update_fn(liveness_s),
+            GAP_OUTPUT_SCHEMA,
+            GAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -128,3 +128,78 @@ def test_streaming_ewma_matches_batch_bit_equal(spark, tmp_path):
         ).filter(F.col("rn") == 1).collect()
     }
     assert got == want  # exact, including the doubles
+
+
+def test_streaming_gap_detect_stale_and_recovery(spark, tmp_path):
+    """Liveness semantics across two availableNow runs + a checkpoint
+    restart: B stops feeding -> ONE 'stale' alarm once the watermark
+    passes last_seen + liveness (and only one, no re-alarm); A resumes
+    after a 3h silence -> a 'recovered' row with the exact closed gap,
+    measured to the FIRST resumed event."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.streaming.stateful import streaming_gap_detect
+
+    t0 = datetime(2024, 1, 1)
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "source string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(in_path)
+
+    def run():
+        stream = (
+            spark.readStream.schema("source string, ts timestamp")
+            .parquet(in_path)
+        )
+        q = (
+            streaming_gap_detect(
+                stream, liveness_s=7200, watermark="30 minutes"
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: A beats hourly to t0+5h, B stops at t0+2h
+    write(
+        [("a", t0 + timedelta(hours=h)) for h in range(6)]
+        + [("b", t0 + timedelta(hours=h)) for h in range(3)]
+    )
+    run()
+    # watermark after the data batch = 5h - 30m = 4.5h; B's deadline
+    # (2h + 2h) is behind it -> the no-data batch fires B's timeout
+    out1 = {
+        (r["source"], r["status"]): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    b_stale = out1[("b", "stale")]
+    assert b_stale["gap_s"] == 9000  # 4.5h watermark - 2h last_seen
+    assert b_stale["n_events"] == 3
+    assert ("a", "stale") not in out1  # A's deadline (7h) not reached
+
+    # run 2 (restart from checkpoint): A resumes at 8h after a 3h hole
+    write([("a", t0 + timedelta(hours=h)) for h in (8, 9, 10)])
+    run()
+    rows2 = spark.read.parquet(out_path).collect()
+    rec = [r for r in rows2 if r["status"] == "recovered"]
+    assert len(rec) == 1 and rec[0]["source"] == "a"
+    assert rec[0]["gap_s"] == 10800  # 8h - 5h, to the FIRST resumed beat
+    # B must NOT alarm again while still silent (no re-arm after stale)
+    assert sum(
+        1 for r in rows2 if r["source"] == "b" and r["status"] == "stale"
+    ) == 1
+    # live rows carry running totals through the restart
+    a_live = max(
+        (r for r in rows2 if r["source"] == "a" and r["status"] == "live"),
+        key=lambda r: r["n_events"],
+    )
+    assert a_live["n_events"] == 9
