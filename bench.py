@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "seasonal_1h",
     "autocorr_1h",
     "gap_report_1h",
+    "histogram_drift_1d",
 ]
 
 

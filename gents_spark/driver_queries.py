@@ -1525,6 +1525,27 @@ def q_gap_report_1h(spark, sf_dir):
     )
 
 
+def q_histogram_drift_1d(spark, sf_dir):
+    """Day-over-day total-variation drift of the binned value
+    distribution per source (operators/anomaly.py::histogram_drift) —
+    the shape-change screen.  The TVD numerator is a sum of exact
+    DECIMAL(38,0)/HUGEINT products (float PSI/chi-square sums would be
+    addition-order-dependent); one double division at the end."""
+    from gents_spark.operators.anomaly import histogram_drift
+
+    cents = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("source"),
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+        )
+    )
+    return histogram_drift(
+        cents, key="source", ts="ts", value="s", bin_width=2500
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -1999,6 +2020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (twa_1h rotated to the tail on its r04 stamp)
     "gap_report_1h": q_gap_report_1h,  # new r05: gap census
     # (sketch_merge_1h rotated to the tail on its r04 stamp)
+    "histogram_drift_1d": q_histogram_drift_1d,  # new r05: TVD shape
+    # drift (dedup_keep rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2034,7 +2057,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
@@ -2042,6 +2064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
+    "dedup_keep": q_dedup_keep,
     "twa_1h": q_twa_1h,
     "sketch_merge_1h": q_sketch_merge_1h,
     "column_classes": q_column_classes,
@@ -2626,6 +2649,47 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "histogram_drift_1d": """
+        WITH c0 AS (
+            SELECT event_type AS source,
+                   date_trunc('day', ts)::TIMESTAMP AS day,
+                   CAST(round(value * 100) AS BIGINT) // 2500 AS bin,
+                   count(*)::HUGEINT AS c
+            FROM events GROUP BY 1, 2, 3
+        ), t AS (
+            SELECT source, day, sum(c) AS n FROM c0 GROUP BY 1, 2
+        ), pc AS (
+            SELECT source, day + INTERVAL 1 DAY AS day, bin, c AS cp
+            FROM c0
+        ), pn AS (
+            SELECT source, day + INTERVAL 1 DAY AS day, n AS np FROM t
+        ), pr AS (
+            SELECT t.source, t.day, t.n, pn.np
+            FROM t JOIN pn ON t.source = pn.source AND t.day = pn.day
+        ), al AS (
+            SELECT coalesce(c0.source, pc.source) AS source,
+                   coalesce(c0.day, pc.day) AS day,
+                   coalesce(c0.bin, pc.bin) AS bin,
+                   coalesce(c0.c, 0::HUGEINT) AS c,
+                   coalesce(pc.cp, 0::HUGEINT) AS cp
+            FROM c0 FULL JOIN pc
+              ON c0.source = pc.source AND c0.day = pc.day
+                 AND c0.bin = pc.bin
+        ), j AS (
+            SELECT al.*, pr.n, pr.np
+            FROM al JOIN pr ON al.source = pr.source AND al.day = pr.day
+        ), g AS (
+            SELECT source, day, max(n) AS ncur, max(np) AS nprev,
+                   count(*)::BIGINT AS n_bins,
+                   sum(abs(c * np - cp * n)) AS num
+            FROM j GROUP BY 1, 2
+        )
+        SELECT source, day, ncur::BIGINT AS n_cur, nprev::BIGINT AS n_prev,
+               n_bins,
+               round(num::DOUBLE
+                     / (2.0 * ncur::DOUBLE * nprev::DOUBLE), 6) AS tvd
+        FROM g
+    """,
     "autocorr_1h": """
         WITH h AS (
             SELECT event_type AS source,

@@ -364,6 +364,95 @@ def autocorr(
     )
 
 
+def histogram_drift(
+    points: DataFrame,
+    key: str = "source",
+    ts: str = "ts",
+    value: str = "v",
+    bin_width: int = 2500,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Day-over-day distribution drift per key: total-variation
+    distance between consecutive days' binned value histograms — the
+    screen that catches a SHAPE change (unit flip, bimodal split,
+    truncation) that leaves the mean untouched and so slips past
+    ``cusum_drift``/``ols_trend``.
+
+    Why TVD and not PSI/χ²: those sum float terms per bin, and a
+    float Σ is addition-order-dependent — not reproducible across
+    engines.  TVD over integer counts factors as
+
+        tvd(d, d-1) = Σ_bins |c_d*n_prev - c_prev*n_d| / (2*n_d*n_prev)
+
+    whose numerator is a sum of EXACT integers (DECIMAL(38,0) products,
+    order-independent), leaving ONE double division at the end —
+    hash-stable like every screen in this module.  tvd ∈ [0, 1]: 0 =
+    identical shape, 1 = disjoint supports.
+
+    ``value`` must be an exact integer column (cents); bins are
+    ``value DIV bin_width`` (truncating integer division — identical
+    in Spark and DuckDB for the non-negative measures this screens).
+
+    Scale shape: one groupBy to (key, day, bin) counts — the only pass
+    over raw rows — then joins on the tiny aggregated tables
+    (|keys × days × bins|); day alignment is an equi-join of counts
+    shifted one day, never a window over raw data.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width={bin_width}: expected >= 1")
+    day = F.date_trunc("day", F.col(ts)).alias("day")
+    b = F.expr(f"CAST({value} DIV {int(bin_width)} AS BIGINT)").alias("bin")
+    counts = points.groupBy(F.col(key), day, b).agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    totals = counts.groupBy(key, "day").agg(F.sum("c").alias("n"))
+    prev_c = counts.select(
+        F.col(key),
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("bin"),
+        F.col("c").alias("cp"),
+    )
+    prev_n = totals.select(
+        F.col(key),
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("n").alias("np"),
+    )
+    # day pairs where BOTH days have data; bins full-outer within pair
+    pairs = totals.join(prev_n, on=[key, "day"], how="inner").filter(
+        (F.col("n") >= min_rows) & (F.col("np") >= min_rows)
+    )
+    aligned = (
+        counts.join(prev_c, on=[key, "day", "bin"], how="full_outer")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("decimal(38,0)")))
+        .withColumn("cp", F.coalesce("cp", F.lit(0).cast("decimal(38,0)")))
+        .join(pairs, on=[key, "day"], how="inner")
+    )
+    g = aligned.groupBy(key, "day").agg(
+        F.max("n").alias("n_cur"),
+        F.max("np").alias("n_prev"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(
+            F.abs(F.col("c") * F.col("np") - F.col("cp") * F.col("n"))
+        ).alias("_num"),
+    )
+    return g.select(
+        key,
+        "day",
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        "n_bins",
+        F.round(
+            F.col("_num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_cur").cast("double")
+                * F.col("n_prev").cast("double")
+            ),
+            6,
+        ).alias("tvd"),
+    )
+
+
 def ols_trend(
     series: DataFrame,
     key: str = "source",

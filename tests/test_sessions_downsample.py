@@ -701,6 +701,41 @@ def test_gap_report_hand_values(spark):
     assert got["c"] == (1, 1, 0, 0, 0, 1.0)
 
 
+def test_histogram_drift_hand_values(spark):
+    """Hand-computed TVD: day2 vs day1 bins {0:2,1:2} -> {0:1,2:3} is
+    0.5*(0.25+0.5+0.75)=0.75; identical days -> 0.0; a day after a
+    missing day produces NO pair row."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.anomaly import histogram_drift
+
+    d = datetime(2024, 3, 1)
+    rows = []
+    # day 0: bins 0,0,1,1   day 1: bins 0,2,2,2 (width 10: v DIV 10)
+    for v in (1, 5, 12, 17):
+        rows.append(("a", d, v))
+    for v in (3, 21, 25, 29):
+        rows.append(("a", d + timedelta(days=1), v))
+    # day 2 identical to day 1 -> tvd 0
+    for v in (3, 21, 25, 29):
+        rows.append(("a", d + timedelta(days=2), v))
+    # day 4 (day 3 missing) -> no pair row for day 4
+    rows.append(("a", d + timedelta(days=4), 7))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, s long")
+    got = {
+        r["day"].day: (r["n_cur"], r["n_prev"], r["n_bins"], r["tvd"])
+        for r in histogram_drift(
+            df, key="source", ts="ts", value="s", bin_width=10
+        ).collect()
+    }
+    assert set(got) == {2, 3}  # pairs (d1,d0) keyed by cur day, (d2,d1)
+    assert got[2] == (4, 4, 3, 0.75)
+    assert got[3] == (4, 4, 2, 0.0)
+
+    with pytest.raises(ValueError):
+        histogram_drift(df, bin_width=0)
+
+
 def test_cusum_drift_closed_form_equals_recursion(spark):
     """The window closed form (cumsum minus running extrema) must equal
     the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
