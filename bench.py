@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "autocorr_1h",
     "gap_report_1h",
     "histogram_drift_1d",
+    "rank_shift_1h",
+    "burstiness_1h",
 ]
 
 

@@ -1546,6 +1546,42 @@ def q_histogram_drift_1d(spark, sf_dir):
     )
 
 
+def q_rank_shift_1h(spark, sf_dir):
+    """Hour-over-hour leaderboard movement: users ranked by hourly
+    event count (operators/leaderboard.py::rank_shift), shift vs each
+    user's previous PRESENT hour, top-10 per hour AFTER the shift so
+    entrants show the rank they came from.  Pure integer arithmetic."""
+    from gents_spark.operators.leaderboard import rank_shift
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("user_id").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return rank_shift(
+        hourly, key="source", ts="bucket_start", value="cnt", top_k=10
+    ).select(
+        "source", "bucket_start", "cnt", "rank",
+        "prev_rank", "prev_value", "shift",
+    )
+
+
+def q_burstiness_1h(spark, sf_dir):
+    """Hourly Fano factor of per-minute event arrivals per source
+    (operators/anomaly.py::burstiness) — arrival-pattern screen; exact
+    bigint numerator/denominator, one double division, empty minutes
+    accounted algebraically (never materialized)."""
+    from gents_spark.operators.anomaly import burstiness
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return burstiness(ev, key="source", ts="ts", sub_s=60, bucket_s=3600)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -2022,6 +2058,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (sketch_merge_1h rotated to the tail on its r04 stamp)
     "histogram_drift_1d": q_histogram_drift_1d,  # new r05: TVD shape
     # drift (dedup_keep rotated to the tail on its r04 stamp)
+    "rank_shift_1h": q_rank_shift_1h,  # new r05: leaderboard movers
+    # (rollup_1h_midpoint rotated to the tail on its r04 stamp)
+    "burstiness_1h": q_burstiness_1h,  # new r05: Fano arrival screen
+    # (dedup_exact rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2048,12 +2088,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
-    "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "asof_tolerance": q_asof_tolerance,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
-    "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2064,6 +2102,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
+    "rollup_1h_midpoint": q_rollup_1h_midpoint,
+    "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
     "twa_1h": q_twa_1h,
     "sketch_merge_1h": q_sketch_merge_1h,
@@ -2649,6 +2689,54 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "burstiness_1h": """
+        WITH e AS (
+            -- CAST(epoch() AS BIGINT) ROUNDS in DuckDB; Spark's
+            -- unix_timestamp truncates -> floor() first
+            SELECT event_type AS source,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ), s AS (
+            SELECT source,
+                   es - (es % 60) AS sub,
+                   to_timestamp(es - (es % 3600))::TIMESTAMP
+                       AS bucket_start,
+                   count(*)::BIGINT AS c
+            FROM e GROUP BY 1, 2, 3
+        ), g AS (
+            SELECT source, bucket_start,
+                   sum(c)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_active_subs,
+                   sum(c * c)::BIGINT AS s2
+            FROM s GROUP BY 1, 2
+        )
+        SELECT source, bucket_start, n_events, n_active_subs,
+               round((60 * s2 - n_events * n_events)::DOUBLE
+                     / (59 * n_events)::DOUBLE, 6) AS fano
+        FROM g
+    """,
+    "rank_shift_1h": """
+        WITH h AS (
+            SELECT user_id AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT source, bucket_start, cnt,
+                   rank() OVER (PARTITION BY bucket_start
+                                ORDER BY cnt DESC, source ASC)::BIGINT
+                       AS rank
+            FROM h
+        ), s AS (
+            SELECT source, bucket_start, cnt, rank,
+                   lag(rank) OVER w AS prev_rank,
+                   lag(cnt) OVER w AS prev_value
+            FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+        )
+        SELECT source, bucket_start, cnt, rank, prev_rank, prev_value,
+               prev_rank - rank AS shift
+        FROM s WHERE rank <= 10
+    """,
     "histogram_drift_1d": """
         WITH c0 AS (
             SELECT event_type AS source,

@@ -364,6 +364,62 @@ def autocorr(
     )
 
 
+def burstiness(
+    points: DataFrame,
+    key: str = "source",
+    ts: str = "ts",
+    sub_s: int = 60,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Fano factor (variance-to-mean of sub-bucket arrival counts) per
+    (key, bucket) — the arrival-PATTERN screen: a Poisson-like feed has
+    F ~ 1, a metronome-regular feed F -> 0, a bursty feed (batch dumps,
+    retry storms) F >> 1, all at the SAME hourly volume, which is why
+    the count-based screens can't see it.
+
+    With ``m = bucket_s/sub_s`` sub-buckets (EMPTY ones included — a
+    burst is bursty precisely because the other minutes are silent) and
+    c_i the per-sub-bucket counts, the sample Fano factor
+
+        F = Var(c)/Mean(c) = (m*Σc² - (Σc)²) / ((m-1)*Σc)
+
+    — numerator and denominator are EXACT bigints from one sub-bucket
+    count pass, so the single double division is hash-stable.
+
+    Scale shape: two grouped aggregations (raw -> sub-bucket counts ->
+    bucket), both map-side combinable; no window, no join, no spine of
+    empty sub-buckets is materialized (the m-Σ algebra accounts for
+    them for free).
+    """
+    if bucket_s % sub_s != 0:
+        raise ValueError(f"bucket_s={bucket_s} not a multiple of {sub_s}")
+    m = bucket_s // sub_s
+    if m < 2:
+        raise ValueError("need at least 2 sub-buckets")
+    e = F.unix_timestamp(ts)
+    sub = (e - (e % F.lit(sub_s))).alias("_sub")
+    bkt = F.timestamp_seconds(
+        e - (e % F.lit(bucket_s))
+    ).alias("bucket_start")
+    per_sub = points.groupBy(F.col(key), bkt, sub).agg(
+        F.count("*").alias("_c")
+    )
+    g = per_sub.groupBy(key, "bucket_start").agg(
+        F.sum("_c").alias("n_events"),
+        F.count("*").cast("long").alias("n_active_subs"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    fano = (
+        (F.lit(m) * F.col("_s2") - F.col("n_events") * F.col("n_events"))
+        .cast("double")
+        / (F.lit(m - 1) * F.col("n_events")).cast("double")
+    )
+    return g.select(
+        key, "bucket_start", "n_events", "n_active_subs",
+        F.round(fano, 6).alias("fano"),
+    )
+
+
 def histogram_drift(
     points: DataFrame,
     key: str = "source",

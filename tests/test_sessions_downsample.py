@@ -736,6 +736,74 @@ def test_histogram_drift_hand_values(spark):
         histogram_drift(df, bin_width=0)
 
 
+def test_rank_shift_hand_values(spark):
+    """Hand-built leaderboard: rank ties broken by key ASC; shift
+    measured vs the key's previous PRESENT bucket (absences skipped);
+    top_k filters AFTER the shift so an entrant keeps its origin rank;
+    first appearance has NULL prev_rank/shift."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.leaderboard import rank_shift
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # hour 0: a=10, b=10 (tie -> a first), c=1
+        ("a", t0, 10), ("b", t0, 10), ("c", t0, 1),
+        # hour 1: c surges to #1; a absent
+        ("b", t0 + timedelta(hours=1), 5),
+        ("c", t0 + timedelta(hours=1), 9),
+        # hour 2: a returns
+        ("a", t0 + timedelta(hours=2), 7),
+        ("b", t0 + timedelta(hours=2), 8),
+        ("c", t0 + timedelta(hours=2), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, cnt long"
+    )
+    got = {
+        (r["source"], r["bucket_start"].hour): (
+            r["rank"], r["prev_rank"], r["shift"]
+        )
+        for r in rank_shift(df).collect()
+    }
+    assert got[("a", 0)] == (1, None, None)  # tie with b -> key asc
+    assert got[("b", 0)] == (2, None, None)
+    assert got[("c", 0)] == (3, None, None)
+    assert got[("c", 1)] == (1, 3, 2)  # climbed 2
+    assert got[("b", 1)] == (2, 2, 0)
+    assert got[("a", 2)] == (2, 1, -1)  # vs hour 0, its previous PRESENT
+    # top_k keeps the origin rank visible for entrants
+    top1 = {
+        (r["source"], r["bucket_start"].hour): r["prev_rank"]
+        for r in rank_shift(df, top_k=1).collect()
+    }
+    assert set(top1) == {("a", 0), ("c", 1), ("b", 2)}
+    assert top1[("c", 1)] == 3  # came from below the cut
+
+
+def test_burstiness_hand_values(spark):
+    """Metronome hour (1 event/min) -> F=0; single-minute burst of 60
+    -> F=60 ((60*3600-3600)/(59*60)); empty minutes counted via the
+    m-sigma algebra, not materialized."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.anomaly import burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("even", t0 + timedelta(minutes=i)) for i in range(60)]
+    rows += [("burst", t0 + timedelta(seconds=i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    got = {
+        r["source"]: (r["n_events"], r["n_active_subs"], r["fano"])
+        for r in burstiness(df).collect()
+    }
+    assert got["even"] == (60, 60, 0.0)
+    assert got["burst"] == (60, 1, 60.0)
+
+    with pytest.raises(ValueError):
+        burstiness(df, sub_s=7)
+
+
 def test_cusum_drift_closed_form_equals_recursion(spark):
     """The window closed form (cumsum minus running extrema) must equal
     the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
