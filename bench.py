@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "histogram_drift_1d",
     "rank_shift_1h",
     "burstiness_1h",
+    "level_shift_1h",
 ]
 
 

@@ -1582,6 +1582,28 @@ def q_burstiness_1h(spark, sf_dir):
     return burstiness(ev, key="source", ts="ts", sub_s=60, bucket_s=3600)
 
 
+def q_level_shift_1h(spark, sf_dir):
+    """Step localization over hourly per-source cents-sums
+    (operators/anomaly.py::level_shift): next-12 minus previous-12
+    frame means, exact bigint sums, two divisions and a subtraction in
+    one fixed double shape."""
+    from gents_spark.operators.anomaly import level_shift
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+    )
+    out = level_shift(
+        hourly, key="source", order="bucket_start", value="s",
+        window=12, scale_div=100.0,
+    )
+    return out.select("source", "bucket_start", "s", "shift")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -2062,6 +2084,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rollup_1h_midpoint rotated to the tail on its r04 stamp)
     "burstiness_1h": q_burstiness_1h,  # new r05: Fano arrival screen
     # (dedup_exact rotated to the tail on its r04 stamp)
+    "level_shift_1h": q_level_shift_1h,  # new r05: step localization
+    # (gapfill_linear_1h rotated to the tail on its r04 stamp;
+    # gapfill_locf_1h keeps the gap-fill family in the head)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2091,7 +2116,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "asof_tolerance": q_asof_tolerance,
     "gapfill_locf_1h": q_gapfill_locf_1h,
-    "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2103,6 +2127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
+    "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
     "twa_1h": q_twa_1h,
@@ -2689,6 +2714,35 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "level_shift_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT source, bucket_start, s,
+                   sum(s) OVER (PARTITION BY source ORDER BY bucket_start
+                                ROWS BETWEEN CURRENT ROW
+                                AND 11 FOLLOWING)::BIGINT AS fs,
+                   count(s) OVER (PARTITION BY source ORDER BY bucket_start
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 11 FOLLOWING)::BIGINT AS fn,
+                   sum(s) OVER (PARTITION BY source ORDER BY bucket_start
+                                ROWS BETWEEN 12 PRECEDING
+                                AND 1 PRECEDING)::BIGINT AS bs,
+                   count(s) OVER (PARTITION BY source ORDER BY bucket_start
+                                  ROWS BETWEEN 12 PRECEDING
+                                  AND 1 PRECEDING)::BIGINT AS bn
+            FROM h
+        )
+        SELECT source, bucket_start, s,
+               round(CASE WHEN fn = 12 AND bn = 12
+                     THEN (fs::DOUBLE / fn::DOUBLE
+                           - bs::DOUBLE / bn::DOUBLE) / 100.0
+                     END, 6) AS shift
+        FROM w
+    """,
     "burstiness_1h": """
         WITH e AS (
             -- CAST(epoch() AS BIGINT) ROUNDS in DuckDB; Spark's

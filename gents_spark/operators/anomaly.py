@@ -509,6 +509,66 @@ def histogram_drift(
     )
 
 
+def level_shift(
+    series: DataFrame,
+    key: str = "source",
+    order: str = "bucket_start",
+    value: str = "s",
+    window: int = 12,
+    scale_div: float = 100.0,
+) -> DataFrame:
+    """Step detector per key: at every bucket, the difference between
+    the mean of the NEXT ``window`` buckets (current included) and the
+    mean of the PREVIOUS ``window`` — the statistic that localizes a
+    LEVEL SHIFT (deploy, config flip, fleet resize) to its bucket,
+    where ``cusum_drift`` only raises that drift exists somewhere and
+    ``ewma_smooth`` deliberately smears the step over its half-life.
+
+    Both frame sums are exact bigint window aggregates; the two
+    frame-mean divisions and their difference are the only double ops
+    (fixed shape).  Rows whose either frame is shorter than ``window``
+    get NULL shift (edges can't support the full contrast).  The peak
+    |shift| row per key IS the changepoint estimate under a
+    single-step model.
+
+    Scale shape: ONE shuffle on ``key``, two frame-bounded window
+    aggregates per row — the ``rolling_zscore`` plan class; no join,
+    no fold, no UDF.
+    """
+    if window < 1:
+        raise ValueError(f"window={window}: expected >= 1")
+    v = F.col(value).cast("bigint")
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    bwd = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(-window, -1)
+    )
+    d = (
+        series.withColumn("_fs", F.sum(v).over(fwd))
+        .withColumn("_fn", F.count(v).over(fwd))
+        .withColumn("_bs", F.sum(v).over(bwd))
+        .withColumn("_bn", F.count(v).over(bwd))
+    )
+    div = F.lit(float(scale_div))
+    shift = F.when(
+        (F.col("_fn") == window) & (F.col("_bn") == window),
+        (
+            F.col("_fs").cast("double") / F.col("_fn").cast("double")
+            - F.col("_bs").cast("double") / F.col("_bn").cast("double")
+        )
+        / div,
+    )
+    return (
+        d.withColumn("shift", F.round(shift, 6))
+        .drop("_fs", "_fn", "_bs", "_bn")
+    )
+
+
 def ols_trend(
     series: DataFrame,
     key: str = "source",

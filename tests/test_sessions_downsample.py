@@ -804,6 +804,37 @@ def test_burstiness_hand_values(spark):
         burstiness(df, sub_s=7)
 
 
+def test_level_shift_localizes_step(spark):
+    """A clean step 100 -> 300 at t=24 over 48 buckets: the peak shift
+    lands exactly ON the step bucket with value 2.0 (cents scale 100),
+    edges with short frames are NULL."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.anomaly import level_shift
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(hours=i), 10000 if i < 24 else 30000)
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    )
+    got = {
+        r["bucket_start"].hour + 24 * (r["bucket_start"].day - 1): r["shift"]
+        for r in level_shift(df, window=12).collect()
+    }
+    assert got[0] is None and got[47] is None  # short frames
+    assert got[24] == 200.0  # full contrast exactly on the step
+    peak = max((abs(v), k) for k, v in got.items() if v is not None)
+    assert peak[1] == 24
+    # symmetric decay on both sides of the step
+    assert got[23] == abs(got[25] - 0) and 0 < got[20] < got[24]
+
+    with pytest.raises(ValueError):
+        level_shift(df, window=0)
+
+
 def test_cusum_drift_closed_form_equals_recursion(spark):
     """The window closed form (cumsum minus running extrema) must equal
     the textbook recursion pos_t = max(0, pos_{t-1} + d_t) computed in
