@@ -99,6 +99,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "than HOURS hours (Iceberg expire_snapshots "
                         "analog; keeps each chunk's latest row, so "
                         "resume and current membership are unaffected)")
+    p.add_argument("--gap-report", metavar="TIER", default=None,
+                   help="after the build, print a per-source gap census "
+                        "of the given tier (n_missing/n_gaps/max run/"
+                        "coverage) — the planning view of what gap-fill "
+                        "would generate")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -199,6 +204,34 @@ def main(argv: list[str] | None = None) -> int:
                 cutoff,
             )
         out["retention_expired"] = ret
+    if args.gap_report:
+        import os
+
+        import pyspark.sql.functions as F
+
+        from gents_spark.operators.gapfill import gap_report
+        from gents_spark.plans.manifest import read_tier
+
+        tier_df = read_tier(
+            spark, os.path.join(args.output, "tiers"), args.gap_report
+        )
+        census = (
+            gap_report(tier_df, tier_name=args.gap_report)
+            .withColumn(
+                "first_bucket",
+                F.date_format("first_bucket", "yyyy-MM-dd HH:mm:ss"),
+            )
+            .withColumn(
+                "last_bucket",
+                F.date_format("last_bucket", "yyyy-MM-dd HH:mm:ss"),
+            )
+            .collect()
+        )
+        out["gap_report"] = {
+            args.gap_report: [
+                r.asDict() for r in sorted(census, key=lambda r: r["source"])
+            ]
+        }
     if args.expire_snapshots_h is not None:
         import os
 

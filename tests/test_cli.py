@@ -254,3 +254,35 @@ def test_cli_retention_and_snapshot_expiry(spark, tmp_path, capsys):
             "--input", in_path, "--output", out, "--master", "local[4]",
             "--resume", "--retention", "1m",
         ])
+
+
+def test_cli_gap_report(spark, tmp_path, capsys):
+    """--gap-report TIER prints the per-source census of the built
+    tier; a source with deleted hours shows its gaps, a dense source
+    shows coverage 1.0."""
+    import json
+
+    in_path = str(tmp_path / "seqs_gap")
+    out = str(tmp_path / "out_gap")
+    seqs = synth_sequences(spark, 2, 200)
+    # knock seq 60..119 out of src_00 -> one hour-long hole at 1h grain
+    # (step 60s: seqs 0..199 span ~3.3h; a 60-seq run is one full hour)
+    seqs = seqs.filter(
+        ~(
+            (F.col("source") == "src_00")
+            & (F.substring("doc_id", 8, 10).cast("long").between(60, 119))
+        )
+    )
+    seqs.write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1h", "--gapfill", "none", "--step-s", "60",
+        "--master", "local[4]", "--gap-report", "1h",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    census = {r["source"]: r for r in rep["gap_report"]["1h"]}
+    assert census["src_01"]["coverage"] == 1.0
+    a = census["src_00"]
+    assert a["n_missing"] == 1 and a["n_gaps"] == 1
+    assert a["max_gap_buckets"] == 1
