@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "rank_shift_1h",
     "burstiness_1h",
     "level_shift_1h",
+    "lead_lag_1h",
+    "percentile_drift_1d",
 ]
 
 

@@ -1604,6 +1604,90 @@ def q_level_shift_1h(spark, sf_dir):
     return out.select("source", "bucket_start", "s", "shift")
 
 
+def q_lead_lag_1h(spark, sf_dir):
+    """Lead-lag correlation: leader's hourly count at h vs follower's
+    at h+1, every ORDERED type pair (asymmetric — errors following
+    clicks by an hour is not clicks following errors).  Same
+    exact-integer-sums Pearson recipe as source_correlation; the join
+    shifts the leader's hour forward on the tiny aggregated table."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") + F.expr("INTERVAL 1 HOUR") == F.col("b.h"))
+        & (F.col("a.t") != F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("leader"),
+        F.col("b.t").alias("follower"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    g = pairs.groupBy("leader", "follower").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return g.select(
+        "leader",
+        "follower",
+        n.alias("n_hours"),
+        F.round(F.when(den > 0, num / den), 6).alias("lead_corr"),
+    )
+
+
+def q_percentile_drift_1d(spark, sf_dir):
+    """Day-over-day p50/p95 drift per source — the tail-behavior screen
+    (a p95 running away from a flat p50 is saturation, not load).
+    Exact-sort percentiles (operators/rollup.py::sorted_percentile ==
+    DuckDB quantile_cont bit-for-bit, the proven rollup recipe);
+    deltas are differences of those identical doubles."""
+    from gents_spark.operators.rollup import sorted_percentile
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sort_array(
+            F.collect_list(F.col("value").cast("double"))
+        ).alias("_sv"),
+    ).select(
+        "source",
+        "day",
+        "cnt",
+        sorted_percentile(F.col("_sv"), 0.5).alias("_p50"),
+        sorted_percentile(F.col("_sv"), 0.95).alias("_p95"),
+    )
+    w = Window.partitionBy("source").orderBy("day")
+    return (
+        daily.withColumn("_pp50", F.lag("_p50").over(w))
+        .withColumn("_pp95", F.lag("_p95").over(w))
+        .select(
+            "source",
+            "day",
+            "cnt",
+            F.round("_p50", 6).alias("p50"),
+            F.round("_p95", 6).alias("p95"),
+            F.round(F.col("_p50") - F.col("_pp50"), 6).alias("dp50"),
+            F.round(F.col("_p95") - F.col("_pp95"), 6).alias("dp95"),
+        )
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -2087,6 +2171,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "level_shift_1h": q_level_shift_1h,  # new r05: step localization
     # (gapfill_linear_1h rotated to the tail on its r04 stamp;
     # gapfill_locf_1h keeps the gap-fill family in the head)
+    "lead_lag_1h": q_lead_lag_1h,  # new r05: who-leads-whom screen
+    # (rollup_1m rotated to the tail on its r04 stamp)
+    "percentile_drift_1d": q_percentile_drift_1d,  # new r05: tail drift
+    # (rollup_1d rotated to the tail on its r04 stamp; rollup_1h keeps
+    # the rollup family in the head)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2110,9 +2199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "shipping_priority": q_shipping_priority,
     # --- r04-stamped keepers filling the head ---
-    "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
-    "rollup_1d": q_rollup_1d,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "asof_tolerance": q_asof_tolerance,
     "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -2126,6 +2213,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
+    "rollup_1m": q_rollup_1m,
+    "rollup_1d": q_rollup_1d,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_exact": q_dedup_exact,
@@ -2714,6 +2803,53 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "lead_lag_1h": """
+        WITH h AS (
+            SELECT event_type AS t,
+                   date_trunc('hour', ts)::TIMESTAMP AS h,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT a.t AS leader, b.t AS follower, a.c AS x, b.c AS y
+            FROM h a JOIN h b
+              ON a.h + INTERVAL 1 HOUR = b.h AND a.t <> b.t
+        ), g AS (
+            SELECT leader, follower, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy,
+                   sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM p GROUP BY 1, 2
+        )
+        SELECT leader, follower, n AS n_hours,
+               round(CASE WHEN sqrt((n * sxx - sx * sx)::DOUBLE)
+                               * sqrt((n * syy - sy * sy)::DOUBLE) > 0
+                     THEN (n * sxy - sx * sy)::DOUBLE
+                          / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                             * sqrt((n * syy - sy * sy)::DOUBLE))
+                     END, 6) AS lead_corr
+        FROM g
+    """,
+    "percentile_drift_1d": """
+        WITH d AS (
+            SELECT event_type AS source,
+                   date_trunc('day', ts)::TIMESTAMP AS day,
+                   count(*)::BIGINT AS cnt,
+                   quantile_cont(value, 0.5)::DOUBLE AS p50,
+                   quantile_cont(value, 0.95)::DOUBLE AS p95
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT source, day, cnt, p50, p95,
+                   lag(p50) OVER win AS pp50,
+                   lag(p95) OVER win AS pp95
+            FROM d WINDOW win AS (PARTITION BY source ORDER BY day)
+        )
+        SELECT source, day, cnt,
+               round(p50, 6) AS p50, round(p95, 6) AS p95,
+               round(p50 - pp50, 6) AS dp50,
+               round(p95 - pp95, 6) AS dp95
+        FROM w
+    """,
     "level_shift_1h": """
         WITH h AS (
             SELECT event_type AS source,
