@@ -427,6 +427,7 @@ def histogram_drift(
     value: str = "v",
     bin_width: int = 2500,
     min_rows: int = 1,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Day-over-day distribution drift per key: total-variation
     distance between consecutive days' binned value histograms — the
@@ -452,7 +453,13 @@ def histogram_drift(
     Scale shape: one groupBy to (key, day, bin) counts — the only pass
     over raw rows — then joins on the tiny aggregated tables
     (|keys × days × bins|); day alignment is an equi-join of counts
-    shifted one day, never a window over raw data.
+    shifted one day, never a window over raw data.  ``counts`` feeds
+    FOUR consumers (totals, shifted totals, both union branches), and
+    Spark does not reuse the exchange across them (the branches prune
+    differently), so it is PERSISTED — without this the raw table is
+    scanned 8x.  Same ``cache_handles`` contract as
+    ``dedup.ngram_jaccard_pairs``: pass a list to unpersist yourself,
+    else reclamation is the ContextCleaner's.
     """
     if bin_width < 1:
         raise ValueError(f"bin_width={bin_width}: expected >= 1")
@@ -460,7 +467,9 @@ def histogram_drift(
     b = F.expr(f"CAST({value} DIV {int(bin_width)} AS BIGINT)").alias("bin")
     counts = points.groupBy(F.col(key), day, b).agg(
         F.count("*").cast("decimal(38,0)").alias("c")
-    )
+    ).persist()
+    if cache_handles is not None:
+        cache_handles.append(counts)
     totals = counts.groupBy(key, "day").agg(F.sum("c").alias("n"))
     prev_c = counts.select(
         F.col(key),
@@ -473,14 +482,22 @@ def histogram_drift(
         (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
         F.col("n").alias("np"),
     )
-    # day pairs where BOTH days have data; bins full-outer within pair
+    # day pairs where BOTH days have data; bins full-outer within pair.
+    # The bin alignment is a UNION + re-aggregation, not a full-outer
+    # join: a full outer on (key, day, bin) plans as a sort-merge join
+    # (two sort exchanges) while the union re-agg is one hash shuffle
+    # of the same tiny table — same exact decimal sums either way.
     pairs = totals.join(prev_n, on=[key, "day"], how="inner").filter(
         (F.col("n") >= min_rows) & (F.col("np") >= min_rows)
     )
+    zero = F.lit(0).cast("decimal(38,0)")
     aligned = (
-        counts.join(prev_c, on=[key, "day", "bin"], how="full_outer")
-        .withColumn("c", F.coalesce("c", F.lit(0).cast("decimal(38,0)")))
-        .withColumn("cp", F.coalesce("cp", F.lit(0).cast("decimal(38,0)")))
+        counts.select(key, "day", "bin", F.col("c"), zero.alias("cp"))
+        .unionByName(
+            prev_c.select(key, "day", "bin", zero.alias("c"), F.col("cp"))
+        )
+        .groupBy(key, "day", "bin")
+        .agg(F.sum("c").alias("c"), F.sum("cp").alias("cp"))
         .join(pairs, on=[key, "day"], how="inner")
     )
     g = aligned.groupBy(key, "day").agg(
