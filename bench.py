@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "level_shift_1h",
     "lead_lag_1h",
     "percentile_drift_1d",
+    "pack_stats",
 ]
 
 

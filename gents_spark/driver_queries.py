@@ -1688,6 +1688,24 @@ def q_percentile_drift_1d(spark, sf_dir):
     )
 
 
+def q_pack_stats(spark, sf_dir):
+    """Packing-efficiency audit over the packed documents stream
+    (operators/packing.py::pack_stats): per (source, pack) the
+    sequence count, token sum, first offset, boundary straddlers and
+    worst overhang — what decides the attention-mask / cross-document
+    contamination cost of concat-and-chop downstream.  All exact
+    integer arithmetic."""
+    from gents_spark.operators.packing import pack_stats, pack_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    packed = pack_tokens(
+        docs, budget=2048, key="source", order="doc_id", weight="n_tok"
+    )
+    return pack_stats(packed, key="source", budget=2048)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-addressed 25% sample per source stratum
     (md5(source|doc_id) rule): map-side filter, no shuffle, identical
@@ -2176,6 +2194,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_drift_1d": q_percentile_drift_1d,  # new r05: tail drift
     # (rollup_1d rotated to the tail on its r04 stamp; rollup_1h keeps
     # the rollup family in the head)
+    "pack_stats": q_pack_stats,  # new r05: packing-efficiency audit
+    # (asof_tolerance rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2201,7 +2221,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r04-stamped keepers filling the head ---
     "rollup_1h": q_rollup_1h,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
-    "asof_tolerance": q_asof_tolerance,
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2215,6 +2234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_enrich": q_asof_enrich,
     "rollup_1m": q_rollup_1m,
     "rollup_1d": q_rollup_1d,
+    "asof_tolerance": q_asof_tolerance,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_exact": q_dedup_exact,
@@ -2803,6 +2823,28 @@ ORACLES: dict[str, str] = {
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds
     # left-to-right — the exact shape of ewma_smooth's slice/aggregate
+    "pack_stats": """
+        WITH p AS (
+            SELECT doc_id, source, n_chars AS n_tok,
+                   (coalesce(sum(n_chars) OVER w, 0) // 2048)::BIGINT
+                       AS pack_id,
+                   (coalesce(sum(n_chars) OVER w, 0) % 2048)::BIGINT
+                       AS offset_in_pack
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT source, pack_id,
+               count(*)::BIGINT AS n_seqs,
+               sum(n_tok)::BIGINT AS sum_tok,
+               min(offset_in_pack)::BIGINT AS first_offset,
+               sum(CASE WHEN offset_in_pack + n_tok > 2048
+                        THEN 1 ELSE 0 END)::BIGINT AS n_straddle,
+               greatest(max(offset_in_pack + n_tok) - 2048, 0)::BIGINT
+                   AS max_overhang
+        FROM p GROUP BY 1, 2
+    """,
     "lead_lag_1h": """
         WITH h AS (
             SELECT event_type AS t,

@@ -157,14 +157,35 @@ def pack_tokens_chunked(
     return _attach_pack_cols(out, budget)
 
 
-def pack_stats(packed: DataFrame, key: str = "source") -> DataFrame:
+def pack_stats(
+    packed: DataFrame, key: str = "source", budget: int | None = None
+) -> DataFrame:
     """Per-(key, pack) fill statistics: sequence count and token sum.
 
     The usual packing-efficiency audit — the LAST pack of each key is
     the only one allowed to be under-full in concat-and-chop.
+
+    With ``budget`` given, also reports the boundary behavior that
+    decides attention-masking cost downstream: ``n_straddle`` sequences
+    whose tokens continue past the pack boundary, and ``max_overhang``
+    — how far the worst straddler reaches into the following pack(s)
+    (a sequence longer than the budget overhangs more than one).  All
+    exact integer arithmetic on the packing columns; one groupBy on
+    the already-packed table.
     """
-    return packed.groupBy(key, "pack_id").agg(
+    aggs = [
         F.count("*").alias("n_seqs"),
         F.sum("n_tok").alias("sum_tok"),
         F.min("offset_in_pack").alias("first_offset"),
-    )
+    ]
+    if budget is not None:
+        end = F.col("offset_in_pack") + F.col("n_tok")
+        aggs += [
+            F.sum(
+                F.when(end > budget, 1).otherwise(0)
+            ).cast("long").alias("n_straddle"),
+            F.greatest(
+                F.max(end) - F.lit(budget), F.lit(0)
+            ).cast("long").alias("max_overhang"),
+        ]
+    return packed.groupBy(key, "pack_id").agg(*aggs)

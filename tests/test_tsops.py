@@ -203,6 +203,17 @@ def test_pack_tokens_concat_and_chop(spark):
         for r in pack_stats(pack_tokens(df, budget=10)).collect()
     }
     assert st[("a", 0)] == (3, 12) and st[("a", 1)] == (1, 3)
+    # budget-aware census: a.doc3 (offset 8, len 4) straddles into pack
+    # 1 with overhang 2; b.doc2 (offset 9, len 2) overhangs 1
+    bst = {
+        (r.source, r.pack_id): (r.n_straddle, r.max_overhang)
+        for r in pack_stats(
+            pack_tokens(df, budget=10), budget=10
+        ).collect()
+    }
+    assert bst[("a", 0)] == (1, 2)
+    assert bst[("a", 1)] == (0, 0)
+    assert bst[("b", 0)] == (1, 1)
     with _pytest.raises(ValueError):
         pack_tokens(df, budget=0)
 
