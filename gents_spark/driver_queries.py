@@ -1104,12 +1104,13 @@ def q_source_correlation(spark, sf_dir):
     the final formula, so it hash-matches the oracle bit-for-bit where
     a builtin corr() (Welford accumulation order) cannot.  Shape:
     hourly count agg -> self-join on the hour (bounded |types|² fan-out
-    on a tiny aggregated table) -> one groupBy per pair."""
+    on a tiny aggregated table, PERSISTED so the raw table is scanned
+    once, not once per join side) -> one groupBy per pair."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.col("event_type").alias("t"),
         F.date_trunc("hour", "ts").alias("h"),
-    ).agg(F.count("*").alias("c"))
+    ).agg(F.count("*").alias("c")).persist()
     a, b = hourly.alias("a"), hourly.alias("b")
     pairs = a.join(
         b,
@@ -1609,12 +1610,15 @@ def q_lead_lag_1h(spark, sf_dir):
     at h+1, every ORDERED type pair (asymmetric — errors following
     clicks by an hour is not clicks following errors).  Same
     exact-integer-sums Pearson recipe as source_correlation; the join
-    shifts the leader's hour forward on the tiny aggregated table."""
+    shifts the leader's hour forward on the tiny aggregated table,
+    which is PERSISTED — Spark does not reuse the aggregation exchange
+    across the two join sides, so without it the raw table is scanned
+    twice (ContextCleaner reclaims, the documented gate convention)."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.col("event_type").alias("t"),
         F.date_trunc("hour", "ts").alias("h"),
-    ).agg(F.count("*").alias("c"))
+    ).agg(F.count("*").alias("c")).persist()
     a, b = hourly.alias("a"), hourly.alias("b")
     pairs = a.join(
         b,
@@ -2196,6 +2200,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the rollup family in the head)
     "pack_stats": q_pack_stats,  # new r05: packing-efficiency audit
     # (asof_tolerance rotated to the tail on its r04 stamp)
+    "source_correlation": q_source_correlation,  # r05: hourly table now
+    # persisted (one raw scan, values identical) -> fresh stamp;
+    # rollup_1h rotated to the tail on its r04 stamp
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2219,7 +2226,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "shipping_priority": q_shipping_priority,
     # --- r04-stamped keepers filling the head ---
-    "rollup_1h": q_rollup_1h,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2233,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rows+schema+hash) in CORRECTNESS_r04 ---
     "asof_enrich": q_asof_enrich,
     "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "asof_tolerance": q_asof_tolerance,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
@@ -2265,7 +2272,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heartbeat_uptime": q_heartbeat_uptime,
     "vocab_topk": q_vocab_topk,
     "rollup_1h_distinct": q_rollup_1h_distinct,
-    "source_correlation": q_source_correlation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
 }
