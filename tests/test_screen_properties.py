@@ -1,0 +1,170 @@
+"""Property pins for the round-5 drift/shape screens.
+
+Each test feeds a seeded random multi-source series through the engine
+and recomputes the statistic INDEPENDENTLY in pure Python using the
+same exact-integer-then-one-division discipline the operators document
+— so equality is asserted EXACTLY (not approximately), the same bar the
+DuckDB gate holds them to.  Inputs are shuffled across partitions to
+also pin order-independence.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+
+def _series(rng, n_sources=3, n_hours=72, missing=0.15):
+    """(source, hour_index, value) triples with random holes."""
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(n_sources):
+        for h in range(n_hours):
+            if rng.random() < missing:
+                continue
+            rows.append((f"s{s}", t0 + timedelta(hours=h),
+                         rng.randint(-10_000, 10_000)))
+    rng.shuffle(rows)
+    return rows
+
+
+def test_autocorr_matches_python_exact(spark):
+    from gents_spark.operators.anomaly import autocorr
+
+    rng = random.Random(41)
+    rows = _series(rng)
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    ).repartition(7)
+    got = {
+        r["source"]: (r["n_pairs"], r["acf"])
+        for r in autocorr(df, min_pairs=2).collect()
+    }
+    by_src: dict[str, dict] = {}
+    for s, t, v in rows:
+        by_src.setdefault(s, {})[t] = v
+    for s, tv in by_src.items():
+        pairs = [
+            (tv[t - timedelta(hours=1)], v)
+            for t, v in tv.items()
+            if t - timedelta(hours=1) in tv
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        exp = round((n * sxy - sx * sy) / den, 6) if den > 0 else None
+        assert got[s] == (n, exp), s
+
+
+def test_level_shift_matches_python_exact(spark):
+    from gents_spark.operators.anomaly import level_shift
+
+    rng = random.Random(42)
+    rows = _series(rng, missing=0.0)
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    ).repartition(5)
+    W = 6
+    got = {
+        (r["source"], r["bucket_start"]): r["shift"]
+        for r in level_shift(df, window=W).collect()
+    }
+    by_src: dict[str, list] = {}
+    for s, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_src.setdefault(s, []).append((t, v))
+    for s, seq in by_src.items():
+        vals = [v for _, v in seq]
+        for i, (t, _) in enumerate(seq):
+            if i < W or i + W > len(seq):
+                exp = None
+            else:
+                fwd = sum(vals[i:i + W])
+                bwd = sum(vals[i - W:i])
+                exp = round((fwd / W - bwd / W) / 100.0, 6)
+            assert got[(s, t)] == exp, (s, t)
+
+
+def test_burstiness_matches_python_exact(spark):
+    from gents_spark.operators.anomaly import burstiness
+
+    rng = random.Random(43)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(3):
+        for _ in range(rng.randint(50, 400)):
+            rows.append(
+                (f"s{s}", t0 + timedelta(seconds=rng.randint(0, 3 * 3600 - 1)))
+            )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    got = {
+        (r["source"], r["bucket_start"]): (
+            r["n_events"], r["n_active_subs"], r["fano"]
+        )
+        for r in burstiness(df.repartition(4)).collect()
+    }
+    from collections import Counter
+
+    per = Counter()
+    for s, t in rows:
+        e = int(t.timestamp())
+        per[(s, e - e % 3600, e - e % 60)] += 1
+    agg: dict[tuple, list] = {}
+    for (s, b, sub), c in per.items():
+        agg.setdefault((s, b), []).append(c)
+    for (s, b), cs in agg.items():
+        n, s2 = sum(cs), sum(c * c for c in cs)
+        exp = round((60 * s2 - n * n) / (59 * n), 6)
+        key = (s, datetime.utcfromtimestamp(b))
+        assert got[key] == (n, len(cs), exp), key
+
+
+def test_histogram_drift_matches_python_exact(spark):
+    from gents_spark.operators.anomaly import histogram_drift
+
+    rng = random.Random(44)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(2):
+        for d in range(5):
+            for _ in range(rng.randint(30, 120)):
+                rows.append(
+                    (
+                        f"s{s}",
+                        t0 + timedelta(days=d,
+                                       seconds=rng.randint(0, 86399)),
+                        rng.randint(0, 9999),
+                    )
+                )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "source string, ts timestamp, v long")
+    W = 1000
+    got = {
+        (r["source"], r["day"]): (r["n_cur"], r["n_prev"], r["tvd"])
+        for r in histogram_drift(
+            df.repartition(6), key="source", ts="ts", value="v", bin_width=W
+        ).collect()
+    }
+    from collections import Counter
+
+    hist: dict[tuple, Counter] = {}
+    for s, t, v in rows:
+        hist.setdefault((s, t.date()), Counter())[v // W] += 1
+    for (s, day), h in hist.items():
+        prev = hist.get((s, day - timedelta(days=1)))
+        if prev is None:
+            continue
+        n, np_ = sum(h.values()), sum(prev.values())
+        num = sum(
+            abs(h.get(b, 0) * np_ - prev.get(b, 0) * n)
+            for b in set(h) | set(prev)
+        )
+        exp = round(num / (2.0 * n * np_), 6)
+        key = (s, datetime(day.year, day.month, day.day))
+        assert got[key] == (n, np_, exp), key
