@@ -178,3 +178,154 @@ def payload_meta(docs: DataFrame) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.upper(F.substring(F.hex("payload"), 1, 8)).alias("header_hash"),
     )
+
+
+def _p6_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse one P6 header at offset 0: (width, height, maxval,
+    raster_offset).  Same tokenizer as ``decode_real`` (factored for
+    the resize / frame-sample stages, which need the offset)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    w, h, maxval = tokens
+    return w, h, maxval, pos
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 payload — pure NumPy, fully
+    deterministic: source index ``(i * in_dim) // out_dim`` (floor), the
+    classic integer mapping, so the same payload resizes identically on
+    every executor and every platform (no float rounding, no SIMD
+    variance).  Returns a new P6 payload.
+
+    Nearest-neighbor is the honest no-deps baseline; swap in a
+    PIL/antialias call and the surrounding ``mapInPandas`` stage is
+    unchanged — the same stub-seam contract as ``decode_stub``.
+    """
+    import numpy as np
+
+    w, h, maxval, off = _p6_header(payload)
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=off
+    )
+    if raster.size != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    img = raster.reshape(h, w, 3)
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = img[yi][:, xi]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+RESIZED_PPM_SCHEMA = (
+    "doc_id long, in_w int, in_h int, out_w int, out_h int, "
+    "mean_pixel_out double, payload binary"
+)
+
+
+def resize_ppm_stage(
+    with_payload_df: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """mapInPandas resize stage: Arrow batches in, resized P6 payloads
+    (plus decoded-size provenance and the resized raster mean) out.
+    Same partition-sizing guidance as ``decode_features``: repartition
+    by payload BYTES upstream — the cost unit is pixels, not rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            import numpy as np
+
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                w, h, _, _ = _p6_header(b)
+                rb = resize_ppm(b, out_w, out_h)
+                _, _, _, roff = _p6_header(rb)
+                raster = np.frombuffer(rb, dtype=np.uint8, offset=roff)
+                rows.append(
+                    (
+                        doc_id, w, h, out_w, out_h,
+                        float(raster.sum(dtype="int64")) / raster.size,
+                        rb,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h",
+                    "mean_pixel_out", "payload",
+                ],
+            )
+
+    return with_payload_df.mapInPandas(run, RESIZED_PPM_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_pixel double"
+)
+
+
+def iter_p6_frames(payload: bytes):
+    """Yield (frame_idx, offset, width, height, maxval, raster_offset)
+    for a CONCATENATED-P6 'video' payload (frames back to back — the
+    no-deps analog of an mp4 container; a real demuxer slots into this
+    seam)."""
+    pos, idx = 0, 0
+    while pos < len(payload):
+        w, h, maxval, off = _p6_header(payload[pos:])
+        yield idx, pos, w, h, maxval, pos + off
+        pos += off + w * h * 3
+        idx += 1
+
+
+def frame_sample_stage(
+    with_payload_df: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: from each concatenated-P6
+    payload keep every ``every_n``-th frame (0, n, 2n, ... — the
+    uniform-stride policy video pipelines use before feature
+    extraction), emitting one row per KEPT frame with its decoded
+    stats.  Frames that are skipped are never materialized — the
+    iterator walks headers and slices only kept rasters."""
+    if every_n < 1:
+        raise ValueError(f"every_n={every_n}: expected >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                for idx, _, w, h, _, roff in iter_p6_frames(b):
+                    if idx % every_n:
+                        continue
+                    raster = np.frombuffer(
+                        b, dtype=np.uint8, count=w * h * 3, offset=roff
+                    )
+                    rows.append(
+                        (
+                            doc_id, idx, w, h,
+                            float(raster.sum(dtype="int64")) / raster.size,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height", "mean_pixel",
+                ],
+            )
+
+    return with_payload_df.mapInPandas(run, FRAME_SCHEMA)

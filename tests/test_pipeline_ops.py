@@ -754,3 +754,72 @@ def test_dup_clusters_random_graph_vs_union_find(spark):
         for r in dup_clusters(pairs).collect()
     }
     assert got == expected
+
+
+def _p6(w, h, px):
+    """Build a P6 payload from an iterable of w*h*3 byte values."""
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_resize_ppm_nearest_neighbor_exact(spark):
+    """4x4 -> 2x2 nearest-neighbor: source index (i*in)//out picks rows
+    0,2 and cols 0,2 — verified pixel-for-pixel; resize is a valid P6
+    round-trip; the Spark stage carries provenance + resized mean."""
+    import numpy as np
+
+    from gents_spark.operators.multimodal import (
+        _p6_header,
+        decode_real,
+        resize_ppm,
+        resize_ppm_stage,
+    )
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = _p6(4, 4, img.tobytes())
+    out = resize_ppm(payload, 2, 2)
+    w, h, maxval, off = _p6_header(out)
+    assert (w, h, maxval) == (2, 2, 255)
+    got = np.frombuffer(out, dtype=np.uint8, offset=off).reshape(2, 2, 3)
+    assert (got == img[[0, 2]][:, [0, 2]]).all()
+    # upscale is deterministic too (pixel duplication)
+    up = resize_ppm(out, 4, 4)
+    d = decode_real(up)
+    assert (d["width"], d["height"]) == (4, 4)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = resize_ppm_stage(df, 2, 2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["in_w"], r["in_h"], r["out_w"], r["out_h"]) == (4, 4, 2, 2)
+    assert r["mean_pixel_out"] == float(got.sum()) / got.size
+    assert bytes(r["payload"]) == out
+
+
+def test_frame_sample_uniform_stride(spark):
+    """Concatenated-P6 'video' of 5 frames: every_n=2 keeps frames
+    0, 2, 4 with per-frame decoded stats; skipped frames are never
+    materialized (iterator walks headers only)."""
+    from gents_spark.operators.multimodal import frame_sample_stage
+
+    frames = [
+        _p6(2, 1, [v] * 6) for v in (10, 20, 30, 40, 50)
+    ]
+    payload = b"".join(frames)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        frame_sample_stage(df, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["mean_pixel"]) for r in rows] == [
+        (0, 10.0), (2, 30.0), (4, 50.0)
+    ]
+    assert all((r["width"], r["height"]) == (2, 1) for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frame_sample_stage(df, every_n=0)
