@@ -983,6 +983,28 @@ def q_multimodal_meta(spark, sf_dir):
     return payload_meta(_t(spark, sf_dir, "documents"))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize through the mapInPandas plumbing: synthesized P6
+    per document, nearest-neighbor 2x2 thumbnail
+    (operators/multimodal.py::resize_ppm_stage).  The (i*in)//out
+    integer index map makes the kept pixel positions SQL-computable,
+    so the oracle recomputes the resized raster mean from the text
+    alone — a byte-exact cross-engine check of an image operation."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gents_spark.operators.multimodal import (
+        resize_ppm_stage,
+        with_ppm_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_ppm_stage(with_ppm_payload(docs), out_w=2, out_h=2)
+    return out.select(
+        "doc_id", "in_w", "in_h", "out_w", "out_h",
+        F.round("mean_pixel_out", 6).alias("mean_pixel_out"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode through the mapInPandas plumbing: synthesize a
     valid binary PPM (P6) per document (header + RGB raster from its
@@ -2132,8 +2154,32 @@ DEDUP_ORACLES: dict[str, str] = {
     # PPM decode: every field the NumPy parser extracts from the payload
     # BYTES, recomputed from the source text (raster = leading text
     # bytes; docs are ASCII, so ascii(char) == byte value)
+    "multimodal_resize": """
+        WITH t AS (SELECT doc_id,
+                          text || repeat(' ',
+                                         greatest(0, 12 - length(text)))
+                              AS txt
+                   FROM documents),
+        d AS (SELECT doc_id, txt, (length(txt) // 12)::INT AS h
+              FROM t),
+        px AS (SELECT d.doc_id,
+                      avg(ascii(substring(
+                          d.txt,
+                          (((yi.i * d.h) // 2) * 12
+                           + 6 * xj.j + cc.c + 1)::INT,
+                          1))) AS mp
+               FROM d, range(2) yi(i), range(2) xj(j), range(3) cc(c)
+               GROUP BY 1)
+        SELECT d.doc_id, 4 AS in_w, d.h AS in_h,
+               2 AS out_w, 2 AS out_h,
+               round(px.mp, 6) AS mean_pixel_out
+        FROM d JOIN px USING (doc_id)
+    """,
     "multimodal_decode": """
-        WITH t AS (SELECT doc_id, rpad(text, 12, ' ') AS txt
+        WITH t AS (SELECT doc_id,
+                          text || repeat(' ',
+                                         greatest(0, 12 - length(text)))
+                              AS txt
                    FROM documents),
         d AS (SELECT doc_id, txt, 4 AS width,
                      (length(txt) // 12)::INT AS height
@@ -2203,6 +2249,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_correlation": q_source_correlation,  # r05: hourly table now
     # persisted (one raw scan, values identical) -> fresh stamp;
     # rollup_1h rotated to the tail on its r04 stamp
+    "multimodal_decode": q_multimodal_decode,  # r05: pad-only payloads
+    # (rpad TRUNCATED long texts -> every image was 1 row tall); moved
+    # up from the tail for a fresh stamp, rollup_1h_sketch rotated out
+    "multimodal_resize": q_multimodal_resize,  # new r05: SQL-checkable
+    # nearest-neighbor thumbnail (gapfill_locf_1h rotated to the tail)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2226,8 +2277,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "shipping_priority": q_shipping_priority,
     # --- r04-stamped keepers filling the head ---
-    "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
-    "gapfill_locf_1h": q_gapfill_locf_1h,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2241,6 +2290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
+    "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
+    "gapfill_locf_1h": q_gapfill_locf_1h,
     "asof_tolerance": q_asof_tolerance,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -2261,7 +2312,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_near_dup": q_embedding_near_dup,
-    "multimodal_decode": q_multimodal_decode,
     "sessionize_events": q_sessionize_events,
     "state_durations": q_state_durations,
     "m4_downsample": q_m4_downsample,

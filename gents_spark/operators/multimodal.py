@@ -140,9 +140,18 @@ def with_ppm_payload(
     bytes (the container ships no real media files): header
     ``P6\\n<w> <h>\\n255\\n`` + the first ``w*h*3`` text bytes as the
     raster, ``h = floor(len(text) / (3w))``.  Pure column ops — the
-    oracle can recompute every decoded field from ``text`` alone."""
+    oracle can recompute every decoded field from ``text`` alone.
+
+    Short texts are padded UP to one pixel row; long texts keep their
+    full length (r05 — ``rpad`` alone TRUNCATES to the pad width, which
+    silently made every image 1 row tall)."""
     row = 3 * width
-    txt = F.rpad(F.col(text_col), row, " ")  # guarantee >= 1 pixel row
+    txt = F.concat(
+        F.col(text_col),
+        F.repeat(
+            F.lit(" "), F.greatest(F.lit(0), F.lit(row) - F.length(text_col))
+        ),
+    )
     h = F.floor(F.length(txt) / row).cast("int")
     header = F.concat(
         F.lit(f"P6\n{width} "), h.cast("string"), F.lit("\n255\n")
