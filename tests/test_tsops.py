@@ -267,3 +267,67 @@ def test_pack_tokens_chunked_rejects_numeric_default_chunk(spark):
     )
     with pytest.raises(ValueError, match="monotone"):
         pack_tokens_chunked(df, budget=10)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """asof_join backward/forward/nearest (with and without tolerance)
+    vs pandas.merge_asof on random multi-key streams — pandas is the
+    independent reference implementation of the direction semantics,
+    including at-or-equal ties and the nearest tie -> backward rule."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from gents_spark.operators.asof import asof_join
+
+    rng = random.Random(97)
+    t0 = datetime(2024, 1, 1)
+    right_rows, left_rows = [], []
+    for k in ("a", "b", "c"):
+        # unique right timestamps per key (asof contract), ~3 days span
+        rts = sorted(rng.sample(range(0, 260_000, 20), 60))
+        for i, s in enumerate(rts):
+            right_rows.append((k, t0 + timedelta(seconds=s), i * 10))
+        for _ in range(120):
+            s = rng.randrange(-5_000, 265_000)
+            left_rows.append((k, t0 + timedelta(seconds=s)))
+    right = spark.createDataFrame(
+        right_rows, "source string, bucket_start timestamp, rv long"
+    )
+    left = spark.createDataFrame(left_rows, "source string, ts timestamp")
+    rpd = pd.DataFrame(right_rows, columns=["source", "bucket_start", "rv"])
+    lpd = (
+        pd.DataFrame(left_rows, columns=["source", "ts"])
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    rpd = rpd.sort_values("bucket_start").reset_index(drop=True)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50.0):
+            got = {
+                (r["source"], r["ts"]): r["rv"]
+                for r in asof_join(
+                    left, right, key="source", left_ts="ts",
+                    right_ts="bucket_start", right_cols=["rv"],
+                    tolerance_s=tol, direction=direction,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="bucket_start",
+                by="source", direction=direction,
+                tolerance=(
+                    pd.Timedelta(seconds=tol) if tol is not None else None
+                ),
+            )
+            for _, row in exp_df.iterrows():
+                e = None if pd.isna(row["rv"]) else int(row["rv"])
+                assert got[(row["source"], row["ts"].to_pydatetime())] == e, (
+                    direction, tol, row["source"], row["ts"]
+                )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        asof_join(left, right, right_cols=["rv"], direction="sideways")
