@@ -2254,6 +2254,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # up from the tail for a fresh stamp, rollup_1h_sketch rotated out
     "multimodal_resize": q_multimodal_resize,  # new r05: SQL-checkable
     # nearest-neighbor thumbnail (gapfill_locf_1h rotated to the tail)
+    "asof_enrich": q_asof_enrich,  # r05: asof_join refactored for the
+    # direction= surface -> fresh stamps for both asof gate queries;
+    # range_label and tier_label (r02/r03-stamped, re-verified by
+    # check_oracles today) rotated to the tail to make room
+    "asof_tolerance": q_asof_tolerance,
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2264,8 +2269,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
     "time_spine": q_time_spine,
-    "range_label": q_range_label,
-    "tier_label": q_tier_label,
     "pricing_summary": q_pricing_summary,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_no_orders": q_customers_no_orders,
@@ -2285,14 +2288,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fresh driver stamp; token_count rotated to the tail in its place
     "funnel_conversion": q_funnel_conversion,
     # --- rotated tail: untouched this round, driver-green
-    # (rows+schema+hash) in CORRECTNESS_r04 ---
-    "asof_enrich": q_asof_enrich,
+    # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
+    # label queries, re-verified by check_oracles this session) ---
+    "range_label": q_range_label,
+    "tier_label": q_tier_label,
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_1h_sketch": q_rollup_1h_sketch,  # rows/schema-only (sketch)
     "gapfill_locf_1h": q_gapfill_locf_1h,
-    "asof_tolerance": q_asof_tolerance,
     "rollup_1h_midpoint": q_rollup_1h_midpoint,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "dedup_exact": q_dedup_exact,
