@@ -632,3 +632,87 @@ def expire_snapshots(
             except OSError:
                 pass
     return {"kept": n_kept, "dropped": total - n_kept}
+
+
+INCREMENT = "increment"
+
+
+def append_tier_increment(
+    spark: SparkSession,
+    tier_df: DataFrame,
+    tier: str,
+    tiers_dir: str,
+    manifest_dir: str,
+    run_id: str,
+    chunk_grain: str = "day",
+    compression: str = "snappy",
+) -> dict:
+    """Append a FINALIZED-window increment into the chunked tier layout
+    — the sink half of streaming tier maintenance (r05): each streaming
+    micro-batch of watermark-closed windows lands as extra files inside
+    the same ``tier=X/chunk=Y`` partitions the batch pipeline owns,
+    plus one ``status='increment'`` manifest row per touched chunk.
+
+    Consistency contract with the batch pipeline:
+
+    - ``latest_status`` semantics DEMOTE a chunk from ``done`` the
+      moment an increment row lands on it, so the next batch resume
+      rebuilds (consolidates) exactly the chunks streaming touched —
+      the dynamic partition overwrite then replaces the streamed files
+      wholesale.  Streaming appends are therefore always-safe: at worst
+      they re-queue a chunk for consolidation, never corrupt it.
+    - Idempotence: a ``run_id`` already present in the manifest is
+      skipped (Structured Streaming re-runs a failed micro-batch with
+      the same batch id).  The window between file-append and manifest
+      commit is at-least-once — a crash there leaves duplicate rows
+      until the next consolidation, the same contract Iceberg gives
+      uncommitted data files; the streaming test pins the happy path
+      and the demote-then-rebuild repair.
+
+    Returns {written (chunks), skipped, rows_written}.
+    """
+    m = read_manifest(spark, manifest_dir)
+    if (
+        m.filter((F.col("run_id") == run_id) & (F.col("tier") == tier))
+        .limit(1)
+        .count()
+    ):
+        return {"written": 0, "skipped": 1, "rows_written": 0}
+    d = tier_df.withColumn("chunk", chunk_col(grain=chunk_grain)).persist()
+    try:
+        stats = (
+            d.groupBy("chunk")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("cnt").cast("long")).alias("sc"),
+                F.sum(F.col("sum_tok").cast("long")).alias("st"),
+            )
+            .collect()
+        )
+        if not stats:
+            return {"written": 0, "skipped": 0, "rows_written": 0}
+        (
+            d.repartition(F.col("chunk"), F.col("source"))
+            .write.mode("append")
+            .option("compression", compression)
+            .partitionBy("tier", "chunk")
+            .parquet(tiers_dir)
+        )
+        import time as _time
+
+        from gents_spark import __version__
+
+        now = _time.time()
+        rows = [
+            (run_id, tier, s["chunk"], INCREMENT, s["n"], s["sc"],
+             s["st"], now, None, __version__)
+            for s in sorted(stats, key=lambda s: s["chunk"])
+        ]
+        _append_manifest_rows(manifest_dir, rows)
+        return {
+            "written": len(rows),
+            "skipped": 0,
+            "rows_written": int(sum(s["n"] for s in stats)),
+        }
+    finally:
+        d.unpersist()

@@ -99,3 +99,58 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_tier_ingest(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint: str,
+    tier: str = "1m",
+    step_s: int = 10,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 8,
+):
+    """Streaming tier MAINTENANCE (r05): the watermarked continuous
+    aggregate lands directly in the batch pipeline's chunked
+    tiers/ + manifest layout via ``plans.manifest.append_tier_increment``
+    — one engine, one table, both write paths.
+
+    Append-mode emission means each window arrives exactly once
+    (post-watermark); the foreachBatch sink is idempotent per micro-
+    batch through the manifest run_id guard, and any chunk streaming
+    touches is demoted from ``done`` so the next batch resume
+    consolidates it (see append_tier_increment's contract).  Start with
+    ``trigger(availableNow)`` for catch-up runs or remove the trigger
+    for continuous service; caller awaits/stops the returned query.
+    """
+    import os
+
+    from gents_spark.plans.manifest import append_tier_increment
+
+    tiers_dir = os.path.join(out_dir, "tiers")
+    manifest_dir = os.path.join(out_dir, "manifest")
+    q = streaming_rollup(
+        read_sequences_stream(spark, in_path, max_files_per_trigger),
+        tier=tier,
+        step_s=step_s,
+        watermark=watermark,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_tier_increment(
+            batch_df.sparkSession,
+            batch_df,
+            tier,
+            tiers_dir,
+            manifest_dir,
+            run_id=f"stream-{tier}-{batch_id}",
+        )
+
+    return (
+        q.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,3 +246,108 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
     assert len(got_fps) == len(set(got_fps)) == len(exp_fps)
     assert set(got_fps) == exp_fps
     assert got.count() == base.count()  # the 50 re-emissions are gone
+
+
+def test_stream_tier_ingest_into_manifest_layout(spark, tmp_path):
+    """Streaming tier MAINTENANCE end-to-end: micro-batch increments
+    land inside the batch pipeline's tiers/+manifest layout, every
+    emitted bucket matches the batch aggregation EXACTLY, increment
+    rows demote chunks from done, and a subsequent batch resume
+    consolidates to exact batch truth with no duplicates."""
+    from gents_spark.plans.manifest import (
+        completed_chunks,
+        read_manifest,
+        read_tier,
+        write_tier_chunks,
+    )
+    from gents_spark.streaming.rollup_stream import stream_tier_ingest
+    from gents_spark.timeparse import parse_seq
+
+    in_path = str(tmp_path / "seqs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_tier():
+        ev = with_event_time(spark.read.parquet(in_path), step_s=10)
+        return ev.groupBy(
+            "source",
+            F.date_trunc("minute", "event_time").alias("bucket_start"),
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+
+    def run_stream():
+        q = stream_tier_ingest(
+            spark, in_path, out_dir, ckpt,
+            tier="1m", step_s=10, watermark="1 minute",
+        )
+        q.awaitTermination(180)
+
+    def tier_rows():
+        return {
+            (r["source"], r["bucket_start"]): (
+                r["cnt"], r["sum_tok"], r["min_tok"], r["max_tok"]
+            )
+            for r in read_tier(spark, out_dir + "/tiers", "1m").collect()
+        }
+
+    seqs1 = synth_sequences(spark, 2, 400, n_tok_lo=8, n_tok_hi=32)
+    seqs1.repartition(4).write.mode("append").parquet(in_path)
+    run_stream()
+
+    got1 = tier_rows()
+    batch1 = {
+        (r["source"], r["bucket_start"]): (
+            r["cnt"], r["sum_tok"], r["min_tok"], r["max_tok"]
+        )
+        for r in batch_tier().collect()
+    }
+    assert got1, "stream emitted nothing"
+    for k, v in got1.items():
+        assert batch1[k] == v, k  # every emitted bucket exact
+    # increments never mark chunks done (demote semantics)
+    assert completed_chunks(spark, out_dir + "/manifest", "1m").count() == 0
+    m = read_manifest(spark, out_dir + "/manifest")
+    assert m.filter(F.col("status") == "increment").count() > 0
+
+    # later data (well past the watermark) -> run 2 emits the held-back
+    # tail of batch 1 plus most of batch 2, through the SAME checkpoint
+    seqs2 = parse_seq(synth_sequences(spark, 2, 300, n_tok_lo=8, n_tok_hi=32))
+    seqs2 = seqs2.select(
+        F.concat(
+            F.col("source"), F.lit("/"),
+            F.lpad((F.col("seq") + 40000).cast("string"), 10, "0"),
+        ).alias("doc_id"),
+        "tokens", "n_tok", "source",
+    )
+    seqs2.repartition(4).write.mode("append").parquet(in_path)
+    run_stream()
+
+    got2 = tier_rows()
+    batch2 = {
+        (r["source"], r["bucket_start"]): (
+            r["cnt"], r["sum_tok"], r["min_tok"], r["max_tok"]
+        )
+        for r in batch_tier().collect()
+    }
+    assert len(got2) > len(got1)
+    for k, v in got2.items():
+        assert batch2[k] == v, k
+    # no duplicate (source, bucket) rows from the two append runs
+    n_rows = read_tier(spark, out_dir + "/tiers", "1m").count()
+    assert n_rows == len(got2)
+
+    # batch consolidation: resume rebuild over the full batch tier
+    # replaces the streamed partitions -> exact batch truth, no dups
+    full = batch_tier().withColumn("tier", F.lit("1m"))
+    write_tier_chunks(
+        spark, full, "1m", out_dir + "/tiers", out_dir + "/manifest",
+        run_id="consolidate", resume=True,
+    )
+    got3 = tier_rows()
+    assert got3 == batch2
+    assert read_tier(spark, out_dir + "/tiers", "1m").count() == len(batch2)
+    assert completed_chunks(spark, out_dir + "/manifest", "1m").count() > 0
