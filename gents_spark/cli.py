@@ -99,6 +99,16 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "than HOURS hours (Iceberg expire_snapshots "
                         "analog; keeps each chunk's latest row, so "
                         "resume and current membership are unaffected)")
+    p.add_argument("--stream", action="store_true",
+                   help="streaming catch-up instead of a batch build: "
+                        "run the watermarked continuous aggregate over "
+                        "the input directory (availableNow) and append "
+                        "finalized windows into the same tiers/+manifest "
+                        "layout as status='increment' rows (additive "
+                        "stats only; percentiles stay batch)")
+    p.add_argument("--watermark", default="10 minutes",
+                   help="--stream late-data watermark (default: "
+                        "'10 minutes')")
     p.add_argument("--gap-report", metavar="TIER", default=None,
                    help="after the build, print a per-source gap census "
                         "of the given tier (n_missing/n_gaps/max run/"
@@ -171,6 +181,39 @@ def main(argv: list[str] | None = None) -> int:
             },
         }
         print(json.dumps({"dryrun": plan}))
+        return 0
+    if args.stream:
+        import os
+
+        import pyspark.sql.functions as F
+
+        from gents_spark.plans.manifest import read_manifest
+        from gents_spark.streaming.rollup_stream import stream_tier_ingest
+
+        tier = (args.tiers or ["1m"])[0]
+        q = stream_tier_ingest(
+            spark, args.input, args.output,
+            os.path.join(args.output, "_stream_checkpoint", tier),
+            tier=tier, step_s=args.step_s, watermark=args.watermark,
+        )
+        q.awaitTermination()
+        m = read_manifest(spark, os.path.join(args.output, "manifest"))
+        agg = (
+            m.filter(
+                (F.col("status") == "increment") & (F.col("tier") == tier)
+            )
+            .agg(
+                F.count("*").alias("chunks"), F.sum("n_rows").alias("rows")
+            )
+            .collect()[0]
+        )
+        print(json.dumps({
+            "stream": {
+                "tier": tier,
+                "increment_chunks": agg["chunks"],
+                "increment_rows": agg["rows"] or 0,
+            }
+        }))
         return 0
     run_id = f"cli-{int(time.time())}"
     # provenance: the full launching command rides into every manifest row

@@ -286,3 +286,34 @@ def test_cli_gap_report(spark, tmp_path, capsys):
     a = census["src_00"]
     assert a["n_missing"] == 1 and a["n_gaps"] == 1
     assert a["max_gap_buckets"] == 1
+
+
+def test_cli_stream_catchup(spark, tmp_path, capsys):
+    """--stream: availableNow streaming catch-up appends increment rows
+    into the layout and reports them; a second identical run through
+    the same checkpoint adds nothing (no new data)."""
+    import json
+
+    in_path = str(tmp_path / "seqs_st")
+    out = str(tmp_path / "out_st")
+    synth_sequences(spark, 2, 300, n_tok_lo=8, n_tok_hi=32).write.parquet(
+        in_path
+    )
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "--step-s", "10", "--master", "local[4]",
+        "--stream", "--watermark", "1 minute",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stream"]["increment_rows"] > 0
+    first_rows = rep["stream"]["increment_rows"]
+
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "--step-s", "10", "--master", "local[4]",
+        "--stream", "--watermark", "1 minute",
+    ])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["stream"]["increment_rows"] == first_rows  # nothing new
