@@ -109,6 +109,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--watermark", default="10 minutes",
                    help="--stream late-data watermark (default: "
                         "'10 minutes')")
+    p.add_argument("--export-tier", metavar="TIER", default=None,
+                   help="after the build, export this tier as per-source "
+                        "time-sorted timeseries files (the GenTS "
+                        "reformatted-artifact analog); needs --export-dir")
+    p.add_argument("--export-dir", default=None,
+                   help="destination directory for --export-tier")
+    p.add_argument("--export-format", choices=["parquet", "csv", "json"],
+                   default="parquet")
     p.add_argument("--gap-report", metavar="TIER", default=None,
                    help="after the build, print a per-source gap census "
                         "of the given tier (n_missing/n_gaps/max run/"
@@ -275,6 +283,20 @@ def main(argv: list[str] | None = None) -> int:
                 r.asDict() for r in sorted(census, key=lambda r: r["source"])
             ]
         }
+    if args.export_tier:
+        import os
+
+        from gents_spark.plans.manifest import export_timeseries
+
+        if not args.export_dir:
+            raise SystemExit("--export-tier needs --export-dir")
+        out["export"] = export_timeseries(
+            spark,
+            os.path.join(args.output, "tiers"),
+            args.export_tier,
+            args.export_dir,
+            fmt=args.export_format,
+        )
     if args.expire_snapshots_h is not None:
         import os
 

@@ -716,3 +716,55 @@ def append_tier_increment(
         }
     finally:
         d.unpersist()
+
+
+def export_timeseries(
+    spark: SparkSession,
+    tiers_dir: str,
+    tier: str,
+    out_dir: str,
+    fmt: str = "parquet",
+    compression: str = "snappy",
+) -> dict:
+    """Export a tier as per-source, time-sorted timeseries files — the
+    analog of GenTS's user-facing artifact (one reformatted timeseries
+    file per variable, ``gents/timeseries.py``): one directory per
+    source, ONE file each, rows ordered by ``bucket_start``.
+
+    Shape: hash-repartition on source puts each source's rows in
+    exactly one task (several sources may share a task — files stay one
+    per source because the write partitions by source), sorted within
+    the partition so the parquet row groups are time-ordered (readers
+    get range-pruning on bucket_start for free).  For a pathological
+    single-giant-source export, pre-split by (source, year) instead —
+    the tier table itself stays chunk-partitioned either way.
+
+    Returns {sources, rows}.
+    """
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"fmt={fmt}: expected parquet|csv|json")
+    df = read_tier(spark, tiers_dir, tier).drop("tier", "chunk")
+    if fmt == "csv":
+        # CSV cannot hold binary/array/map columns (tier payloads,
+        # sketches) — export the scalar stats only
+        from pyspark.sql.types import AtomicType
+
+        keep = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, AtomicType)
+        ]
+        df = df.select(*keep)
+    w = (
+        df.repartition(F.col("source"))
+        .sortWithinPartitions("source", "bucket_start")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("source")
+    )
+    if fmt == "csv":
+        w = w.option("header", "true")
+    getattr(w, fmt)(out_dir)
+    stats = df.agg(
+        F.countDistinct("source").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    return {"sources": int(stats["s"]), "rows": int(stats["n"])}

@@ -370,3 +370,46 @@ def test_duplicate_manifest_rows_preserve_membership(spark, seqs, tmp_path):
     assert expire_snapshots(
         spark, str(tmp_path / "nope"), older_than_ts=time.time()
     ) == {"kept": 0, "dropped": 0}
+
+
+def test_export_timeseries_per_source_sorted(spark, seqs, tmp_path):
+    """Per-source export: ONE file per source directory, rows sorted by
+    bucket_start inside it, values equal to the tier table; csv drops
+    the non-scalar payload columns instead of failing."""
+    import glob
+
+    from gents_spark.plans.manifest import export_timeseries
+
+    out = str(tmp_path / "build")
+    TierPipeline(spark, step_s=3600, tiers=["1d"], gapfill_mode=None).run(
+        seqs, out, run_id="exp"
+    )
+    exp_dir = str(tmp_path / "export")
+    rep = export_timeseries(spark, out + "/tiers", "1d", exp_dir)
+    assert rep["sources"] == 2 and rep["rows"] > 0
+
+    tier_rows = {
+        (r["source"], r["bucket_start"]): r["cnt"]
+        for r in read_tier(spark, out + "/tiers", "1d").collect()
+    }
+    n_exported = 0
+    for src_dir in sorted(glob.glob(exp_dir + "/source=*")):
+        files = glob.glob(src_dir + "/*.parquet")
+        assert len(files) == 1, src_dir  # ONE file per source
+        src = src_dir.rsplit("=", 1)[1]
+        pdf = spark.read.parquet(files[0]).toPandas()
+        n_exported += len(pdf)
+        ts = list(pdf["bucket_start"])
+        assert ts == sorted(ts), src  # time-ordered rows
+        for _, row in pdf.iterrows():
+            assert tier_rows[(src, row["bucket_start"])] == row["cnt"]
+    assert n_exported == rep["rows"]
+
+    # csv path drops non-scalar columns rather than failing
+    csv_dir = str(tmp_path / "export_csv")
+    rep2 = export_timeseries(spark, out + "/tiers", "1d", csv_dir, fmt="csv")
+    assert rep2["rows"] == rep["rows"]
+    assert glob.glob(csv_dir + "/source=*/part-*")
+
+    with pytest.raises(ValueError):
+        export_timeseries(spark, out + "/tiers", "1d", exp_dir, fmt="xml")
