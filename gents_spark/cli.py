@@ -143,7 +143,9 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel(
         "INFO" if args.verbose >= 2 else "WARN" if args.verbose == 1 else "ERROR"
     )
-    seqs = spark.read.parquet(args.input)
+    from gents_spark.sources import open_sequences
+
+    seqs = open_sequences(spark, args.input)
     compression = args.compression or prof.compression
     pipe = TierPipeline(
         spark,

@@ -317,3 +317,30 @@ def test_cli_stream_catchup(spark, tmp_path, capsys):
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["stream"]["increment_rows"] == first_rows  # nothing new
+
+
+def test_open_sequences_iceberg_seam(spark, tmp_path):
+    """Input resolution: parquet paths read directly; a dotted
+    catalog.db.table reference without an Iceberg runtime raises the
+    configuration-pointing error (not Spark's bare TABLE_NOT_FOUND);
+    a catalog-managed table resolves via spark.table when present."""
+    import pytest as _pt
+
+    from gents_spark.sources import iceberg_available, open_sequences
+
+    p = str(tmp_path / "seqs_src")
+    synth_sequences(spark, 1, 50).write.parquet(p)
+    assert open_sequences(spark, p).count() == 50
+
+    assert not iceberg_available(spark)  # no jars in this container
+    with _pt.raises(RuntimeError, match="Iceberg runtime"):
+        open_sequences(spark, "prod.training.sequences")
+
+    # a session-catalog table (dotted, no iceberg needed) still resolves
+    spark.read.parquet(p).write.mode("overwrite").saveAsTable(
+        "default.seqs_seam_test"
+    )
+    try:
+        assert open_sequences(spark, "default.seqs_seam_test").count() == 50
+    finally:
+        spark.sql("DROP TABLE default.seqs_seam_test")
