@@ -135,6 +135,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_arguments(argv)
+    if args.export_tier and not args.export_dir:
+        # fail BEFORE the build, not after minutes of tier writes
+        raise SystemExit("--export-tier needs --export-dir")
     prof = resolve_profile(
         args.profile, args.include_sources, args.exclude_sources,
         append_filters=args.append_filters,
@@ -200,30 +203,34 @@ def main(argv: list[str] | None = None) -> int:
         from gents_spark.plans.manifest import read_manifest
         from gents_spark.streaming.rollup_stream import stream_tier_ingest
 
-        tier = (args.tiers or ["1m"])[0]
-        q = stream_tier_ingest(
-            spark, args.input, args.output,
-            os.path.join(args.output, "_stream_checkpoint", tier),
-            tier=tier, step_s=args.step_s, watermark=args.watermark,
-        )
-        q.awaitTermination()
-        m = read_manifest(spark, os.path.join(args.output, "manifest"))
-        agg = (
-            m.filter(
-                (F.col("status") == "increment") & (F.col("tier") == tier)
+        # every requested tier streams (sequentially, each through its
+        # own checkpoint) — same tier resolution as the batch path
+        stream_tiers = list(args.tiers) if args.tiers else list(prof.tiers)
+        report = {}
+        for tier in stream_tiers:
+            q = stream_tier_ingest(
+                spark, args.input, args.output,
+                os.path.join(args.output, "_stream_checkpoint", tier),
+                tier=tier, step_s=args.step_s, watermark=args.watermark,
             )
-            .agg(
-                F.count("*").alias("chunks"), F.sum("n_rows").alias("rows")
+            q.awaitTermination()
+            m = read_manifest(spark, os.path.join(args.output, "manifest"))
+            agg = (
+                m.filter(
+                    (F.col("status") == "increment")
+                    & (F.col("tier") == tier)
+                )
+                .agg(
+                    F.count("*").alias("chunks"),
+                    F.sum("n_rows").alias("rows"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        print(json.dumps({
-            "stream": {
-                "tier": tier,
+            report[tier] = {
                 "increment_chunks": agg["chunks"],
                 "increment_rows": agg["rows"] or 0,
             }
-        }))
+        print(json.dumps({"stream": report}))
         return 0
     run_id = f"cli-{int(time.time())}"
     # provenance: the full launching command rides into every manifest row
@@ -290,8 +297,6 @@ def main(argv: list[str] | None = None) -> int:
 
         from gents_spark.plans.manifest import export_timeseries
 
-        if not args.export_dir:
-            raise SystemExit("--export-tier needs --export-dir")
         out["export"] = export_timeseries(
             spark,
             os.path.join(args.output, "tiers"),

@@ -1119,31 +1119,28 @@ def q_contamination_ngram(spark, sf_dir):
     return ngram_contamination(docs, n=5, test_frac=0.2, max_shingle_df=50)
 
 
-def q_source_correlation(spark, sf_dir):
-    """Pearson correlation of hourly event counts between every pair of
-    event types — 'do errors co-move with clicks?'.  Computed from
-    EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with doubles only in
-    the final formula, so it hash-matches the oracle bit-for-bit where
-    a builtin corr() (Welford accumulation order) cannot.  Shape:
-    hourly count agg -> self-join on the hour (bounded |types|² fan-out
-    on a tiny aggregated table, PERSISTED so the raw table is scanned
-    once, not once per join side) -> one groupBy per pair."""
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.date_trunc("hour", "ts").alias("h"),
-    ).agg(F.count("*").alias("c")).persist()
-    a, b = hourly.alias("a"), hourly.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h")) & (F.col("a.t") < F.col("b.t")),
-    ).select(
-        F.col("a.t").alias("type_a"),
-        F.col("b.t").alias("type_b"),
-        F.col("a.c").alias("x"),
-        F.col("b.c").alias("y"),
+def _hourly_counts(spark, sf_dir):
+    """Per (event_type, hour) count table, PERSISTED — Spark does not
+    reuse the aggregation exchange across a self-join's two sides, so
+    without the persist the raw table is scanned once per side."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count("*").alias("c"))
+        .persist()
     )
-    g = pairs.groupBy("type_a", "type_b").agg(
+
+
+def _pair_pearson(pairs, k1, k2, out_corr):
+    """Exact-integer Pearson over (x, y) pair rows, grouped by
+    (k1, k2): the sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact bigints,
+    doubles appear only in the one final num/den expression — the
+    bit-reproducibility discipline shared by source_correlation and
+    lead_lag_1h (fix it HERE, both gate queries follow)."""
+    g = pairs.groupBy(k1, k2).agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -1158,11 +1155,34 @@ def q_source_correlation(spark, sf_dir):
         (n * syy - sy * sy).cast("double")
     )
     return g.select(
-        "type_a",
-        "type_b",
+        k1,
+        k2,
         n.alias("n_hours"),
-        F.round(F.when(den > 0, num / den), 6).alias("corr"),
+        F.round(F.when(den > 0, num / den), 6).alias(out_corr),
     )
+
+
+def q_source_correlation(spark, sf_dir):
+    """Pearson correlation of hourly event counts between every pair of
+    event types — 'do errors co-move with clicks?'.  Computed from
+    EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with doubles only in
+    the final formula, so it hash-matches the oracle bit-for-bit where
+    a builtin corr() (Welford accumulation order) cannot.  Shape:
+    hourly count agg (persisted, see _hourly_counts) -> self-join on
+    the hour (bounded |types|² fan-out on a tiny aggregated table) ->
+    one exact-Pearson groupBy per pair (_pair_pearson)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    return _pair_pearson(pairs, "type_a", "type_b", "corr")
 
 
 def q_rollup_1h_distinct(spark, sf_dir):
@@ -1631,16 +1651,10 @@ def q_lead_lag_1h(spark, sf_dir):
     """Lead-lag correlation: leader's hourly count at h vs follower's
     at h+1, every ORDERED type pair (asymmetric — errors following
     clicks by an hour is not clicks following errors).  Same
-    exact-integer-sums Pearson recipe as source_correlation; the join
-    shifts the leader's hour forward on the tiny aggregated table,
-    which is PERSISTED — Spark does not reuse the aggregation exchange
-    across the two join sides, so without it the raw table is scanned
-    twice (ContextCleaner reclaims, the documented gate convention)."""
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.date_trunc("hour", "ts").alias("h"),
-    ).agg(F.count("*").alias("c")).persist()
+    exact-integer-sums Pearson discipline as source_correlation (shared
+    via _hourly_counts / _pair_pearson); only the join predicate — the
+    leader's hour shifted forward, ordered pairs — differs."""
+    hourly = _hourly_counts(spark, sf_dir)
     a, b = hourly.alias("a"), hourly.alias("b")
     pairs = a.join(
         b,
@@ -1652,26 +1666,7 @@ def q_lead_lag_1h(spark, sf_dir):
         F.col("a.c").alias("x"),
         F.col("b.c").alias("y"),
     )
-    g = pairs.groupBy("leader", "follower").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    num = (n * sxy - sx * sy).cast("double")
-    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
-        (n * syy - sy * sy).cast("double")
-    )
-    return g.select(
-        "leader",
-        "follower",
-        n.alias("n_hours"),
-        F.round(F.when(den > 0, num / den), 6).alias("lead_corr"),
-    )
+    return _pair_pearson(pairs, "leader", "follower", "lead_corr")
 
 
 def q_percentile_drift_1d(spark, sf_dir):
@@ -3033,7 +3028,10 @@ ORACLES: dict[str, str] = {
         WITH c0 AS (
             SELECT event_type AS source,
                    date_trunc('day', ts)::TIMESTAMP AS day,
-                   CAST(round(value * 100) AS BIGINT) // 2500 AS bin,
+                   -- floor (not //, which truncates on BIGINT): bins
+                   -- stay single-width and consistent across zero
+                   CAST(floor(CAST(round(value * 100) AS BIGINT)
+                              / 2500.0) AS BIGINT) AS bin,
                    count(*)::HUGEINT AS c
             FROM events GROUP BY 1, 2, 3
         ), t AS (

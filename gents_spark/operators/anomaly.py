@@ -447,8 +447,10 @@ def histogram_drift(
     identical shape, 1 = disjoint supports.
 
     ``value`` must be an exact integer column (cents); bins are
-    ``value DIV bin_width`` (truncating integer division — identical
-    in Spark and DuckDB for the non-negative measures this screens).
+    ``floor(value / bin_width)`` — FLOOR, not truncation, so negative
+    measures (deltas, refunds) bin consistently with DuckDB's ``//``
+    and bin 0 is single-width like every other bin.  The double
+    division is exact while ``|value| < 2^53``.
 
     Scale shape: one groupBy to (key, day, bin) counts — the only pass
     over raw rows — then joins on the tiny aggregated tables
@@ -464,7 +466,9 @@ def histogram_drift(
     if bin_width < 1:
         raise ValueError(f"bin_width={bin_width}: expected >= 1")
     day = F.date_trunc("day", F.col(ts)).alias("day")
-    b = F.expr(f"CAST({value} DIV {int(bin_width)} AS BIGINT)").alias("bin")
+    b = F.floor(
+        F.col(value).cast("double") / F.lit(float(bin_width))
+    ).cast("bigint").alias("bin")
     counts = points.groupBy(F.col(key), day, b).agg(
         F.count("*").cast("decimal(38,0)").alias("c")
     ).persist()

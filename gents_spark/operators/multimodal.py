@@ -189,25 +189,30 @@ def payload_meta(docs: DataFrame) -> DataFrame:
     )
 
 
-def _p6_header(payload: bytes) -> tuple[int, int, int, int]:
-    """Parse one P6 header at offset 0: (width, height, maxval,
-    raster_offset).  Same tokenizer as ``decode_real`` (factored for
-    the resize / frame-sample stages, which need the offset)."""
-    if not payload.startswith(b"P6"):
+def _p6_header(
+    payload: bytes, start: int = 0
+) -> tuple[int, int, int, int]:
+    """Parse one P6 header at ``start``: (width, height, maxval,
+    raster_offset relative to ``start``).  Same tokenizer as
+    ``decode_real`` (factored for the resize / frame-sample stages,
+    which need the offset).  ``start`` lets the frame iterator walk a
+    concatenated payload without slicing a copy of the remainder per
+    frame (O(F²) bytes otherwise)."""
+    if payload[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos, tokens = 2, []
+    pos, tokens = start + 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
-        start = pos
+        tok0 = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
-        if start == pos:
+        if tok0 == pos:
             raise ValueError("truncated PPM header")
-        tokens.append(int(payload[start:pos]))
+        tokens.append(int(payload[tok0:pos]))
     pos += 1
     w, h, maxval = tokens
-    return w, h, maxval, pos
+    return w, h, maxval, pos - start
 
 
 def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
@@ -293,7 +298,7 @@ def iter_p6_frames(payload: bytes):
     seam)."""
     pos, idx = 0, 0
     while pos < len(payload):
-        w, h, maxval, off = _p6_header(payload[pos:])
+        w, h, maxval, off = _p6_header(payload, start=pos)
         yield idx, pos, w, h, maxval, pos + off
         pos += off + w * h * 3
         idx += 1

@@ -456,8 +456,16 @@ def read_tier(spark: SparkSession, tiers_dir: str, tier: str) -> DataFrame:
     # basePath: the combined writer path-encodes ``tier`` (partitionBy);
     # anchoring discovery at tiers_dir surfaces it as a column again, so
     # readers see the same schema the per-tier writer produced
+    # mergeSchema: streaming increments (append_tier_increment) carry
+    # only the additive stats, while batch files may add percentiles /
+    # filled / payload / sketch columns.  Without merging, the inferred
+    # schema comes from ONE arbitrary footer — percentile columns could
+    # silently vanish from a mixed tier.  Merged, streamed rows simply
+    # show NULL for batch-only columns (the documented
+    # additive-stats-only contract) until consolidation rebuilds them.
     return (
         spark.read.option("basePath", tiers_dir)
+        .option("mergeSchema", "true")
         .parquet(os.path.join(tiers_dir, f"tier={tier}"))
     )
 
@@ -746,12 +754,15 @@ def export_timeseries(
     df = read_tier(spark, tiers_dir, tier).drop("tier", "chunk")
     if fmt == "csv":
         # CSV cannot hold binary/array/map columns (tier payloads,
-        # sketches) — export the scalar stats only
-        from pyspark.sql.types import AtomicType
+        # sketches) — export the scalar stats only.  BinaryType IS an
+        # AtomicType in Spark's hierarchy (and CSV-writes as hex debug
+        # text), so it is excluded explicitly.
+        from pyspark.sql.types import AtomicType, BinaryType
 
         keep = [
             f.name for f in df.schema.fields
             if isinstance(f.dataType, AtomicType)
+            and not isinstance(f.dataType, BinaryType)
         ]
         df = df.select(*keep)
     w = (

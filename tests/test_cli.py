@@ -306,8 +306,8 @@ def test_cli_stream_catchup(spark, tmp_path, capsys):
     ])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["stream"]["increment_rows"] > 0
-    first_rows = rep["stream"]["increment_rows"]
+    assert rep["stream"]["1m"]["increment_rows"] > 0
+    first_rows = rep["stream"]["1m"]["increment_rows"]
 
     rc = main([
         "--input", in_path, "--output", out,
@@ -316,7 +316,7 @@ def test_cli_stream_catchup(spark, tmp_path, capsys):
     ])
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep2["stream"]["increment_rows"] == first_rows  # nothing new
+    assert rep2["stream"]["1m"]["increment_rows"] == first_rows  # nothing new
 
 
 def test_open_sequences_iceberg_seam(spark, tmp_path):

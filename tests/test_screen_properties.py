@@ -139,7 +139,9 @@ def test_histogram_drift_matches_python_exact(spark):
                         f"s{s}",
                         t0 + timedelta(days=d,
                                        seconds=rng.randint(0, 86399)),
-                        rng.randint(0, 9999),
+                        # negatives included: bins must FLOOR (not
+                        # truncate) so bin 0 stays single-width
+                        rng.randint(-5000, 9999),
                     )
                 )
     rng.shuffle(rows)
