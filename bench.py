@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "lead_lag_1h",
     "percentile_drift_1d",
     "pack_stats",
+    # round-5 vocabulary-timeseries pack
+    "vocab_drift_1d",
+    "token_entropy",
 ]
 
 

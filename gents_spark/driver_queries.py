@@ -1342,6 +1342,87 @@ def q_vocab_topk(spark, sf_dir):
     ).select("rank", "term", "tf", "df")
 
 
+def _doc_tokens_by_day(spark, sf_dir):
+    """(source, day, term) token stream for the vocabulary-timeseries
+    pack: documents carry no timestamp, so ingest day is derived
+    deterministically from doc_id (same convention as
+    ``rollup_1h_midpoint``'s event_id-derived intervals) — 14 synthetic
+    crawl days.  ``doc_id DIV 20`` first, because source == doc_id % 20
+    in the fixture: a plain ``doc_id % 14`` gives every source only
+    every other day (gcd tangle) and the drift query zero day pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    from gents_spark.operators.textstats import words_col
+
+    day = F.timestamp_add(
+        "DAY",
+        (F.expr("doc_id DIV 20") % 14).cast("int"),
+        F.lit("2026-01-01").cast("timestamp"),
+    )
+    return docs.select(
+        "source", day.alias("day"), F.explode(words_col()).alias("term")
+    )
+
+
+#: the DuckDB twin of _doc_tokens_by_day (shared CTE prefix)
+_TOK_DAY_SQL = """
+    WITH tok AS (
+        SELECT source,
+               TIMESTAMP '2026-01-01'
+                   + ((doc_id // 20) % 14) * INTERVAL 1 DAY AS day,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+"""
+
+
+def q_vocab_drift_1d(spark, sf_dir):
+    """Day-over-day vocabulary drift per source: total-variation
+    distance between consecutive days' token histograms
+    (operators/anomaly.py::categorical_drift — histogram_drift's
+    exact-integer TVD core with the token string as the bin).  The
+    corpus-health screen that catches a source switching language,
+    encoding, or to spam while volume stays flat."""
+    from gents_spark.operators.anomaly import categorical_drift
+
+    toks = _doc_tokens_by_day(spark, sf_dir)
+    return categorical_drift(
+        toks, key="source", ts="day", cat="term"
+    ).withColumnRenamed("n_bins", "n_terms")
+
+
+def q_vocab_growth_1d(spark, sf_dir):
+    """Vocabulary growth curve per source: first-seen token types per
+    day + running vocab size (operators/vocab.py::vocab_growth).
+    Healthy crawls grow sublinearly (Heaps' law); steps mean spam or
+    encoding corruption.  All-integer — exact oracle."""
+    from gents_spark.operators.vocab import vocab_growth
+
+    return vocab_growth(_doc_tokens_by_day(spark, sf_dir))
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution
+    (operators/vocab.py::token_entropy) — the degenerate-text screen.
+    Entirely map-side: sorted-array run lengths + a left-to-right
+    entropy fold, mirrored by the oracle's ordered list_reduce."""
+    from gents_spark.operators.vocab import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_token_topk_1d(spark, sf_dir):
+    """Daily top-3 tokens per source with deterministic rank
+    (operators/vocab.py::topk_terms_per_bucket) — the
+    head-of-distribution leaderboard; a sudden head takeover is the
+    boilerplate-injection signature.  The window sorts only aggregated
+    (source, day) vocabularies, never raw tokens."""
+    from gents_spark.operators.vocab import topk_terms_per_bucket
+
+    return topk_terms_per_bucket(
+        _doc_tokens_by_day(spark, sf_dir), k=3
+    )
+
+
 def q_heartbeat_uptime(spark, sf_dir):
     """TimescaleDB heartbeat_agg semantics: events as liveness beats
     with a 1h window; per-user uptime = measure of the union of
@@ -2254,6 +2335,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # range_label and tier_label (r02/r03-stamped, re-verified by
     # check_oracles today) rotated to the tail to make room
     "asof_tolerance": q_asof_tolerance,
+    "vocab_drift_1d": q_vocab_drift_1d,  # new r05: token-histogram TVD
+    # (dedup_ngram_jaccard rotated to the tail on its r04 stamp)
+    "vocab_growth_1d": q_vocab_growth_1d,  # new r05: first-seen census
+    # (dedup_minhash_lsh rotated to the tail on its r04 stamp)
+    "token_entropy": q_token_entropy,  # new r05: map-side entropy
+    # (dedup_clusters rotated to the tail on its r04 stamp)
+    "token_topk_1d": q_token_topk_1d,  # new r05: daily head leaderboard
+    # (dedup_simhash rotated to the tail on its r04 stamp)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2275,10 +2364,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "shipping_priority": q_shipping_priority,
     # --- r04-stamped keepers filling the head ---
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
     "funnel_conversion": q_funnel_conversion,
@@ -2287,6 +2372,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # label queries, re-verified by check_oracles this session) ---
     "range_label": q_range_label,
     "tier_label": q_tier_label,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash": q_dedup_simhash,
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
@@ -3068,6 +3157,99 @@ ORACLES: dict[str, str] = {
                      / (2.0 * ncur::DOUBLE * nprev::DOUBLE), 6) AS tvd
         FROM g
     """,
+    # vocabulary-timeseries pack: every CTE chain starts from the
+    # shared _TOK_DAY_SQL token stream appended below the dict
+    "vocab_drift_1d": """
+        , c0 AS (
+            SELECT source, date_trunc('day', day)::TIMESTAMP AS day,
+                   term AS bin, count(*)::HUGEINT AS c
+            FROM tok GROUP BY 1, 2, 3
+        ), t AS (
+            SELECT source, day, sum(c) AS n FROM c0 GROUP BY 1, 2
+        ), pc AS (
+            SELECT source, day + INTERVAL 1 DAY AS day, bin, c AS cp
+            FROM c0
+        ), pn AS (
+            SELECT source, day + INTERVAL 1 DAY AS day, n AS np FROM t
+        ), pr AS (
+            SELECT t.source, t.day, t.n, pn.np
+            FROM t JOIN pn ON t.source = pn.source AND t.day = pn.day
+        ), al AS (
+            SELECT coalesce(c0.source, pc.source) AS source,
+                   coalesce(c0.day, pc.day) AS day,
+                   coalesce(c0.bin, pc.bin) AS bin,
+                   coalesce(c0.c, 0::HUGEINT) AS c,
+                   coalesce(pc.cp, 0::HUGEINT) AS cp
+            FROM c0 FULL JOIN pc
+              ON c0.source = pc.source AND c0.day = pc.day
+                 AND c0.bin = pc.bin
+        ), j AS (
+            SELECT al.*, pr.n, pr.np
+            FROM al JOIN pr ON al.source = pr.source AND al.day = pr.day
+        ), g AS (
+            SELECT source, day, max(n) AS ncur, max(np) AS nprev,
+                   count(*)::BIGINT AS n_terms,
+                   sum(abs(c * np - cp * n)) AS num
+            FROM j GROUP BY 1, 2
+        )
+        SELECT source, day, ncur::BIGINT AS n_cur, nprev::BIGINT AS n_prev,
+               n_terms,
+               round(num::DOUBLE
+                     / (2.0 * ncur::DOUBLE * nprev::DOUBLE), 6) AS tvd
+        FROM g
+    """,
+    "vocab_growth_1d": """
+        , f AS (
+            SELECT source, term, min(day) AS day FROM tok GROUP BY 1, 2
+        ), n AS (
+            SELECT source, day, count(*)::BIGINT AS new_terms
+            FROM f GROUP BY 1, 2
+        )
+        SELECT source, day, new_terms,
+               (sum(new_terms) OVER (PARTITION BY source ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS vocab_size
+        FROM n
+    """,
+    "token_topk_1d": """
+        , c AS (
+            SELECT source, day, term, count(*)::BIGINT AS tf
+            FROM tok GROUP BY 1, 2, 3
+        ), r AS (
+            SELECT source, day, term, tf,
+                   row_number() OVER (PARTITION BY source, day
+                                      ORDER BY tf DESC, term ASC) AS rank
+            FROM c
+        )
+        SELECT source, day, rank, term, tf FROM r WHERE rank <= 3
+    """,
+    "token_entropy": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), c AS (
+            SELECT doc_id, term, count(*)::BIGINT AS c
+            FROM tok GROUP BY 1, 2
+        ), l AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_words,
+                   count(*)::BIGINT AS n_types,
+                   list(c ORDER BY term) AS cs
+            FROM c GROUP BY 1
+        )
+        -- left-to-right fold in sorted-term order == the engine's
+        -- sorted-array run-length fold (per-term c*ln(c) doubles are
+        -- rounded identically before the identical-order sum)
+        SELECT doc_id, n_words, n_types,
+               round(ln(n_words::DOUBLE)
+                     - list_reduce(
+                           list_prepend(
+                               0.0,
+                               list_transform(
+                                   cs, x -> x::DOUBLE * ln(x::DOUBLE))),
+                           (a, b) -> a + b)
+                       / n_words::DOUBLE, 6) AS entropy
+        FROM l
+    """,
     "autocorr_1h": """
         WITH h AS (
             SELECT event_type AS source,
@@ -3407,6 +3589,10 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+# the vocabulary-timeseries oracles share the token-by-day CTE prefix
+for _q in ("vocab_drift_1d", "vocab_growth_1d", "token_topk_1d"):
+    ORACLES[_q] = _TOK_DAY_SQL + ORACLES[_q]
 
 
 def _holt_oracle_sql(window: int = 24) -> str:

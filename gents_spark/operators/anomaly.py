@@ -471,7 +471,49 @@ def histogram_drift(
     ).cast("bigint").alias("bin")
     counts = points.groupBy(F.col(key), day, b).agg(
         F.count("*").cast("decimal(38,0)").alias("c")
-    ).persist()
+    )
+    return _tvd_from_counts(counts, key, min_rows, cache_handles)
+
+
+def categorical_drift(
+    points: DataFrame,
+    key: str = "source",
+    ts: str = "ts",
+    cat: str = "term",
+    min_rows: int = 1,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """``histogram_drift`` for CATEGORICAL values (tokens, event names,
+    schema fingerprints): day-over-day total-variation distance between
+    consecutive days' category histograms per key.  Same exact-integer
+    TVD factoring and plan shape as ``histogram_drift`` (shared core
+    ``_tvd_from_counts``) — the category string is the bin, so there is
+    no numeric binning step and no 2^53 width constraint (the 60-bit
+    ``word_hash`` cannot safely ride the float-division binning path).
+
+    The flagship use is VOCABULARY drift on a training corpus: feed
+    (source, day, token) rows and tvd=0 means yesterday's token
+    distribution, tvd→1 means the source started speaking a different
+    language (scrape gone wrong, encoding flip, spam flood).
+    """
+    counts = points.groupBy(
+        F.col(key),
+        F.date_trunc("day", F.col(ts)).alias("day"),
+        F.col(cat).alias("bin"),
+    ).agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    return _tvd_from_counts(counts, key, min_rows, cache_handles)
+
+
+def _tvd_from_counts(
+    counts: DataFrame,
+    key: str,
+    min_rows: int,
+    cache_handles: list | None,
+) -> DataFrame:
+    """Shared exact-TVD core over a (key, day, bin, c DECIMAL(38,0))
+    count table — see ``histogram_drift`` for the numerics and the
+    persist rationale (four consumers, no exchange reuse)."""
+    counts = counts.persist()
     if cache_handles is not None:
         cache_handles.append(counts)
     totals = counts.groupBy(key, "day").agg(F.sum("c").alias("n"))

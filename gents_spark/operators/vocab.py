@@ -1,0 +1,146 @@
+"""Vocabulary-over-time operators for training-corpus monitoring.
+
+The time axis turns the static text screens (``textstats``) into the
+dataset-health timeseries an LLM-data pipeline actually watches: is the
+vocabulary still growing (crawl finding new content) or suddenly
+exploding (spam/encoding corruption)?  Did a source's token
+distribution shift overnight (``anomaly.categorical_drift``)?  How
+diverse is each document's token stream (entropy — degenerate
+low-entropy docs are dropped before training)?
+
+All operators are JVM column expressions / single-shuffle wordcount
+shapes — no Python in any hot path — and every float is produced by a
+deterministic left-to-right fold or a single final division, so each
+pairs with a bitwise DuckDB oracle (the repo's proven recipe:
+exact integers + identical expression shape + ordered folds).
+
+Reference analog: GenTS tracks per-variable presence over file time
+slices (``gents/hfcollection.py:311-359`` variable-set fingerprints);
+a token vocabulary is the same census with a ~10^6x larger alphabet,
+so the operators here are aggregation-first (never collect a vocab).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def vocab_growth(
+    toks: DataFrame,
+    key: str = "source",
+    day: str = "day",
+    term: str = "term",
+) -> DataFrame:
+    """Vocabulary growth curve per key: for every day, how many token
+    TYPES appeared for the first time (``new_terms``) and the running
+    vocabulary size (``vocab_size``).
+
+    A healthy crawl's curve follows Heaps' law (sublinear growth); a
+    spam flood or encoding corruption shows as a step.
+
+    Scale shape: one wordcount-style shuffle to (key, term) -> min(day)
+    — map-side partial min combines before the exchange, so the
+    exchange carries |vocab| rows, not |tokens| — then a count groupBy
+    and a running-sum window over the tiny (keys x days) table.  The
+    first-seen census never materializes the vocabulary anywhere.
+    """
+    first = toks.groupBy(key, term).agg(F.min(day).alias(day))
+    news = first.groupBy(key, day).agg(
+        F.count("*").alias("new_terms")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return news.select(
+        key,
+        day,
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_size"),
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the whitespace-token
+    distribution: H = ln(n) - (1/n) * sum(c * ln c) over per-type
+    counts c.  Low entropy = repetitive/degenerate text (the
+    information-theoretic sibling of ``textstats.repetition_stats``'
+    dup-word fraction); H = 0 for a one-token-type doc.
+
+    ENTIRELY map-side — no explode, no shuffle: the token array is
+    sorted in place, run lengths come from the sorted array's boundary
+    indices (pure array expressions), and the entropy sum is a
+    LEFT-TO-RIGHT ``F.aggregate`` fold over runs in sorted-token order,
+    which a DuckDB ``list(c ORDER BY term)`` fold replays in the same
+    order bit-for-bit (to the 6dp rounding; single-ulp ln() differences
+    across libm implementations sit ~1e-14 below it).
+
+    Output: (doc_id, n_words, n_types, entropy).
+    """
+    s = F.array_sort(F.split(F.col(text), " "))
+    n = F.size(s)
+    # 0-based start index of every run in the sorted token array
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(s, i + 1) != F.element_at(s, i)),
+    )
+    n_types = F.size(starts)
+    # each run ends where the next begins; the last run ends at n
+    ends = F.concat(
+        F.slice(starts, 2, n_types - 1), F.array(n)
+    )
+    runs = F.zip_with(starts, ends, lambda a, b: b - a)
+    acc = F.aggregate(
+        runs,
+        F.lit(0.0),
+        lambda a, c: a + c.cast("double") * F.log(c.cast("double")),
+    )
+    entropy = F.round(
+        F.log(n.cast("double")) - acc / n.cast("double"), 6
+    )
+    return docs.select(
+        doc_id,
+        n.alias("n_words"),
+        n_types.alias("n_types"),
+        entropy.alias("entropy"),
+    )
+
+
+def topk_terms_per_bucket(
+    toks: DataFrame,
+    key: str = "source",
+    day: str = "day",
+    term: str = "term",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k tokens per (key, day) with deterministic rank (count desc,
+    term asc) — the daily head-of-distribution leaderboard; a head
+    takeover (one term jumping to rank 1 everywhere) is the classic
+    boilerplate-injection signature.
+
+    Scale shape: the raw token stream collapses to (key, day, term)
+    counts in one map-side-combined shuffle; the row_number window then
+    sorts only the AGGREGATED vocabulary of each (key, day) group —
+    bounded by |vocab|, never by |tokens|.  (Same plan family as
+    ``leaderboard.rank_shift``, which windows hourly user counts.)
+    """
+    if k < 1:
+        raise ValueError(f"k={k}: expected >= 1")
+    counts = toks.groupBy(key, day, term).agg(
+        F.count("*").alias("tf")
+    )
+    w = Window.partitionBy(key, day).orderBy(
+        F.desc("tf"), F.asc(term)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key, day, "rank", term, "tf")
+    )

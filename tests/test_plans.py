@@ -240,3 +240,22 @@ def test_lsh_bucket_pairs_no_vec_id_exchange(spark):
     )
     hash_ex = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_]+)", p)
     assert hash_ex and all(c in ("band", "key") for c in hash_ex), (hash_ex,)
+
+
+def test_token_entropy_is_map_side(spark):
+    """token_entropy computes per-doc entropy from sorted-array run
+    lengths — a pure per-row function, so its plan must contain no
+    Exchange and no aggregate (the naive explode+groupBy shape would
+    shuffle |tokens| rows)."""
+    import re
+
+    from gents_spark.operators.vocab import token_entropy
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    p = token_entropy(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert not re.search(r"^\(\d+\) Exchange", p, flags=re.M), p
+    assert "HashAggregate" not in p and "SortAggregate" not in p, p

@@ -170,3 +170,156 @@ def test_histogram_drift_matches_python_exact(spark):
         exp = round(num / (2.0 * n * np_), 6)
         key = (s, datetime(day.year, day.month, day.day))
         assert got[key] == (n, np_, exp), key
+
+
+def test_categorical_drift_matches_python_exact(spark):
+    """Token-histogram TVD (categorical_drift) vs a pure-Python replay
+    — same exact-integer numerator, one final division, and a
+    distribution SHIFT between days so tvd is far from 0."""
+    from gents_spark.operators.anomaly import categorical_drift
+
+    rng = random.Random(45)
+    t0 = datetime(2024, 5, 1)
+    alphabet = [f"w{i}" for i in range(12)]
+    rows = []
+    for s in range(2):
+        for d in range(5):
+            # day-varying skew: day d favors tokens with index >= d
+            for _ in range(rng.randint(40, 150)):
+                w = alphabet[min(11, rng.randint(0, 11 - d) + d - s)]
+                rows.append(
+                    (f"s{s}",
+                     t0 + timedelta(days=d,
+                                    seconds=rng.randint(0, 86399)),
+                     w)
+                )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "source string, ts timestamp, term string")
+    got = {
+        (r["source"], r["day"]): (r["n_cur"], r["n_prev"], r["tvd"])
+        for r in categorical_drift(
+            df.repartition(6), key="source", ts="ts", cat="term"
+        ).collect()
+    }
+    from collections import Counter
+
+    hist: dict[tuple, Counter] = {}
+    for s, t, w in rows:
+        hist.setdefault((s, t.date()), Counter())[w] += 1
+    n_pairs = 0
+    for (s, day), h in hist.items():
+        prev = hist.get((s, day - timedelta(days=1)))
+        if prev is None:
+            continue
+        n_pairs += 1
+        n, np_ = sum(h.values()), sum(prev.values())
+        num = sum(
+            abs(h.get(b, 0) * np_ - prev.get(b, 0) * n)
+            for b in set(h) | set(prev)
+        )
+        exp = round(num / (2.0 * n * np_), 6)
+        key = (s, datetime(day.year, day.month, day.day))
+        assert got[key] == (n, np_, exp), key
+    assert n_pairs == 8 and len(got) == 8
+
+
+def test_token_entropy_matches_python(spark):
+    """Map-side entropy fold vs math.log recomputation in the same
+    left-to-right sorted-token order, including the degenerate
+    single-type (H=0) and all-distinct (H=ln n) edges."""
+    import math
+
+    from gents_spark.operators.vocab import token_entropy
+
+    rng = random.Random(46)
+    docs = [("dup0", "x x x x x"), ("uniq0", "a b c d e f g h")]
+    for i in range(60):
+        n = rng.randint(1, 200)
+        words = [f"t{rng.randint(0, 30)}" for _ in range(n)]
+        docs.append((f"d{i}", " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_types"], r["entropy"])
+        for r in token_entropy(df.repartition(5)).collect()
+    }
+    from collections import Counter
+
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        acc = 0.0
+        for term in sorted(c):  # the fold order both engines use
+            acc = acc + c[term] * math.log(c[term])
+        exp = round(math.log(n) - acc / n, 6)
+        assert got[doc_id] == (n, len(c), exp), doc_id
+    assert got["dup0"] == (5, 1, 0.0)
+    assert got["uniq0"][2] == round(math.log(8), 6)
+
+
+def test_vocab_growth_matches_python(spark):
+    """First-seen census + running vocab size vs brute force; the
+    cumulative curve must be monotone and end at the true vocab size."""
+    from gents_spark.operators.vocab import vocab_growth
+
+    rng = random.Random(47)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(2):
+        for d in range(6):
+            for _ in range(rng.randint(20, 80)):
+                rows.append(
+                    (f"s{s}", t0 + timedelta(days=d),
+                     f"w{rng.randint(0, 40 + 10 * d)}")
+                )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "source string, day timestamp, term string")
+    got = {
+        (r["source"], r["day"]): (r["new_terms"], r["vocab_size"])
+        for r in vocab_growth(df.repartition(6)).collect()
+    }
+    first: dict[tuple, datetime] = {}
+    for s, d, w in sorted(rows, key=lambda r: r[1]):
+        first.setdefault((s, w), d)
+    from collections import Counter
+
+    news = Counter((s, d) for (s, _), d in first.items())
+    for s in ("s0", "s1"):
+        run = 0
+        for d in sorted({d for (ss, d) in news if ss == s}):
+            run += news[(s, d)]
+            assert got[(s, d)] == (news[(s, d)], run), (s, d)
+        assert run == len({w for (ss, w) in first if ss == s})
+
+
+def test_topk_terms_matches_python(spark):
+    """Daily top-k leaderboard vs brute force with the deterministic
+    (tf desc, term asc) tie-break."""
+    from gents_spark.operators.vocab import topk_terms_per_bucket
+
+    rng = random.Random(48)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(2):
+        for d in range(3):
+            for _ in range(rng.randint(50, 120)):
+                rows.append(
+                    (f"s{s}", t0 + timedelta(days=d),
+                     f"w{rng.randint(0, 9)}")
+                )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "source string, day timestamp, term string")
+    got = {}
+    for r in topk_terms_per_bucket(df.repartition(4), k=3).collect():
+        got.setdefault((r["source"], r["day"]), []).append(
+            (r["rank"], r["term"], r["tf"])
+        )
+    from collections import Counter
+
+    per: dict[tuple, Counter] = {}
+    for s, d, w in rows:
+        per.setdefault((s, d), Counter())[w] += 1
+    for key, c in per.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp = [(i + 1, w, n) for i, (w, n) in enumerate(ranked)]
+        assert sorted(got[key]) == exp, key
