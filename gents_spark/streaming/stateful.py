@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -267,4 +268,99 @@ def streaming_gap_detect(
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("term", StringType()),
+        StructField("est", LongType()),
+        StructField("max_err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _hh_update_fn(k: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, counts, n_seen = state.get
+            s = pd.Series(
+                [int(c) for c in counts], index=list(terms), dtype="int64"
+            )
+        else:
+            s, n_seen = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf["term"].value_counts()  # vectorized exact batch counts
+            n_seen += int(vc.sum())
+            s = s.add(vc.astype("int64"), fill_value=0).astype("int64")
+            if len(s) > k:
+                # mergeable-summaries reduction (Agarwal et al. 2012,
+                # Mergeable Summaries §3): subtract the (k+1)-th largest
+                # count from everything, keep the strictly positive — at
+                # most k survive (ties at the cut drop to zero)
+                cut = int(s.nlargest(k + 1).iloc[-1])
+                s = s - cut
+                s = s[s > 0]
+        s = s.sort_index()  # deterministic state + emit order
+        state.update(
+            ([str(t) for t in s.index], [int(c) for c in s], n_seen)
+        )
+        # any term's undercount <= (n_seen - sum of kept counters)/(k+1)
+        err = int((n_seen - int(s.sum())) // (k + 1))
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "term": s.index,
+                "est": s.to_numpy(dtype="int64"),
+                "max_err": err,
+                "n_seen": n_seen,
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(stream: DataFrame, k: int = 16) -> DataFrame:
+    """stream: (source, term) -> the per-source Misra-Gries heavy-hitter
+    summary after each micro-batch: at most ``k`` (term, est) counters
+    plus the shared error bound ``max_err``.
+
+    Guarantees (the classic MG deterministic bounds, which the restart
+    test pins): ``est <= true_count <= est + max_err``, and every term
+    with ``true_count > n_seen/(k+1)`` is PRESENT in the summary — so
+    thresholding at ``est + max_err >= phi*n_seen`` never misses a
+    phi-heavy hitter.  State is bounded at k counters per source
+    regardless of vocabulary size — the streaming complement of the
+    batch ``vocab.topk_terms_per_bucket`` (exact, but needs the whole
+    bucket): at 10^12-token scale the live dashboard runs this, the
+    nightly batch job reconciles with the exact ranks.
+
+    Batch math is vectorized (value_counts + aligned Series add); the
+    only Python iteration is over the <= k surviving counters.  Merging
+    by count-add then (k+1)-th-largest subtraction makes summaries
+    MERGEABLE, so micro-batch boundaries (and restarts from the
+    checkpoint) never break the bounds.
+    """
+    if k < 1:
+        raise ValueError(f"k={k}: expected >= 1")
+    return stream.groupBy("source").applyInPandasWithState(
+        _hh_update_fn(k),
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -203,3 +203,87 @@ def test_streaming_gap_detect_stale_and_recovery(spark, tmp_path):
         key=lambda r: r["n_events"],
     )
     assert a_live["n_events"] == 9
+
+
+def test_streaming_heavy_hitters_bounds_across_restart(spark, tmp_path):
+    """Misra-Gries invariants after two micro-batch runs through one
+    checkpoint (state carried across a restart): every phi-heavy term
+    is present, every estimate is an undercount within max_err, and the
+    summary never exceeds k counters."""
+    import random
+    from collections import Counter
+
+    from gents_spark.streaming.stateful import streaming_heavy_hitters
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    K = 8
+
+    rng = random.Random(49)
+    truth: dict[str, Counter] = {"s0": Counter(), "s1": Counter()}
+
+    def make_batch(offset):
+        rows = []
+        for s in ("s0", "s1"):
+            for i in range(3):  # heavy terms: ~100 each per batch
+                heavy = f"h{i}"
+                for _ in range(100 - 10 * i):
+                    rows.append((s, heavy))
+            for j in range(200):  # long singleton tail
+                rows.append((s, f"t{offset + j}"))
+        for s, t in rows:
+            truth[s][t] += 1
+        rng.shuffle(rows)
+        return spark.createDataFrame(rows, "source string, term string")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("source string, term string")
+            .parquet(in_path)
+        )
+        q = (
+            streaming_heavy_hitters(stream, k=K)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    make_batch(0).write.mode("append").parquet(in_path)
+    run_once()
+    make_batch(1000).write.mode("append").parquet(in_path)
+    run_once()  # restart from checkpoint
+
+    out = spark.read.parquet(out_path)
+    latest = {
+        r["source"]: r["mx"]
+        for r in out.groupBy("source").agg(
+            F.max("n_seen").alias("mx")
+        ).collect()
+    }
+    rows = [
+        r for r in out.collect() if r["n_seen"] == latest[r["source"]]
+    ]
+    per: dict[str, dict] = {}
+    for r in rows:
+        per.setdefault(r["source"], {})[r["term"]] = (
+            r["est"], r["max_err"], r["n_seen"]
+        )
+    for s in ("s0", "s1"):
+        n_true = sum(truth[s].values())
+        summary = per[s]
+        assert len(summary) <= K
+        (est0, err, n_seen) = next(iter(summary.values()))
+        assert n_seen == n_true
+        # every phi-heavy term (true > n/(k+1)) must be present
+        for t, c in truth[s].items():
+            if c > n_true / (K + 1):
+                assert t in summary, (s, t, c)
+        # every estimate is an undercount within the emitted bound
+        for t, (est, err, _) in summary.items():
+            assert est <= truth[s][t] <= est + err, (s, t)
