@@ -133,6 +133,34 @@ def q_rollup_1h_midpoint(spark, sf_dir):
     )
 
 
+def q_bucket_15m_offset(spark, sf_dir):
+    """Arbitrary-width offset bucketing (operators/rollup.py::
+    time_bucket — the TimescaleDB time_bucket(width, ts, origin)
+    surface): 15-minute windows aligned to a 00:07:30 origin, a shape
+    date_trunc cannot express.  Bucket arithmetic is exact integer
+    microseconds with pmod (correct before the origin too); stats are
+    integer cents."""
+    from gents_spark.operators.rollup import time_bucket
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            time_bucket("ts", 900, origin="2026-01-01 00:07:30").alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """As-of join: each event attaches the latest SPARSE hourly tier row
     at-or-before its timestamp (sparse right side so matches genuinely
@@ -2343,6 +2371,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (dedup_clusters rotated to the tail on its r04 stamp)
     "token_topk_1d": q_token_topk_1d,  # new r05: daily head leaderboard
     # (dedup_simhash rotated to the tail on its r04 stamp)
+    "bucket_15m_offset": q_bucket_15m_offset,  # new r05: time_bucket
+    # width+origin surface (shipping_priority — r02/r03-stamped and
+    # check_oracles-re-verified every round since — rotated to the tail)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2362,7 +2393,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "part_brand_stats": q_part_brand_stats,
     "props_extract": q_props_extract,
-    "shipping_priority": q_shipping_priority,
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
@@ -2372,6 +2402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # label queries, re-verified by check_oracles this session) ---
     "range_label": q_range_label,
     "tier_label": q_tier_label,
+    "shipping_priority": q_shipping_priority,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2702,6 +2733,25 @@ ORACLES: dict[str, str] = {
     # W2 midpoint alignment: bucket on ts + dur/2 in exact integer
     # microseconds (dur is a whole-second multiple, so /2 is a 500000 us
     # multiple — no floor mismatch between engines)
+    "bucket_15m_offset": """
+        WITH b AS (
+            SELECT event_type AS source,
+                   -- exact integer-us time_bucket with origin; the
+                   -- double %/+% pmod keeps pre-origin timestamps right
+                   make_timestamp(
+                       epoch_us(ts)
+                       - ((((epoch_us(ts)
+                             - epoch_us(TIMESTAMP '2026-01-01 00:07:30'))
+                            % 900000000) + 900000000) % 900000000)
+                   ) AS bucket_start,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT source, bucket_start, count(*)::BIGINT AS cnt,
+               sum(cents)::BIGINT AS sum_cents,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM b GROUP BY 1, 2
+    """,
     "rollup_1h_midpoint": """
         WITH d AS (
             SELECT event_type AS source,

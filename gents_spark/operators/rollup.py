@@ -49,6 +49,37 @@ def bucket_col(ts_col: str, tier: str) -> F.Column:
     return F.date_trunc(TIER_UNITS[tier], F.col(ts_col))
 
 
+def time_bucket(
+    ts_col: str,
+    width_s: int,
+    origin: str = "1970-01-01 00:00:00",
+) -> F.Column:
+    """Arbitrary-width tumbling bucket with a custom origin — the
+    TimescaleDB ``time_bucket(width, ts, origin)`` surface for widths
+    ``date_trunc`` cannot express (15m, 6h, 90s) or offset alignments
+    (billing days starting 00:07:30).
+
+    bucket_start = ts - ((ts - origin) mod width), computed ENTIRELY in
+    exact integer microseconds: ``pmod`` keeps the result correct for
+    timestamps before the origin, and no double ever touches the epoch
+    (unix_micros ~ 1.8e15 for 2026 sits within 2^53, but width
+    multiples of it would not).  Pure per-row column arithmetic —
+    whole-stage codegen, and the groupBy that follows partial-aggregates
+    map-side exactly like the ``date_trunc`` tiers.
+    """
+    if width_s < 1:
+        raise ValueError(f"width_s={width_s}: expected >= 1")
+    w = F.lit(int(width_s) * 1_000_000).cast("long")
+    # unix_micros wants TIMESTAMP; the engine's event times are
+    # timezone-less (session tz pinned to UTC in session.py, so the
+    # NTZ<->TS casts are wall-clock identities) -> emit NTZ back
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ous = F.unix_micros(F.lit(origin).cast("timestamp"))
+    return F.timestamp_micros(us - F.pmod(us - ous, w)).cast(
+        "timestamp_ntz"
+    )
+
+
 #: W2 window-assignment alignments (GenTS offers the same four for
 #: interval-valued records: ``gents/hfcollection.py:966-978``).
 ALIGNMENTS = ("direct", "start_bound", "end_bound", "midpoint")

@@ -352,3 +352,47 @@ def test_w2_alignment_methods(spark, raw):
         aligned_ts("event_time", None, "midpoint")
     with _pytest.raises(ValueError):
         aligned_ts("event_time", "t_end", "bogus")
+
+
+def test_time_bucket_matches_python_floor(spark):
+    """time_bucket(width, origin) vs pure-Python floor arithmetic over
+    random widths/origins, including timestamps BEFORE the origin
+    (pmod, not truncating mod) and sub-second timestamps (integer-us,
+    never unix-second truncation)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.rollup import time_bucket
+
+    rng = random.Random(50)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=rng.randint(-400_000, 400_000),
+                           microseconds=rng.randint(0, 999_999)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    for width_s, origin in [
+        (900, "2026-01-01 00:07:30"),
+        (90, "2026-01-01 00:00:00"),
+        (86_400, "2025-12-31 12:00:00"),
+    ]:
+        got = {
+            r["i"]: r["b"]
+            for r in df.select(
+                "i", time_bucket("ts", width_s, origin).alias("b")
+            ).collect()
+        }
+        o_us = int((datetime.fromisoformat(origin)
+                    - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+        w_us = width_s * 1_000_000
+        for i, ts in rows:
+            us = (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+            exp_us = us - ((us - o_us) % w_us)  # python % is pmod
+            exp = datetime(1970, 1, 1) + timedelta(microseconds=exp_us)
+            assert got[i] == exp, (width_s, origin, i)
+            assert exp <= ts < exp + timedelta(seconds=width_s)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        time_bucket("ts", 0)
