@@ -161,6 +161,23 @@ def q_bucket_15m_offset(spark, sf_dir):
     )
 
 
+def q_sliding_1h_30m(spark, sf_dir):
+    """Hopping-window rollup (operators/rollup.py::sliding_rollup):
+    1-hour windows starting every 30 minutes — each event lands in 2
+    windows via Spark's map-side Expand; integer cents keep sums exact.
+    The oracle replays the epoch-aligned window starts with integer
+    floor arithmetic (k in 0..width/slide-1 offsets per event)."""
+    from gents_spark.operators.rollup import sliding_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return sliding_rollup(
+        ev, width_s=3600, slide_s=1800,
+        source_col="event_type", ts_col="ts", value_col="cents",
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """As-of join: each event attaches the latest SPARSE hourly tier row
     at-or-before its timestamp (sparse right side so matches genuinely
@@ -2374,6 +2391,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_15m_offset": q_bucket_15m_offset,  # new r05: time_bucket
     # width+origin surface (shipping_priority — r02/r03-stamped and
     # check_oracles-re-verified every round since — rotated to the tail)
+    "sliding_1h_30m": q_sliding_1h_30m,  # new r05: hopping-window rollup
+    # (props_extract — r02/r03-stamped, same standing evidence — rotated
+    # to the tail in its place)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2392,7 +2412,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_union": q_distinct_union,
     "local_supplier_volume": q_local_supplier_volume,
     "part_brand_stats": q_part_brand_stats,
-    "props_extract": q_props_extract,
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
@@ -2403,6 +2422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_label": q_range_label,
     "tier_label": q_tier_label,
     "shipping_priority": q_shipping_priority,
+    "props_extract": q_props_extract,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2733,6 +2753,25 @@ ORACLES: dict[str, str] = {
     # W2 midpoint alignment: bucket on ts + dur/2 in exact integer
     # microseconds (dur is a whole-second multiple, so /2 is a 500000 us
     # multiple — no floor mismatch between engines)
+    "sliding_1h_30m": """
+        WITH e AS (
+            SELECT event_type AS source, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), x AS (
+            -- every event belongs to width/slide = 2 epoch-aligned
+            -- hopping windows; k enumerates them newest-first
+            SELECT source,
+                   make_timestamp(((us // 1800000000) - k.k)
+                                  * 1800000000) AS bucket_start,
+                   cents
+            FROM e, range(2) k(k)
+        )
+        SELECT source, bucket_start, count(*)::BIGINT AS cnt,
+               sum(cents)::BIGINT AS sum_v, min(cents) AS min_v,
+               max(cents) AS max_v
+        FROM x GROUP BY 1, 2
+    """,
     "bucket_15m_offset": """
         WITH b AS (
             SELECT event_type AS source,

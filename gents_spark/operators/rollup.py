@@ -80,6 +80,54 @@ def time_bucket(
     )
 
 
+def sliding_rollup(
+    points: DataFrame,
+    width_s: int,
+    slide_s: int,
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Hopping-window continuous aggregate: count/sum/min/max of
+    ``value_col`` per (source, window) where windows are ``width_s``
+    wide and start every ``slide_s`` (width a multiple of slide) —
+    the smoothing variant of the tumbling tiers: a 1h/30m hop halves
+    the bucket-boundary artifacts a pure tumbling rollup shows.
+
+    Spark-first: ``F.window(ts, width, slide)`` compiles to one
+    map-side Expand (each row replicated into its width/slide windows)
+    feeding the same partially-aggregated shuffle as the tumbling
+    rollup — the exchange carries |windows| aggregated rows, scaled by
+    the overlap factor, never |rows| * overlap raw rows.  Window starts
+    are epoch-aligned multiples of ``slide_s`` (Spark's default
+    origin), which the oracle mirrors with integer floor arithmetic.
+    """
+    if width_s < 1 or slide_s < 1 or width_s % slide_s:
+        raise ValueError(
+            f"width_s={width_s}, slide_s={slide_s}: "
+            "need width a positive multiple of slide"
+        )
+    w = F.window(
+        F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds"
+    )
+    return (
+        points.groupBy(F.col(source_col).alias("source"), w)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .select(
+            "source",
+            F.col("window.start").cast("timestamp_ntz").alias(
+                "bucket_start"
+            ),
+            "cnt", "sum_v", "min_v", "max_v",
+        )
+    )
+
+
 #: W2 window-assignment alignments (GenTS offers the same four for
 #: interval-valued records: ``gents/hfcollection.py:966-978``).
 ALIGNMENTS = ("direct", "start_bound", "end_bound", "midpoint")

@@ -396,3 +396,65 @@ def test_time_bucket_matches_python_floor(spark):
 
     with _pytest.raises(ValueError):
         time_bucket("ts", 0)
+
+
+def test_sliding_rollup_overlap_and_tumbling_degenerate(spark):
+    """Hopping windows: with slide == width the result equals the
+    tumbling date_trunc rollup; with slide == width/2 every event lands
+    in exactly 2 windows (total cnt doubles) and each window's stats
+    equal a brute-force recompute."""
+    import random
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.rollup import sliding_rollup
+
+    rng = random.Random(51)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (f"s{i % 3}",
+         t0 + timedelta(seconds=rng.randint(0, 6 * 3600 - 1)),
+         rng.randint(-500, 500))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, v long")
+
+    tumb = {
+        (r["source"], r["bucket_start"]): (r["cnt"], r["sum_v"])
+        for r in sliding_rollup(
+            df, 3600, 3600, "source", "ts", "v"
+        ).collect()
+    }
+    exp_tumb = {}
+    for s, ts, v in rows:
+        b = ts.replace(minute=0, second=0)
+        c, sv = exp_tumb.get((s, b), (0, 0))
+        exp_tumb[(s, b)] = (c + 1, sv + v)
+    assert tumb == exp_tumb
+
+    hop = sliding_rollup(df, 3600, 1800, "source", "ts", "v").collect()
+    assert sum(r["cnt"] for r in hop) == 2 * len(rows)
+    exp_hop = {}
+    for s, ts, v in rows:
+        us = int((ts - datetime(1970, 1, 1)).total_seconds())
+        for k in (0, 1):
+            b = datetime(1970, 1, 1) + timedelta(
+                seconds=(us // 1800 - k) * 1800
+            )
+            c, sv, mn, mx = exp_hop.get((s, b), (0, 0, None, None))
+            exp_hop[(s, b)] = (
+                c + 1, sv + v,
+                v if mn is None else min(mn, v),
+                v if mx is None else max(mx, v),
+            )
+    got_hop = {
+        (r["source"], r["bucket_start"]): (
+            r["cnt"], r["sum_v"], r["min_v"], r["max_v"]
+        )
+        for r in hop
+    }
+    assert got_hop == exp_hop
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_rollup(df, 3600, 2400, "source", "ts", "v")
