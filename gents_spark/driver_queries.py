@@ -392,6 +392,29 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_resample_15m_locf(spark, sf_dir):
+    """Arbitrary-grid resampling: time_bucket 15-minute grid + LOCF
+    through the generalized '<N>s' gap-fill grain (r05) — the
+    composition that turns the tier machinery into a general resampler
+    (any width, any origin, dense output)."""
+    from gents_spark.operators.gapfill import gapfill
+    from gents_spark.operators.rollup import time_bucket
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    g = ev.groupBy(
+        F.col("event_type").alias("source"),
+        time_bucket("ts", 900).alias("bucket_start"),
+    ).agg(
+        F.count("*").alias("cnt"), F.sum("cents").alias("sum_cents")
+    )
+    out = gapfill(g, "900s", mode="locf", fill_cols=["cnt", "sum_cents"])
+    return out.select(
+        "source", "bucket_start", "filled", "cnt", "sum_cents"
+    )
+
+
 def q_year_bounds(spark, sf_dir):
     """A1 (get_year_bounds, hfcollection.py:193-225): per-group time extent."""
     ev = _t(spark, sf_dir, "events")
@@ -2394,6 +2417,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_1h_30m": q_sliding_1h_30m,  # new r05: hopping-window rollup
     # (props_extract — r02/r03-stamped, same standing evidence — rotated
     # to the tail in its place)
+    "resample_15m_locf": q_resample_15m_locf,  # new r05: time_bucket
+    # grid + '<N>s' gapfill composition (part_brand_stats — r02/r03-
+    # stamped, same standing evidence — rotated to the tail)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2411,7 +2437,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "distinct_union": q_distinct_union,
     "local_supplier_volume": q_local_supplier_volume,
-    "part_brand_stats": q_part_brand_stats,
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
@@ -2423,6 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tier_label": q_tier_label,
     "shipping_priority": q_shipping_priority,
     "props_extract": q_props_extract,
+    "part_brand_stats": q_part_brand_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -3470,6 +3496,34 @@ ORACLES: dict[str, str] = {
                round(max(CASE WHEN rna = 1 THEN v END), 6) AS first_v,
                round(max(CASE WHEN rnd = 1 THEN v END), 6) AS last_v
         FROM w GROUP BY 1, 2
+    """,
+    "resample_15m_locf": """
+        WITH t AS (
+            SELECT event_type AS source,
+                   make_timestamp((epoch_us(ts) // 900000000)
+                                  * 900000000) AS bucket_start,
+                   count(*)::BIGINT AS cnt,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM events GROUP BY 1, 2),
+        ext AS (SELECT source, min(bucket_start) AS lo,
+                       max(bucket_start) AS hi
+                FROM t GROUP BY 1),
+        spine AS (SELECT source,
+                         unnest(generate_series(lo, hi,
+                                                INTERVAL 900 SECOND))
+                             AS bucket_start
+                  FROM ext),
+        j AS (SELECT spine.source, spine.bucket_start, t.cnt, t.sum_cents
+              FROM spine LEFT JOIN t
+                ON t.source = spine.source
+               AND t.bucket_start = spine.bucket_start)
+        SELECT source, bucket_start, (cnt IS NULL) AS filled,
+               last_value(cnt IGNORE NULLS) OVER w AS cnt,
+               last_value(sum_cents IGNORE NULLS) OVER w AS sum_cents
+        FROM j
+        WINDOW w AS (PARTITION BY source ORDER BY bucket_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "gapfill_locf_1h": _GAPFILL_BASE_SQL
     + """

@@ -29,6 +29,8 @@ sources| rows, broadcast back.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -37,12 +39,31 @@ from gents_spark.operators.rollup import TIER_UNITS
 #: bucket width in seconds per tier
 TIER_SECONDS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
 
+
+def _tier_step(tier: str) -> tuple[str | None, int]:
+    """(date_trunc unit | None, step seconds) for a tier label.
+
+    Accepts the named tiers plus arbitrary ``<N>s`` second-grain labels
+    (r05), so gap-fill composes with ``rollup.time_bucket`` grids —
+    ``gapfill(g, "900s")`` resamples a 15-minute bucketing the same way
+    ``gapfill(t, "1h")`` fills the hourly tier.  Alignment requirement
+    is only RELATIVE: every bucket_start must be congruent mod step
+    (true for any single time_bucket grid, origin included)."""
+    if tier in TIER_UNITS:
+        return TIER_UNITS[tier], TIER_SECONDS[tier]
+    m = re.fullmatch(r"(\d+)s", tier)
+    if not m or int(m.group(1)) < 1:
+        raise ValueError(f"unknown tier: {tier}")
+    return None, int(m.group(1))
+
+
 _FILL_COLS = ["cnt", "sum_tok", "min_tok", "max_tok", "p50_tok", "p95_tok", "p99_tok"]
 
 
 def bucket_spine(tiers: DataFrame, tier: str) -> DataFrame:
     """Per-source dense spine of bucket_start values (min..max)."""
-    unit = TIER_UNITS[tier]
+    unit, step = _tier_step(tier)
+    iv = f"interval 1 {unit}" if unit else f"interval {step} second"
     return (
         tiers.groupBy("source")
         .agg(
@@ -52,7 +73,7 @@ def bucket_spine(tiers: DataFrame, tier: str) -> DataFrame:
         .select(
             "source",
             F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"interval 1 {unit}"))
+                F.sequence("_lo", "_hi", F.expr(iv))
             ).alias("bucket_start"),
         )
     )
@@ -83,8 +104,7 @@ def gapfill(
     if mode not in ("locf", "linear"):
         raise ValueError(f"unknown gapfill mode: {mode}")
     fill_cols = fill_cols or [c for c in _FILL_COLS if c in tiers.columns]
-    unit = TIER_UNITS[tier]
-    step = TIER_SECONDS[tier]
+    unit, step = _tier_step(tier)
 
     keep_cols = [
         c for c in tiers.columns if c not in ("tier", "bucket_end", gchunk_col)
@@ -190,12 +210,13 @@ def gapfill(
     )
     out = original.unionByName(gen)
 
-    return (
-        out.withColumn("tier", F.lit(tier))
-        .withColumn(
-            "bucket_end",
-            F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")),
-        )
+    end = (
+        F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start"))
+        if unit
+        else F.timestamp_add("SECOND", F.lit(step), F.col("bucket_start"))
+    )
+    return out.withColumn("tier", F.lit(tier)).withColumn(
+        "bucket_end", end
     )
 
 
@@ -423,7 +444,7 @@ def gap_report(
     O(expected rows), exactly why it should run BEFORE a naive
     spine-join gap-fill of a 99%-sparse source).
     """
-    step = TIER_SECONDS[tier_name]
+    _, step = _tier_step(tier_name)
     w = Window.partitionBy(key).orderBy(ts)
     e = F.unix_timestamp(ts)
     prev = F.lag(e).over(w)

@@ -167,3 +167,45 @@ def test_linear_chunked_equals_global(spark):
     out = gapfill(tier, "1h", mode="linear")
     filled = out.filter(F.col("filled")).count()
     assert filled == len(a) - len(known)
+
+
+def test_gapfill_arbitrary_second_grain(spark):
+    """r05 '<N>s' grain: a 900s time_bucket grid LOCF-fills densely —
+    every grid step present between min and max per source, originals
+    unchanged, filled rows carry the previous known values; and a bogus
+    grain label raises."""
+    import pytest as _pytest
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.gapfill import gapfill
+
+    rows = [
+        ("a", datetime(2026, 1, 1, 0, 0), 10, 100),
+        ("a", datetime(2026, 1, 1, 0, 45), 20, 200),   # 2 missing steps
+        ("a", datetime(2026, 1, 1, 1, 0), 30, 300),
+        ("b", datetime(2026, 1, 1, 0, 15), 5, 50),
+    ]
+    t = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, cnt long, sum_cents long"
+    )
+    out = gapfill(t, "900s", mode="locf",
+                  fill_cols=["cnt", "sum_cents"]).collect()
+    got = {
+        (r["source"], r["bucket_start"].minute + 60 * r["bucket_start"].hour):
+        (r["filled"], r["cnt"], r["sum_cents"])
+        for r in out
+    }
+    assert got[("a", 0)] == (False, 10, 100)
+    assert got[("a", 15)] == (True, 10, 100)
+    assert got[("a", 30)] == (True, 10, 100)
+    assert got[("a", 45)] == (False, 20, 200)
+    assert got[("a", 60)] == (False, 30, 300)
+    assert got[("b", 15)] == (False, 5, 50)
+    assert len(got) == 6
+    ends = {r["bucket_start"]: r["bucket_end"] for r in out}
+    for b, e in ends.items():
+        assert (e - b).total_seconds() == 900
+    with _pytest.raises(ValueError):
+        gapfill(t, "15m", mode="locf", fill_cols=["cnt"])
