@@ -21,7 +21,6 @@ import time
 
 from gents_spark import __version__
 from gents_spark.configs import PROFILES, resolve_profile
-from gents_spark.operators.rollup import TIER_ORDER
 from gents_spark.pipeline import TierPipeline
 from gents_spark.session import get_spark
 
@@ -37,8 +36,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                    version=f"gents-spark {__version__}")
     p.add_argument("--input", required=True, help="sequences table path (parquet)")
     p.add_argument("--output", required=True, help="output dir (tiers + manifest)")
-    p.add_argument("--tiers", nargs="+", default=None, choices=TIER_ORDER,
-                   help="tiers to build (default: profile's, else all)")
+    p.add_argument("--tiers", nargs="+", default=None, metavar="TIER",
+                   help="tiers to build: 1m/1h/1d or any '<N>s' custom "
+                        "grain, e.g. 900s (default: profile's, else all)")
     p.add_argument("--gapfill", choices=["locf", "linear", "none"], default=None,
                    help="gap-fill mode (default: profile's, else locf)")
     p.add_argument("--step-s", type=int, default=10,
@@ -138,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_tier and not args.export_dir:
         # fail BEFORE the build, not after minutes of tier writes
         raise SystemExit("--export-tier needs --export-dir")
+    if args.tiers:
+        from gents_spark.operators.rollup import tier_grain
+
+        for t in args.tiers:
+            try:
+                tier_grain(t)  # named tier or '<N>s' custom grain
+            except ValueError as e:
+                raise SystemExit(str(e)) from e
     prof = resolve_profile(
         args.profile, args.include_sources, args.exclude_sources,
         append_filters=args.append_filters,

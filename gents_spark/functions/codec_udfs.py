@@ -23,7 +23,7 @@ from gents_spark.functions.codec import (
     encode_f64,
     encode_i64,
 )
-from gents_spark.operators.rollup import TIER_UNITS, bucket_col
+from gents_spark.operators.rollup import bucket_col, bucket_end_col
 
 
 @pandas_udf(BinaryType())
@@ -81,7 +81,6 @@ def attach_payload(
     caller's payload join on ``(source, gchunk_col, bucket_start)`` stays
     co-located (see operators.rollup.rollup for the clustering rule).
     """
-    unit = TIER_UNITS[coarser_tier]
     keys = ["source"]
     if gchunk_col:
         keys.append(gchunk_col)
@@ -96,7 +95,7 @@ def attach_payload(
     return grouped.select(
         *keys,
         "bucket_start",
-        F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")).alias(
+        bucket_end_col(coarser_tier).alias(
             "bucket_end"
         ),
         encode_i64_stream(F.col("_stream")).alias("payload"),

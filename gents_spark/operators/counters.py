@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from gents_spark.operators.rollup import TIER_UNITS, bucket_col
+from gents_spark.operators.rollup import bucket_col, bucket_end_col
 
 
 def time_weighted_avg(
@@ -53,7 +53,6 @@ def time_weighted_avg(
     t = t.withColumn("_next", F.lead("_ts").over(w)).withColumn(
         "_w", (F.col("_next") - F.col("_ts")).cast("double")
     )
-    unit = TIER_UNITS[tier]
     return (
         t.groupBy("source", "bucket_start")
         .agg(
@@ -67,7 +66,7 @@ def time_weighted_avg(
         )
         .withColumn(
             "bucket_end",
-            F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")),
+            bucket_end_col(tier),
         )
         .select(
             "source", "bucket_start", "bucket_end",

@@ -29,32 +29,26 @@ sources| rows, broadcast back.
 
 from __future__ import annotations
 
-import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from gents_spark.operators.rollup import TIER_UNITS
-
-#: bucket width in seconds per tier
-TIER_SECONDS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
+from gents_spark.operators.rollup import (  # noqa: F401 (re-exports)
+    TIER_SECONDS,
+    TIER_UNITS,
+    tier_grain,
+)
 
 
 def _tier_step(tier: str) -> tuple[str | None, int]:
-    """(date_trunc unit | None, step seconds) for a tier label.
-
-    Accepts the named tiers plus arbitrary ``<N>s`` second-grain labels
-    (r05), so gap-fill composes with ``rollup.time_bucket`` grids —
+    """(date_trunc unit | None, step seconds) for a tier label —
+    delegates to ``rollup.tier_grain`` (named tiers + ``<N>s`` labels),
+    so gap-fill composes with ``rollup.time_bucket`` grids:
     ``gapfill(g, "900s")`` resamples a 15-minute bucketing the same way
     ``gapfill(t, "1h")`` fills the hourly tier.  Alignment requirement
     is only RELATIVE: every bucket_start must be congruent mod step
     (true for any single time_bucket grid, origin included)."""
-    if tier in TIER_UNITS:
-        return TIER_UNITS[tier], TIER_SECONDS[tier]
-    m = re.fullmatch(r"(\d+)s", tier)
-    if not m or int(m.group(1)) < 1:
-        raise ValueError(f"unknown tier: {tier}")
-    return None, int(m.group(1))
+    return tier_grain(tier)
 
 
 _FILL_COLS = ["cnt", "sum_tok", "min_tok", "max_tok", "p50_tok", "p95_tok", "p99_tok"]

@@ -27,30 +27,55 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import re as _re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 #: tier name -> date_trunc unit
 TIER_UNITS: dict[str, str] = {"1m": "minute", "1h": "hour", "1d": "day"}
+#: tier name -> bucket width in seconds
+TIER_SECONDS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
 #: coarser-tier cascade order
 TIER_ORDER: list[str] = ["1m", "1h", "1d"]
+
+
+def tier_grain(tier: str) -> tuple[str | None, int]:
+    """(date_trunc unit | None, bucket width in seconds) for a tier
+    label.  Accepts the named tiers plus arbitrary ``<N>s``
+    second-grain labels (r05) — ``rollup(df, "900s")`` builds a
+    15-minute tier with the identical plan shape as the named tiers
+    (named grains bucket via ``date_trunc``, custom grains via the
+    exact integer-us ``time_bucket``)."""
+    if tier in TIER_UNITS:
+        return TIER_UNITS[tier], TIER_SECONDS[tier]
+    m = _re.fullmatch(r"(\d+)s", tier)
+    if not m or int(m.group(1)) < 1:
+        raise ValueError(f"unknown tier: {tier}")
+    return None, int(m.group(1))
+
 
 PCTS = [0.5, 0.95, 0.99]
 _PCT_NAMES = ["p50_tok", "p95_tok", "p99_tok"]
 
 
-def bucket_col(ts_col: str, tier: str) -> F.Column:
+def bucket_col(ts_col: str | F.Column, tier: str) -> F.Column:
     """Tumbling-window bucket start for a tier.
 
     ``date_trunc`` is equivalent to ``F.window(ts, width).start`` for
     calendar-aligned widths, stays a plain column (no struct), and maps
-    1:1 onto the DuckDB oracle's ``date_trunc``.
+    1:1 onto the DuckDB oracle's ``date_trunc``.  ``<N>s`` grains
+    bucket through ``time_bucket`` (epoch-aligned, same semantics).
     """
-    return F.date_trunc(TIER_UNITS[tier], F.col(ts_col))
+    unit, step = tier_grain(tier)
+    if unit:
+        c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+        return F.date_trunc(unit, c)
+    return time_bucket(ts_col, step)
 
 
 def time_bucket(
-    ts_col: str,
+    ts_col: str | F.Column,
     width_s: int,
     origin: str = "1970-01-01 00:00:00",
 ) -> F.Column:
@@ -70,10 +95,11 @@ def time_bucket(
     if width_s < 1:
         raise ValueError(f"width_s={width_s}: expected >= 1")
     w = F.lit(int(width_s) * 1_000_000).cast("long")
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     # unix_micros wants TIMESTAMP; the engine's event times are
     # timezone-less (session tz pinned to UTC in session.py, so the
     # NTZ<->TS casts are wall-clock identities) -> emit NTZ back
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = F.unix_micros(c.cast("timestamp"))
     ous = F.unix_micros(F.lit(origin).cast("timestamp"))
     return F.timestamp_micros(us - F.pmod(us - ous, w)).cast(
         "timestamp_ntz"
@@ -126,6 +152,14 @@ def sliding_rollup(
             "cnt", "sum_v", "min_v", "max_v",
         )
     )
+
+
+def bucket_end_col(tier: str) -> F.Column:
+    """``bucket_start + one tier width`` for named or ``<N>s`` grains."""
+    unit, step = tier_grain(tier)
+    if unit:
+        return F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start"))
+    return F.timestamp_add("SECOND", F.lit(step), F.col("bucket_start"))
 
 
 #: W2 window-assignment alignments (GenTS offers the same four for
@@ -209,9 +243,7 @@ def max_bucket_count(
     row = (
         df.groupBy(
             F.col(source_col),
-            F.date_trunc(
-                TIER_UNITS[tier], aligned_ts(ts_col, ts_end_col, alignment)
-            ),
+            bucket_col(aligned_ts(ts_col, ts_end_col, alignment), tier),
         )
         .count()
         .agg(F.max("count"))
@@ -285,7 +317,7 @@ def rollup(
             df, tier, source_col, ts_col, ts_end_col, alignment
         )
         percentile_mode = "sketch" if hot > hot_bucket_limit else "exact"
-    unit = TIER_UNITS[tier]
+    unit, step = tier_grain(tier)
     v = F.col(value_col)
     aggs = [
         F.count("*").alias("cnt"),
@@ -310,17 +342,15 @@ def rollup(
     if gchunk_col:
         group_keys.append(F.col(gchunk_col))
     group_keys.append(
-        F.date_trunc(
-            unit, aligned_ts(ts_col, ts_end_col, alignment)
+        bucket_col(
+            aligned_ts(ts_col, ts_end_col, alignment), tier
         ).alias("bucket_start")
     )
     out = (
         df.groupBy(*group_keys)
         .agg(*aggs)
         .withColumn("tier", F.lit(tier))
-        .withColumn(
-            "bucket_end", F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start"))
-        )
+        .withColumn("bucket_end", bucket_end_col(tier))
     )
     if with_percentiles:
         if percentile_mode == "exact":
@@ -348,7 +378,7 @@ def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
     are intentionally absent (non-composable); use ``rollup`` on raw (or
     ``cascade``) when exact percentiles are required at every tier.
     """
-    unit = TIER_UNITS[tier]
+    unit, step = tier_grain(tier)
     return (
         finer.groupBy(
             "source", bucket_col("bucket_start", tier).alias("bucket_start")
@@ -360,9 +390,7 @@ def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
             F.max("max_tok").alias("max_tok"),
         )
         .withColumn("tier", F.lit(tier))
-        .withColumn(
-            "bucket_end", F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start"))
-        )
+        .withColumn("bucket_end", bucket_end_col(tier))
         .select(
             "source", "tier", "bucket_start", "bucket_end",
             "cnt", "sum_tok", "min_tok", "max_tok",

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from gents_spark.operators.rollup import TIER_UNITS, bucket_col
+from gents_spark.operators.rollup import bucket_col, bucket_end_col
 
 
 def with_salt(df: DataFrame, n_salt: int, salt_from: str = "doc_id") -> DataFrame:
@@ -42,7 +42,6 @@ def salted_rollup(
     value_col: str = "n_tok",
 ) -> DataFrame:
     """Two-phase additive rollup immune to hot-source stragglers."""
-    unit = TIER_UNITS[tier]
     v = F.col(value_col)
     phase1 = (
         with_salt(df, n_salt)
@@ -69,7 +68,7 @@ def salted_rollup(
         .withColumn("tier", F.lit(tier))
         .withColumn(
             "bucket_end",
-            F.timestamp_add(unit.upper(), F.lit(1), F.col("bucket_start")),
+            bucket_end_col(tier),
         )
         .select(
             "source", "tier", "bucket_start", "bucket_end",

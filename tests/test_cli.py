@@ -344,3 +344,59 @@ def test_open_sequences_iceberg_seam(spark, tmp_path):
         assert open_sequences(spark, "default.seqs_seam_test").count() == 50
     finally:
         spark.sql("DROP TABLE default.seqs_seam_test")
+
+
+def test_cli_custom_second_grain_tier(spark, tmp_path, capsys):
+    """r05 '<N>s' custom grains end-to-end: --tiers 900s builds a
+    15-minute tier through the full pipeline (manifest, gap-fill,
+    resume), with dense 900s spacing and bucket math matching
+    time_bucket; a bogus grain label exits before any work."""
+    import pytest as _pytest
+
+    in_path = str(tmp_path / "seqs_g")
+    out = str(tmp_path / "out_g")
+    synth_sequences(spark, 2, 500).write.parquet(in_path)
+
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "900s", "--gapfill", "locf",
+        "--step-s", "60", "--master", "local[4]",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["tiers"]["900s"]["written"] > 0
+
+    t = read_tier(spark, out + "/tiers", "900s")
+    rows = t.select("source", "bucket_start", "bucket_end").collect()
+    assert rows
+    for r in rows:
+        e = int(r["bucket_start"].timestamp())
+        assert e % 900 == 0
+        assert (r["bucket_end"] - r["bucket_start"]).total_seconds() == 900
+    # gap-filled tier is DENSE per source: span/900 + 1 buckets
+    agg = (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("bucket_start").alias("lo"),
+            F.max("bucket_start").alias("hi"),
+        )
+        .collect()
+    )
+    for r in agg:
+        span = int((r["hi"] - r["lo"]).total_seconds())
+        assert r["n"] == span // 900 + 1
+
+    # resume: second run skips the committed chunks
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "900s", "--gapfill", "locf",
+        "--step-s", "60", "--master", "local[4]", "--resume",
+    ])
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["tiers"]["900s"]["written"] == 0
+    assert m2["tiers"]["900s"]["skipped"] > 0
+
+    with _pytest.raises(SystemExit):
+        main(["--input", in_path, "--output", out, "--tiers", "15m"])
