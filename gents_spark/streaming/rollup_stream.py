@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from gents_spark.operators.rollup import TIER_UNITS
+from gents_spark.operators.rollup import tier_grain
 from gents_spark.timeparse import with_event_time
 
 SEQUENCES_SCHEMA = (
@@ -49,14 +49,21 @@ def streaming_rollup(
     step_s: int = 10,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Watermarked tumbling-window continuous aggregate."""
-    if tier not in TIER_UNITS:
-        raise ValueError(f"unknown tier {tier}")
+    """Watermarked tumbling-window continuous aggregate.
+
+    Accepts the named tiers plus ``<N>s`` custom grains (r05):
+    ``F.window``'s duration windows are epoch-aligned like
+    ``time_bucket``'s default origin, and for the calendar widths they
+    coincide with ``date_trunc`` — so streamed buckets always line up
+    with the batch tier of the same label.
+    """
+    _, step = tier_grain(tier)  # validates the label
+    width = WINDOW_WIDTH.get(tier, f"{step} seconds")
     ev = with_event_time(stream, step_s=step_s).withWatermark(
         "event_time", watermark
     )
     return (
-        ev.groupBy("source", F.window("event_time", WINDOW_WIDTH[tier]))
+        ev.groupBy("source", F.window("event_time", width))
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),

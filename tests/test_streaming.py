@@ -351,3 +351,36 @@ def test_stream_tier_ingest_into_manifest_layout(spark, tmp_path):
     assert got3 == batch2
     assert read_tier(spark, out_dir + "/tiers", "1m").count() == len(batch2)
     assert completed_chunks(spark, out_dir + "/manifest", "1m").count() > 0
+
+
+def test_stream_matches_batch_custom_grain(spark, tmp_path):
+    """r05 '<N>s' grains in streaming: a 900s streamed tier's emitted
+    windows equal the batch rollup at the same custom grain (epoch
+    alignment of F.window == time_bucket's default origin)."""
+    in_path = str(tmp_path / "seqs_g")
+    out_path = str(tmp_path / "out_g")
+    ckpt = str(tmp_path / "ckpt_g")
+
+    seqs = synth_sequences(spark, 2, 400, n_tok_lo=8, n_tok_hi=32)
+    seqs.repartition(4).write.parquet(in_path)
+
+    q = run_stream_to_parquet(
+        spark, in_path, out_path, ckpt, tier="900s", step_s=60,
+        watermark="1 minute",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_path).collect()
+    assert got
+    raw = with_event_time(spark.read.parquet(in_path), step_s=60)
+    exp_map = {
+        (r["source"], r["bucket_start"]): r
+        for r in rollup(raw, "900s", with_percentiles=False).collect()
+    }
+    for r in got:
+        assert int(r["bucket_start"].timestamp()) % 900 == 0
+        e = exp_map[(r["source"], r["bucket_start"])]
+        assert (r["cnt"], r["sum_tok"], r["min_tok"], r["max_tok"]) == (
+            e["cnt"], e["sum_tok"], e["min_tok"], e["max_tok"],
+        )
+    assert len(got) >= 0.9 * len(exp_map)
