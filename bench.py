@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     # round-5 vocabulary-timeseries pack
     "vocab_drift_1d",
     "token_entropy",
+    # round-5 grid surface: offset buckets, hopping windows, resampling
+    "bucket_15m_offset",
+    "sliding_1h_30m",
+    "resample_15m_locf",
 ]
 
 
