@@ -105,7 +105,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "the input directory (availableNow) and append "
                         "finalized windows into the same tiers/+manifest "
                         "layout as status='increment' rows (additive "
-                        "stats only; percentiles stay batch)")
+                        "stats only; percentiles stay batch).  Streams "
+                        "every tier in --tiers; without --tiers, only "
+                        "the finest profile tier")
     p.add_argument("--watermark", default="10 minutes",
                    help="--stream late-data watermark (default: "
                         "'10 minutes')")
@@ -138,14 +140,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_tier and not args.export_dir:
         # fail BEFORE the build, not after minutes of tier writes
         raise SystemExit("--export-tier needs --export-dir")
-    if args.tiers:
-        from gents_spark.operators.rollup import tier_grain
+    from gents_spark.operators.rollup import tier_grain
 
-        for t in args.tiers:
-            try:
-                tier_grain(t)  # named tier or '<N>s' custom grain
-            except ValueError as e:
-                raise SystemExit(str(e)) from e
+    # every tier label the run will touch fails BEFORE the build
+    for t in (args.tiers or []) + [
+        x for x in (args.gap_report, args.export_tier) if x
+    ]:
+        try:
+            tier_grain(t)  # named tier or '<N>s' custom grain
+        except ValueError as e:
+            raise SystemExit(str(e)) from e
     prof = resolve_profile(
         args.profile, args.include_sources, args.exclude_sources,
         append_filters=args.append_filters,
@@ -213,7 +217,14 @@ def main(argv: list[str] | None = None) -> int:
 
         # every requested tier streams (sequentially, each through its
         # own checkpoint) — same tier resolution as the batch path
-        stream_tiers = list(args.tiers) if args.tiers else list(prof.tiers)
+        # explicit --tiers streams every listed tier (one input pass
+        # each); the DEFAULT streams only the finest profile tier —
+        # silently fanning a standing `--stream` catch-up out to 1h/1d
+        # would rescan the input per tier and demote every done coarse
+        # chunk (the batch build remains the cheap way to coarser tiers)
+        stream_tiers = (
+            list(args.tiers) if args.tiers else [prof.tiers[0]]
+        )
         report = {}
         for tier in stream_tiers:
             q = stream_tier_ingest(

@@ -33,6 +33,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+# tier_grain accepts named tiers + '<N>s' labels, so gap-fill composes
+# with rollup.time_bucket grids (gapfill(g, '900s') == 15-min resample;
+# alignment only needs bucket_starts congruent mod step)
 from gents_spark.operators.rollup import (  # noqa: F401 (re-exports)
     TIER_SECONDS,
     TIER_UNITS,
@@ -40,23 +43,12 @@ from gents_spark.operators.rollup import (  # noqa: F401 (re-exports)
 )
 
 
-def _tier_step(tier: str) -> tuple[str | None, int]:
-    """(date_trunc unit | None, step seconds) for a tier label —
-    delegates to ``rollup.tier_grain`` (named tiers + ``<N>s`` labels),
-    so gap-fill composes with ``rollup.time_bucket`` grids:
-    ``gapfill(g, "900s")`` resamples a 15-minute bucketing the same way
-    ``gapfill(t, "1h")`` fills the hourly tier.  Alignment requirement
-    is only RELATIVE: every bucket_start must be congruent mod step
-    (true for any single time_bucket grid, origin included)."""
-    return tier_grain(tier)
-
-
 _FILL_COLS = ["cnt", "sum_tok", "min_tok", "max_tok", "p50_tok", "p95_tok", "p99_tok"]
 
 
 def bucket_spine(tiers: DataFrame, tier: str) -> DataFrame:
     """Per-source dense spine of bucket_start values (min..max)."""
-    unit, step = _tier_step(tier)
+    unit, step = tier_grain(tier)
     iv = f"interval 1 {unit}" if unit else f"interval {step} second"
     return (
         tiers.groupBy("source")
@@ -98,7 +90,7 @@ def gapfill(
     if mode not in ("locf", "linear"):
         raise ValueError(f"unknown gapfill mode: {mode}")
     fill_cols = fill_cols or [c for c in _FILL_COLS if c in tiers.columns]
-    unit, step = _tier_step(tier)
+    unit, step = tier_grain(tier)
 
     keep_cols = [
         c for c in tiers.columns if c not in ("tier", "bucket_end", gchunk_col)
@@ -438,7 +430,7 @@ def gap_report(
     O(expected rows), exactly why it should run BEFORE a naive
     spine-join gap-fill of a 99%-sparse source).
     """
-    _, step = _tier_step(tier_name)
+    _, step = tier_grain(tier_name)
     w = Window.partitionBy(key).orderBy(ts)
     e = F.unix_timestamp(ts)
     prev = F.lag(e).over(w)

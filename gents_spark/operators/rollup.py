@@ -98,12 +98,14 @@ def time_bucket(
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     # unix_micros wants TIMESTAMP; the engine's event times are
     # timezone-less (session tz pinned to UTC in session.py, so the
-    # NTZ<->TS casts are wall-clock identities) -> emit NTZ back
+    # NTZ->TS cast is a wall-clock identity).  The OUTPUT stays plain
+    # TIMESTAMP — the flavor every other bucket producer emits
+    # (pipeline event_time, F.window, gapfill's generated rows), so
+    # tier files never mix TIMESTAMP with TIMESTAMP_NTZ (read_tier's
+    # mergeSchema refuses to merge the two).
     us = F.unix_micros(c.cast("timestamp"))
     ous = F.unix_micros(F.lit(origin).cast("timestamp"))
-    return F.timestamp_micros(us - F.pmod(us - ous, w)).cast(
-        "timestamp_ntz"
-    )
+    return F.timestamp_micros(us - F.pmod(us - ous, w))
 
 
 def sliding_rollup(
@@ -146,9 +148,7 @@ def sliding_rollup(
         )
         .select(
             "source",
-            F.col("window.start").cast("timestamp_ntz").alias(
-                "bucket_start"
-            ),
+            F.col("window.start").alias("bucket_start"),
             "cnt", "sum_v", "min_v", "max_v",
         )
     )
@@ -317,7 +317,6 @@ def rollup(
             df, tier, source_col, ts_col, ts_end_col, alignment
         )
         percentile_mode = "sketch" if hot > hot_bucket_limit else "exact"
-    unit, step = tier_grain(tier)
     v = F.col(value_col)
     aggs = [
         F.count("*").alias("cnt"),
@@ -378,7 +377,6 @@ def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
     are intentionally absent (non-composable); use ``rollup`` on raw (or
     ``cascade``) when exact percentiles are required at every tier.
     """
-    unit, step = tier_grain(tier)
     return (
         finer.groupBy(
             "source", bucket_col("bucket_start", tier).alias("bucket_start")

@@ -400,3 +400,78 @@ def test_cli_custom_second_grain_tier(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["--input", in_path, "--output", out, "--tiers", "15m"])
+
+
+def test_cli_fails_fast_on_bad_labels():
+    """Every tier label the run would touch is validated BEFORE any
+    Spark work: --tiers, --gap-report and --export-tier typos exit
+    immediately (no SparkSession, no tier build)."""
+    import pytest
+
+    for argv in (
+        ["--input", "/i", "--output", "/o", "--tiers", "15m"],
+        ["--input", "/i", "--output", "/o", "--tiers", "1m",
+         "--gap-report", "15m"],
+        ["--input", "/i", "--output", "/o", "--tiers", "1m",
+         "--export-tier", "90x", "--export-dir", "/e"],
+    ):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert "unknown tier" in str(e.value)
+
+
+def test_cli_stream_default_streams_finest_tier_only(spark, tmp_path,
+                                                     capsys):
+    """--stream without --tiers streams ONLY the finest profile tier —
+    a standing catch-up must not silently fan out to 1h/1d (each tier
+    is a full input rescan and demotes its done chunks)."""
+    import json
+
+    in_path = str(tmp_path / "seqs_sd")
+    out = str(tmp_path / "out_sd")
+    synth_sequences(spark, 1, 200, n_tok_lo=8, n_tok_hi=32).write.parquet(
+        in_path
+    )
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--step-s", "10", "--master", "local[4]",
+        "--stream", "--watermark", "1 minute",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(rep["stream"]) == ["1m"]  # default profile's finest
+
+
+def test_cli_stream_increment_readable_with_batch_custom_grain(
+    spark, tmp_path, capsys
+):
+    """The review-found crash: a batch-built custom-grain tier plus a
+    streamed increment into the SAME tier directory must stay readable
+    (read_tier merges schemas — mixed TIMESTAMP/TIMESTAMP_NTZ
+    bucket_start would refuse to merge, so every producer emits plain
+    TIMESTAMP)."""
+    in_path = str(tmp_path / "seqs_mix")
+    out = str(tmp_path / "out_mix")
+    synth_sequences(spark, 2, 400, n_tok_lo=8, n_tok_hi=32).write.parquet(
+        in_path
+    )
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "900s", "--gapfill", "none",
+        "--step-s", "10", "--master", "local[4]",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "900s", "--step-s", "10", "--master", "local[4]",
+        "--stream", "--watermark", "1 minute",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    t = read_tier(spark, out + "/tiers", "900s")
+    assert t.count() > 0  # crashes on CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE pre-fix
+    flavors = {
+        str(f.dataType) for f in t.schema.fields if f.name == "bucket_start"
+    }
+    assert flavors == {"TimestampType()"}
