@@ -27,7 +27,35 @@ from gents_spark.plans.manifest import DONE, latest_status, read_manifest
 #: default retention horizon per tier (days of bucket age)
 DEFAULT_RETENTION_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": 36500}
 
-COARSER = {"raw": "1m", "1m": "1h", "1h": "1d", "1d": None}
+
+def _grain_step(tier: str) -> int:
+    """Bucket width in seconds; 'raw' sorts below every real grain."""
+    if tier == "raw":
+        return 0
+    from gents_spark.operators.rollup import tier_grain
+
+    return tier_grain(tier)[1]
+
+
+#: the one tier whose expiry needs no coarser cover (nothing above it)
+_TOP_TIER = "1d"
+
+
+def _coarser_committed(m, tier: str) -> str | None:
+    """The FINEST committed tier strictly coarser than ``tier`` — the
+    cover 'generate before you delete' gates on.  Generalizes the old
+    fixed raw->1m->1h->1d chain to custom ``<N>s`` grains: whatever
+    coarser tiers the manifest actually holds, the nearest one must
+    cover a chunk before it may expire.
+
+    Only the top tier expires ungated (the old ``COARSER['1d'] is
+    None`` rule); the caller must treat a missing cover on any other
+    tier as NOTHING EXPIRABLE — a 900s-only deployment asking to
+    expire 900s must not delete its only copy of the data."""
+    step = _grain_step(tier)
+    present = [r["tier"] for r in m.select("tier").distinct().collect()]
+    coarser = [t for t in present if _grain_step(t) > step]
+    return min(coarser, key=_grain_step) if coarser else None
 
 
 def expirable_chunks(
@@ -65,8 +93,11 @@ def expirable_chunks(
     mine = m.filter(
         (F.col("tier") == tier) & (chunk_end <= F.to_date(F.lit(cutoff_date)))
     )
-    coarser = COARSER[tier]
-    if coarser is not None:
+    if tier != _TOP_TIER:
+        coarser = _coarser_committed(m, tier)
+        if coarser is None:
+            # no committed coarser tier anywhere: nothing may expire
+            return []
         covered = m.filter(F.col("tier") == coarser).select("chunk").distinct()
         mine = mine.join(covered, "chunk", "left_semi")
     return sorted(r["chunk"] for r in mine.select("chunk").distinct().collect())

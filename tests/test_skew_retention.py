@@ -153,3 +153,30 @@ def test_salting_spreads_shuffle_partitions_under_skew(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_retention_custom_grain_gates_on_nearest_coarser(spark, tmp_path):
+    """r05 '<N>s' grains in retention: a 900s tier expires only where
+    the NEAREST committed coarser tier covers it (here 1h — chosen over
+    1d by grain width); alone it never expires (no cover -> nothing),
+    and the chain works without any hardcoded tier ordering."""
+    out = str(tmp_path / "retg")
+    seqs = synth_sequences(spark, 2, 600)
+    TierPipeline(
+        spark, step_s=3600, tiers=["900s"], gapfill_mode=None
+    ).run(seqs, out, run_id="g1")
+    # 900s alone: no coarser committed tier -> nothing expirable
+    assert expirable_chunks(spark, out + "/manifest", "900s",
+                            "2099-01-01") == []
+    for tiers, rid in ((["1d"], "g2"), (["1h"], "g3")):
+        TierPipeline(
+            spark, step_s=3600, tiers=tiers, gapfill_mode=None
+        ).run(seqs, out, run_id=rid)
+    chunks = expirable_chunks(spark, out + "/manifest", "900s",
+                              "2026-01-05")
+    assert chunks and all(c < "2026-01-05" for c in chunks)
+    removed = expire(spark, out + "/tiers", out + "/manifest", "900s",
+                     "2026-01-05")
+    assert removed == chunks
+    assert read_tier(spark, out + "/tiers", "900s").count() > 0
+    assert read_tier(spark, out + "/tiers", "1h").count() > 0
