@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "bucket_15m_offset",
     "sliding_1h_30m",
     "resample_15m_locf",
+    "sax_1d",
 ]
 
 

@@ -392,6 +392,28 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_sax_1d(spark, sf_dir):
+    """SAX daily words (operators/downsample.py::sax_words): each
+    (source, day) becomes a 24-symbol string over hourly mean-cents,
+    symbols picked by EXACT integer comparisons (sum >= b*cnt) against
+    fixed breakpoints — the string-shaped series representation that
+    makes motif/anomaly-shape search a grep."""
+    from gents_spark.operators.downsample import sax_words
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return sax_words(hourly, breakpoints=(2500, 5000, 7500))
+
+
 def q_resample_15m_locf(spark, sf_dir):
     """Arbitrary-grid resampling: time_bucket 15-minute grid + LOCF
     through the generalized '<N>s' gap-fill grain (r05) — the
@@ -2420,6 +2442,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_15m_locf": q_resample_15m_locf,  # new r05: time_bucket
     # grid + '<N>s' gapfill composition (part_brand_stats — r02/r03-
     # stamped, same standing evidence — rotated to the tail)
+    "sax_1d": q_sax_1d,  # new r05: SAX daily-shape words
+    # (local_supplier_volume — r02/r03-stamped, same standing evidence —
+    # rotated to the tail in its place)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
@@ -2436,7 +2461,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_recent_orders": q_customers_with_recent_orders,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "distinct_union": q_distinct_union,
-    "local_supplier_volume": q_local_supplier_volume,
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
@@ -2449,6 +2473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "props_extract": q_props_extract,
     "part_brand_stats": q_part_brand_stats,
+    "local_supplier_volume": q_local_supplier_volume,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -3496,6 +3521,27 @@ ORACLES: dict[str, str] = {
                round(max(CASE WHEN rna = 1 THEN v END), 6) AS first_v,
                round(max(CASE WHEN rnd = 1 THEN v END), 6) AS last_v
         FROM w GROUP BY 1, 2
+    """,
+    "sax_1d": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('day', ts)::TIMESTAMP AS day,
+                   hour(ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3
+        ), r AS (
+            SELECT source, day, hour,
+                   (CASE WHEN s >= 2500 * n THEN 1 ELSE 0 END
+                    + CASE WHEN s >= 5000 * n THEN 1 ELSE 0 END
+                    + CASE WHEN s >= 7500 * n THEN 1 ELSE 0 END) AS rk
+            FROM h
+        )
+        SELECT source, day,
+               string_agg(substr('abcd', rk + 1, 1), '' ORDER BY hour)
+                   AS word,
+               count(*)::BIGINT AS n_hours
+        FROM r GROUP BY 1, 2
     """,
     "resample_15m_locf": """
         WITH t AS (

@@ -165,3 +165,65 @@ def lttb(
             .applyInPandas(one_chunk, schema=out_schema)
         )
     return base.groupBy(series).applyInPandas(one, schema=out_schema)
+
+
+def sax_words(
+    hourly: DataFrame,
+    breakpoints: tuple[int, ...] = (2500, 5000, 7500),
+    key: str = "source",
+    day: str = "day",
+    idx: str = "hour",
+    s: str = "s",
+    n: str = "n",
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003, "A Symbolic Representation
+    of Time Series"): each key's day becomes a WORD — one symbol per
+    hour, the symbol chosen by where the hour's mean sits between the
+    breakpoints — turning shape search over raw series into string
+    operations (motif mining, grep-able anomaly patterns, dedup of
+    recurring daily shapes).  The PAA step of the published method is
+    the engine's own hourly tier (mean = s/n per bucket).
+
+    Exactness discipline: the mean is never materialized as a float —
+    symbol rank = SUM of exact integer comparisons ``s >= b*n`` (one
+    per breakpoint, monotone thresholds), so a mean landing exactly on
+    a breakpoint has one deterministic side in every engine.
+    ``breakpoints`` are fixed literals in mean-value units (cents); a
+    production deployment calibrates them from percentiles (documented
+    choice — Lin's Gaussian breakpoints assume z-normalized input).
+
+    Input: (key, day, idx, s=sum-of-cents, n=count) aggregated rows —
+    i.e. any tier table.  Output: (key, day, word, n_hours).  Scale
+    shape: one groupBy over ALREADY-AGGREGATED hourly rows; the word
+    build is a sorted-array transform inside the aggregate — bounded
+    by 24 symbols per group, never raw rows.
+    """
+    if list(breakpoints) != sorted(breakpoints):
+        raise ValueError(f"breakpoints not ascending: {breakpoints}")
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    if len(breakpoints) + 1 > len(alphabet):
+        raise ValueError("too many breakpoints")
+    rank = sum(
+        (F.col(s) >= F.lit(int(b)) * F.col(n)).cast("int")
+        for b in breakpoints
+    )
+    # substring with a COLUMN start: substr(literal alphabet, rank+1, 1)
+    sym = F.expr(
+        f"substr('{alphabet[: len(breakpoints) + 1]}', _rank + 1, 1)"
+    )
+    ranked = hourly.select(
+        F.col(key).alias(key),
+        F.col(day).alias(day),
+        F.col(idx).alias("_idx"),
+        rank.alias("_rank"),
+    ).withColumn("_sym", sym)
+    return ranked.groupBy(key, day).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_sym"))),
+                lambda x: x["_sym"],
+            ),
+            "",
+        ).alias("word"),
+        F.count("*").alias("n_hours"),
+    )

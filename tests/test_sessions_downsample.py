@@ -933,3 +933,52 @@ def test_seasonal_baseline_hand_values(spark):
     assert got[("a", 2, 9)] == (15.0, 5.0)
     assert got[("a", 1, 10)] == (7.0, 0.0)
     assert got[("b", 1, 9)] == (0.4, 0.0)
+
+
+def test_sax_words_match_python_and_boundaries(spark):
+    """SAX words vs a brute-force replay, including means landing
+    EXACTLY on a breakpoint (s == b*n -> the >= side, deterministically)
+    and non-ascending breakpoint rejection."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from gents_spark.operators.downsample import sax_words
+
+    rng = random.Random(52)
+    t0 = datetime(2026, 1, 1)
+    # input contract: one row per (key, day, idx) — already aggregated
+    boundary_day = t0 + timedelta(days=9)
+    rows = [("s0", boundary_day, 0, 2500, 1)]  # mean EXACTLY on 2500
+    for s in range(2):
+        for d in range(2):
+            for h in range(24):
+                n = rng.randint(1, 5)
+                rows.append(
+                    (f"s{s}", t0 + timedelta(days=d), h,
+                     rng.randint(0, 10000) * n, n)
+                )
+    df = spark.createDataFrame(
+        rows, "source string, day timestamp, hour int, s long, n long"
+    )
+    got = {
+        (r["source"], r["day"]): (r["word"], r["n_hours"])
+        for r in sax_words(df.repartition(5)).collect()
+    }
+    agg: dict[tuple, dict] = {}
+    for src, d, h, s, n in rows:
+        cur = agg.setdefault((src, d), {}).setdefault(h, [0, 0])
+        cur[0] += s
+        cur[1] += n
+    for key, hours in agg.items():
+        word = "".join(
+            "abcd"[sum(hours[h][0] >= b * hours[h][1]
+                       for b in (2500, 5000, 7500))]
+            for h in sorted(hours)
+        )
+        assert got[key] == (word, len(hours)), key
+    # the boundary row: mean == 2500 exactly -> symbol 'b' (>= side)
+    assert got[("s0", boundary_day)] == ("b", 1)
+    with _pytest.raises(ValueError):
+        sax_words(df, breakpoints=(5000, 2500))
