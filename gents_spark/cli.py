@@ -145,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     # every tier label the run will touch fails BEFORE the build
     for t in (args.tiers or []) + [
         x for x in (args.gap_report, args.export_tier) if x
-    ]:
+    ] + [spec.partition("=")[0] for spec in (args.retention or [])]:
         try:
             tier_grain(t)  # named tier or '<N>s' custom grain
         except ValueError as e:

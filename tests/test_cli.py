@@ -414,6 +414,8 @@ def test_cli_fails_fast_on_bad_labels():
          "--gap-report", "15m"],
         ["--input", "/i", "--output", "/o", "--tiers", "1m",
          "--export-tier", "90x", "--export-dir", "/e"],
+        ["--input", "/i", "--output", "/o", "--tiers", "1m",
+         "--retention", "2h=2026-01-01"],
     ):
         with pytest.raises(SystemExit) as e:
             main(argv)
