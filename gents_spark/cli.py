@@ -143,9 +143,15 @@ def main(argv: list[str] | None = None) -> int:
     from gents_spark.operators.rollup import tier_grain
 
     # every tier label the run will touch fails BEFORE the build
+    # ('raw' is a valid RETENTION target — retention._grain_step — but
+    # not a buildable/reportable tier)
     for t in (args.tiers or []) + [
         x for x in (args.gap_report, args.export_tier) if x
-    ] + [spec.partition("=")[0] for spec in (args.retention or [])]:
+    ] + [
+        spec.partition("=")[0]
+        for spec in (args.retention or [])
+        if spec.partition("=")[0] != "raw"
+    ]:
         try:
             tier_grain(t)  # named tier or '<N>s' custom grain
         except ValueError as e:

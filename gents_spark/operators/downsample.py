@@ -198,8 +198,12 @@ def sax_words(
     build is a sorted-array transform inside the aggregate — bounded
     by 24 symbols per group, never raw rows.
     """
-    if list(breakpoints) != sorted(breakpoints):
-        raise ValueError(f"breakpoints not ascending: {breakpoints}")
+    if any(a >= b for a, b in zip(breakpoints, breakpoints[1:])):
+        # STRICTLY ascending: a duplicate breakpoint would silently
+        # make one symbol unreachable (rank skips it)
+        raise ValueError(
+            f"breakpoints not strictly ascending: {breakpoints}"
+        )
     alphabet = "abcdefghijklmnopqrstuvwxyz"
     if len(breakpoints) + 1 > len(alphabet):
         raise ValueError("too many breakpoints")

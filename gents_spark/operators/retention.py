@@ -37,25 +37,30 @@ def _grain_step(tier: str) -> int:
     return tier_grain(tier)[1]
 
 
-#: the one tier whose expiry needs no coarser cover (nothing above it)
-_TOP_TIER = "1d"
+def _coarser_committed(m, tier: str) -> list[str]:
+    """All committed tiers strictly coarser than ``tier`` — the covers
+    'generate before you delete' gates on.  Generalizes the old fixed
+    raw->1m->1h->1d chain to custom ``<N>s`` grains by GRAIN WIDTH:
+    a chunk may expire once ANY committed coarser tier covers it (a
+    partial intermediate tier therefore cannot block expiry that a
+    complete coarser one justifies).
 
-
-def _coarser_committed(m, tier: str) -> str | None:
-    """The FINEST committed tier strictly coarser than ``tier`` — the
-    cover 'generate before you delete' gates on.  Generalizes the old
-    fixed raw->1m->1h->1d chain to custom ``<N>s`` grains: whatever
-    coarser tiers the manifest actually holds, the nearest one must
-    cover a chunk before it may expire.
-
-    Only the top tier expires ungated (the old ``COARSER['1d'] is
-    None`` rule); the caller must treat a missing cover on any other
-    tier as NOTHING EXPIRABLE — a 900s-only deployment asking to
-    expire 900s must not delete its only copy of the data."""
+    Empty-list semantics (decided here, enforced by the caller): a
+    tier with no coarser committed tier is the TOP of its deployment's
+    cascade and expires UNGATED — but only when a FINER committed tier
+    exists to rebuild it from (the old ``COARSER['1d'] is None`` rule,
+    now deployment-relative: a custom weekly coarsest tier is
+    reclaimable too).  A single-tier deployment (900s alone, raw
+    alone) has nothing to rebuild from, so nothing may expire."""
     step = _grain_step(tier)
     present = [r["tier"] for r in m.select("tier").distinct().collect()]
-    coarser = [t for t in present if _grain_step(t) > step]
-    return min(coarser, key=_grain_step) if coarser else None
+    return [t for t in present if _grain_step(t) > step]
+
+
+def _has_finer_committed(m, tier: str) -> bool:
+    step = _grain_step(tier)
+    present = [r["tier"] for r in m.select("tier").distinct().collect()]
+    return any(_grain_step(t) < step for t in present)
 
 
 def expirable_chunks(
@@ -93,13 +98,20 @@ def expirable_chunks(
     mine = m.filter(
         (F.col("tier") == tier) & (chunk_end <= F.to_date(F.lit(cutoff_date)))
     )
-    if tier != _TOP_TIER:
-        coarser = _coarser_committed(m, tier)
-        if coarser is None:
-            # no committed coarser tier anywhere: nothing may expire
-            return []
-        covered = m.filter(F.col("tier") == coarser).select("chunk").distinct()
+    coarser = _coarser_committed(m, tier)
+    if coarser:
+        covered = (
+            m.filter(F.col("tier").isin(coarser))
+            .select("chunk")
+            .distinct()
+        )
         mine = mine.join(covered, "chunk", "left_semi")
+    elif not _has_finer_committed(m, tier):
+        # single-tier deployment: the only copy of the data never
+        # expires ('generate before you delete' has nowhere to point)
+        return []
+    # else: `tier` tops a real cascade (finer tiers can rebuild it) —
+    # top-tier semantics, expiry ungated
     return sorted(r["chunk"] for r in mine.select("chunk").distinct().collect())
 
 

@@ -120,7 +120,9 @@ def token_entropy(
             entropy.alias("entropy"),
         )
 
-    sorted_toks = F.array_sort(F.split(F.col(text), " "))
+    from gents_spark.operators.textstats import words_col
+
+    sorted_toks = F.array_sort(words_col(text))
     st = F.element_at(F.transform(F.array(sorted_toks), _body), 1)
     return docs.select(doc_id, st.alias("_e")).select(
         doc_id, "_e.n_words", "_e.n_types", "_e.entropy"

@@ -180,3 +180,25 @@ def test_retention_custom_grain_gates_on_nearest_coarser(spark, tmp_path):
     assert removed == chunks
     assert read_tier(spark, out + "/tiers", "900s").count() > 0
     assert read_tier(spark, out + "/tiers", "1h").count() > 0
+
+
+def test_retention_top_tier_ungated_when_rebuildable(spark, tmp_path):
+    """The coarsest committed tier expires UNGATED — but only because
+    finer committed tiers can rebuild it; on a single-tier deployment
+    (covered by test_retention_custom_grain_gates_on_nearest_coarser)
+    nothing expires.  Partial intermediate tiers cannot block expiry a
+    complete coarser cover justifies (ANY-cover rule)."""
+    out = str(tmp_path / "rett")
+    seqs = synth_sequences(spark, 2, 600)
+    for tiers, rid in ((["1m"], "t1"), (["1d"], "t2")):
+        TierPipeline(
+            spark, step_s=3600, tiers=tiers, gapfill_mode=None
+        ).run(seqs, out, run_id=rid)
+    # 1d tops the cascade and 1m exists to rebuild it -> ungated
+    chunks = expirable_chunks(spark, out + "/manifest", "1d", "2026-01-05")
+    assert chunks and all(c < "2026-01-05" for c in chunks)
+    # 1m gates on the ANY coarser cover (1d here, no 1h needed)
+    chunks_1m = expirable_chunks(
+        spark, out + "/manifest", "1m", "2026-01-05"
+    )
+    assert chunks_1m == chunks
