@@ -477,3 +477,29 @@ def test_cli_stream_increment_readable_with_batch_custom_grain(
         str(f.dataType) for f in t.schema.fields if f.name == "bucket_start"
     }
     assert flavors == {"TimestampType()"}
+
+
+def test_cli_mixed_named_and_custom_tiers_one_run(spark, tmp_path,
+                                                  capsys):
+    """One run building named AND custom grains together: the combined
+    single-commit write unions all three tiers (consistent TIMESTAMP
+    flavor), and payloads compose up the fine-to-coarse chain
+    1m -> 900s -> 1h (60 | 900 | 3600)."""
+    in_path = str(tmp_path / "seqs_mx")
+    out = str(tmp_path / "out_mx")
+    synth_sequences(spark, 2, 500).write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1m", "900s", "1h", "--gapfill", "locf",
+        "--step-s", "60", "--master", "local[4]",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    counts = {}
+    for t in ("1m", "900s", "1h"):
+        df = read_tier(spark, out + "/tiers", t)
+        counts[t] = df.count()
+        assert dict(df.dtypes)["bucket_start"] == "timestamp"
+        if t != "1m":  # coarser tiers carry composed payloads
+            assert df.filter("payload is not null").count() == counts[t]
+    assert counts["1m"] > counts["900s"] > counts["1h"] > 0
