@@ -384,3 +384,65 @@ def test_stream_matches_batch_custom_grain(spark, tmp_path):
             e["cnt"], e["sum_tok"], e["min_tok"], e["max_tok"],
         )
     assert len(got) >= 0.9 * len(exp_map)
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Hopping windows under a watermark: a streamed 1h/30m sliding
+    aggregate's emitted windows equal the batch sliding_rollup — the
+    streaming twin of sliding_1h_30m (Spark's F.window slide works
+    identically in append-mode streaming)."""
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.rollup import sliding_rollup
+
+    in_path = str(tmp_path / "seqs_sw")
+    out_path = str(tmp_path / "out_sw")
+    ckpt = str(tmp_path / "ckpt_sw")
+    seqs = synth_sequences(spark, 2, 400, n_tok_lo=8, n_tok_hi=32)
+    seqs.repartition(4).write.parquet(in_path)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        ).parquet(in_path)
+    )
+    ev = with_event_time(stream, step_s=60).withWatermark(
+        "event_time", "1 minute"
+    )
+    agg = (
+        ev.groupBy(
+            "source", F.window("event_time", "1 hour", "30 minutes")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_v"),
+        )
+        .select(
+            "source", F.col("window.start").alias("bucket_start"),
+            "cnt", "sum_v",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_path).collect()
+    assert got
+    raw = with_event_time(spark.read.parquet(in_path), step_s=60)
+    exp = {
+        (r["source"], r["bucket_start"]): (r["cnt"], r["sum_v"])
+        for r in sliding_rollup(
+            raw, 3600, 1800, "source", "event_time", "n_tok"
+        ).collect()
+    }
+    for r in got:
+        assert exp[(r["source"], r["bucket_start"])] == (
+            r["cnt"], r["sum_v"],
+        )
+    assert len(got) >= 0.8 * len(exp)  # watermark may withhold the tail
