@@ -723,3 +723,86 @@ def seasonal_baseline(
         )
         .drop("_exp")
     )
+
+
+def dominant_period(
+    series: DataFrame,
+    candidate_periods: tuple[int, ...] = (6, 12, 24, 168),
+    key: str = "source",
+    ts: str = "bucket_start",
+    value: str = "s",
+    grain_s: int = 3600,
+) -> DataFrame:
+    """Season-length detector: spectral power of each key's series at a
+    small set of CANDIDATE periods (in buckets), argmax = the dominant
+    cycle — the input ``seasonal_baseline`` assumes you already know
+    (24 for daily, 168 for weekly...).  A Goertzel-style single-bin DFT
+    per candidate instead of a full FFT: at 10^12 scale you never want
+    the whole spectrum, just 'is it daily or weekly?'.
+
+    power(p) = C² + S² of the MEAN-CENTERED series at frequency 1/p,
+    computed without a centering pass: C = Σv·cosθ − (Σv/n)·Σcosθ
+    (same for S), so ONE groupBy collects all six sums.  Plan shape:
+    map-side explode of |candidates| thin rows per input row, one
+    partially-aggregated shuffle on (key, period), then a struct-max
+    argmax over |candidates| rows per key — no window, no second scan.
+
+    Float sums make power values order-dependent in the last ulps, so
+    this operator is pytest-pinned (vs numpy) rather than hash-oracled;
+    the ARGMAX is stable far beyond ulp noise for any real cycle.
+
+    Output: (key, period, power, n_buckets) — the winning candidate.
+    """
+    if len(candidate_periods) < 1 or min(candidate_periods) < 2:
+        raise ValueError(f"bad candidate_periods: {candidate_periods}")
+    two_pi = 6.283185307179586
+    p = F.col("_p")
+    idx = (F.unix_timestamp(F.col(ts).cast("timestamp"))
+           / F.lit(grain_s)).cast("long")
+    theta = (
+        F.lit(two_pi)
+        * F.pmod(F.col("_i"), p).cast("double")
+        / p.cast("double")
+    )
+    v = F.col(value).cast("double")
+    expanded = series.select(
+        F.col(key),
+        v.alias("_v"),
+        idx.alias("_i"),
+        F.explode(
+            F.array(*[F.lit(int(c)) for c in candidate_periods])
+        ).alias("_p"),
+    ).select(
+        key, "_v", "_p",
+        F.cos(theta).alias("_c"),
+        F.sin(theta).alias("_s"),
+    )
+    g = expanded.groupBy(key, "_p").agg(
+        F.count("*").alias("n"),
+        F.sum("_v").alias("sv"),
+        F.sum(F.col("_v") * F.col("_c")).alias("svc"),
+        F.sum(F.col("_v") * F.col("_s")).alias("svs"),
+        F.sum("_c").alias("sc"),
+        F.sum("_s").alias("ss"),
+    )
+    mu = F.col("sv") / F.col("n")
+    cc = F.col("svc") - mu * F.col("sc")
+    ss = F.col("svs") - mu * F.col("ss")
+    scored = g.select(
+        key,
+        F.col("_p").alias("period"),
+        (cc * cc + ss * ss).alias("power"),
+        F.col("n").alias("n_buckets"),
+    )
+    best = scored.groupBy(key).agg(
+        F.max(
+            F.struct("power", F.col("period").cast("long").alias("period"),
+                     "n_buckets")
+        ).alias("_b")
+    )
+    return best.select(
+        key,
+        F.col("_b.period").alias("period"),
+        F.col("_b.power").alias("power"),
+        F.col("_b.n_buckets").alias("n_buckets"),
+    )

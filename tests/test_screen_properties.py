@@ -323,3 +323,58 @@ def test_topk_terms_matches_python(spark):
         ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         exp = [(i + 1, w, n) for i, (w, n) in enumerate(ranked)]
         assert sorted(got[key]) == exp, key
+
+
+def test_dominant_period_detects_planted_cycles(spark):
+    """Goertzel-at-candidates period detector: keys with planted daily
+    (24) and half-day (12) cycles pick their own period from the
+    candidate set; power matches a numpy recomputation to float
+    tolerance (the argmax itself is far above ulp noise); candidate
+    validation raises."""
+    import math
+
+    import pytest as _pytest
+
+    from gents_spark.operators.anomaly import dominant_period
+
+    rng = random.Random(53)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for h in range(24 * 14):  # two weeks of hourly buckets
+        for s, period in (("daily", 24), ("halfday", 12)):
+            v = 1000 + 500 * math.sin(2 * math.pi * h / period)
+            rows.append(
+                (s, t0 + timedelta(hours=h), int(v + rng.randint(-40, 40)))
+            )
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    ).repartition(7)
+    got = {
+        r["source"]: (r["period"], r["power"], r["n_buckets"])
+        for r in dominant_period(
+            df, candidate_periods=(6, 12, 24, 168)
+        ).collect()
+    }
+    assert got["daily"][0] == 24
+    assert got["halfday"][0] == 12
+    assert got["daily"][2] == 24 * 14
+
+    # power cross-check vs numpy at the winning candidate
+    import numpy as np
+
+    base = int(t0.timestamp()) // 3600
+    for s, period in (("daily", 24), ("halfday", 12)):
+        vs = np.array(
+            [v for src, t, v in rows if src == s], dtype="float64"
+        )
+        hs = np.array(
+            [int(t.timestamp()) // 3600 for src, t, v in rows if src == s]
+        )
+        theta = 2 * np.pi * np.mod(hs, period) / period
+        c = (vs * np.cos(theta)).sum() - vs.mean() * np.cos(theta).sum()
+        sn = (vs * np.sin(theta)).sum() - vs.mean() * np.sin(theta).sum()
+        exp = c * c + sn * sn
+        assert abs(got[s][1] - exp) / exp < 1e-9, s
+
+    with _pytest.raises(ValueError):
+        dominant_period(df, candidate_periods=(1,))
