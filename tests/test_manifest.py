@@ -413,3 +413,31 @@ def test_export_timeseries_per_source_sorted(spark, seqs, tmp_path):
 
     with pytest.raises(ValueError):
         export_timeseries(spark, out + "/tiers", "1d", exp_dir, fmt="xml")
+
+
+def test_export_timeseries_custom_grain(spark, tmp_path):
+    """--export-tier works for custom '<N>s' grains: the per-source
+    export of a 900s tier is time-sorted and value-equal to the tier."""
+    import glob
+
+    from gents_spark.pipeline import TierPipeline
+    from gents_spark.plans.manifest import export_timeseries, read_tier
+    from gents_spark.synth import synth_sequences
+
+    out = str(tmp_path / "bld")
+    exp = str(tmp_path / "exp")
+    seqs = synth_sequences(spark, 2, 400)
+    TierPipeline(
+        spark, step_s=60, tiers=["900s"], gapfill_mode=None
+    ).run(seqs, out, run_id="x")
+    rep = export_timeseries(
+        spark, out + "/tiers", "900s", exp, fmt="parquet"
+    )
+    assert rep["sources"] == 2
+    files = glob.glob(exp + "/source=*/**/*.parquet", recursive=True)
+    t = read_tier(spark, out + "/tiers", "900s")
+    got = spark.read.parquet(exp)
+    assert got.count() == t.count() > 0
+    one = spark.read.parquet(sorted(files)[0]).collect()
+    starts = [r["bucket_start"] for r in one]
+    assert starts == sorted(starts)

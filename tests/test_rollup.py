@@ -458,3 +458,41 @@ def test_sliding_rollup_overlap_and_tumbling_degenerate(spark):
 
     with _pytest.raises(ValueError):
         sliding_rollup(df, 3600, 2400, "source", "ts", "v")
+
+
+def test_time_bucket_sliding_rollup_cross_consistency(spark):
+    """Cross-operator invariant: sliding_rollup(w, w) buckets equal a
+    plain time_bucket(w) groupBy — two independent bucket
+    implementations (F.window vs integer-us pmod) must agree on every
+    epoch-aligned boundary, including sub-second timestamps."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from gents_spark.operators.rollup import sliding_rollup, time_bucket
+
+    rng = random.Random(54)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (f"s{i % 3}",
+         t0 + timedelta(seconds=rng.randint(0, 7200),
+                        microseconds=rng.randint(0, 999_999)),
+         rng.randint(-100, 100))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, v long")
+    for w in (90, 900):
+        a = {
+            (r["source"], r["bucket_start"]): (r["cnt"], r["sum_v"])
+            for r in sliding_rollup(df, w, w, "source", "ts", "v").collect()
+        }
+        b = {
+            (r["source"], r["b"]): (r["cnt"], r["sum_v"])
+            for r in df.groupBy(
+                "source", time_bucket("ts", w).alias("b")
+            ).agg(
+                F.count("*").alias("cnt"), F.sum("v").alias("sum_v")
+            ).collect()
+        }
+        assert a == b, w
