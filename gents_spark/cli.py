@@ -39,8 +39,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--tiers", nargs="+", default=None, metavar="TIER",
                    help="tiers to build: 1m/1h/1d or any '<N>s' custom "
                         "grain, e.g. 900s (default: profile's, else all)")
-    p.add_argument("--gapfill", choices=["locf", "linear", "none"], default=None,
-                   help="gap-fill mode (default: profile's, else locf)")
+    p.add_argument("--gapfill", choices=["locf", "linear", "zero", "none"],
+                   default=None,
+                   help="gap-fill mode: locf / linear / zero (for "
+                        "absence-means-zero count metrics) / none "
+                        "(default: profile's, else locf)")
     p.add_argument("--step-s", type=int, default=10,
                    help="seconds per doc_id sequence step (event-time derivation)")
     p.add_argument("--include-sources", nargs="*", default=None)

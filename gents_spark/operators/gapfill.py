@@ -79,6 +79,11 @@ def gapfill(
     buckets (falls back to LOCF at the trailing edge; leading-edge rows
     before the first observation stay null in both modes only if the
     spine starts before data — it does not, spine is min..max).
+    ``mode='zero'``: generated buckets carry 0 — the CORRECT fill for
+    absence-means-zero count/sum metrics (carrying yesterday's event
+    count over a dead hour via LOCF invents traffic; TimescaleDB users
+    reach for ``coalesce(..., 0)`` around ``time_bucket_gapfill`` for
+    exactly this).  Fill columns keep their input types.
 
     ``gchunk_col``: an existing day-grain column to use as the window
     chunk instead of recomputing ``date_trunc('day', bucket_start)``.
@@ -87,7 +92,7 @@ def gapfill(
     the window's clustering — the lead/gap-generation window then needs
     only a sort, no exchange.  The column is consumed, not emitted.
     """
-    if mode not in ("locf", "linear"):
+    if mode not in ("locf", "linear", "zero"):
         raise ValueError(f"unknown gapfill mode: {mode}")
     fill_cols = fill_cols or [c for c in _FILL_COLS if c in tiers.columns]
     unit, step = tier_grain(tier)
@@ -155,6 +160,12 @@ def gapfill(
     ]
     if mode == "locf":
         gen_cols += [F.col(c).alias(c) for c in fill_cols]
+        orig_cols = [F.col(c) for c in fill_cols]
+    elif mode == "zero":
+        gen_cols += [
+            F.lit(0).cast(tiers.schema[c].dataType).alias(c)
+            for c in fill_cols
+        ]
         orig_cols = [F.col(c) for c in fill_cols]
     else:
         # same arithmetic as the windowed reference: frac over unix secs,

@@ -209,3 +209,31 @@ def test_gapfill_arbitrary_second_grain(spark):
         assert (e - b).total_seconds() == 900
     with _pytest.raises(ValueError):
         gapfill(t, "15m", mode="locf", fill_cols=["cnt"])
+
+
+def test_gapfill_zero_mode(spark):
+    """mode='zero': generated buckets carry 0 (absence-means-zero count
+    semantics), originals untouched, types preserved."""
+    from datetime import datetime
+
+    from gents_spark.operators.gapfill import gapfill
+
+    rows = [
+        ("a", datetime(2026, 1, 1, 0), 10, 100),
+        ("a", datetime(2026, 1, 1, 3), 30, 300),
+    ]
+    t = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, cnt long, sum_val long"
+    )
+    out = gapfill(t, "1h", mode="zero", fill_cols=["cnt", "sum_val"])
+    got = {
+        r["bucket_start"].hour: (r["filled"], r["cnt"], r["sum_val"])
+        for r in out.collect()
+    }
+    assert got == {
+        0: (False, 10, 100),
+        1: (True, 0, 0),
+        2: (True, 0, 0),
+        3: (False, 30, 300),
+    }
+    assert dict(out.dtypes)["cnt"] == "bigint"
