@@ -147,7 +147,23 @@ def main(argv: list[str] | None = None) -> int:
 
     # every tier label the run will touch fails BEFORE the build
     # ('raw' is a valid RETENTION target — retention._grain_step — but
-    # not a buildable/reportable tier)
+    # not a buildable/reportable tier).  Retention specs validate in
+    # FULL (format + cutoff date), not just the label — a malformed
+    # cutoff must not surface only after an hours-long build.
+    from datetime import datetime as _dt
+
+    for spec in args.retention or []:
+        tier_l, _, cutoff = spec.partition("=")
+        if not cutoff:
+            raise SystemExit(
+                f"--retention expects TIER=YYYY-MM-DD, got {spec!r}"
+            )
+        try:
+            _dt.strptime(cutoff, "%Y-%m-%d")
+        except ValueError as e:
+            raise SystemExit(
+                f"--retention {spec!r}: bad cutoff date ({e})"
+            ) from e
     for t in (args.tiers or []) + [
         x for x in (args.gap_report, args.export_tier) if x
     ] + [

@@ -753,7 +753,13 @@ def dominant_period(
 
     Output: (key, period, power, n_buckets) — the winning candidate.
     """
-    if len(candidate_periods) < 1 or min(candidate_periods) < 2:
+    if (
+        len(candidate_periods) < 1
+        or min(candidate_periods) < 2
+        or len(set(candidate_periods)) != len(candidate_periods)
+    ):
+        # duplicates would double a candidate's six sums and quadruple
+        # its power, biasing the argmax toward it
         raise ValueError(f"bad candidate_periods: {candidate_periods}")
     two_pi = 6.283185307179586
     p = F.col("_p")
@@ -765,7 +771,9 @@ def dominant_period(
         / p.cast("double")
     )
     v = F.col(value).cast("double")
-    expanded = series.select(
+    # null values would desync the six sums (count/cos/sin include the
+    # row, the v-weighted sums skip it) and corrupt the centering
+    expanded = series.filter(F.col(value).isNotNull()).select(
         F.col(key),
         v.alias("_v"),
         idx.alias("_i"),

@@ -44,6 +44,8 @@ from gents_spark.operators.rollup import (  # noqa: F401 (re-exports)
 
 
 _FILL_COLS = ["cnt", "sum_tok", "min_tok", "max_tok", "p50_tok", "p95_tok", "p99_tok"]
+#: the subset where "empty bucket == 0" is true (zero-fill default)
+_ADDITIVE_COLS = ["cnt", "sum_tok"]
 
 
 def bucket_spine(tiers: DataFrame, tier: str) -> DataFrame:
@@ -83,7 +85,12 @@ def gapfill(
     absence-means-zero count/sum metrics (carrying yesterday's event
     count over a dead hour via LOCF invents traffic; TimescaleDB users
     reach for ``coalesce(..., 0)`` around ``time_bucket_gapfill`` for
-    exactly this).  Fill columns keep their input types.
+    exactly this).  Fill columns keep their input types.  Zero only
+    makes sense for ADDITIVE columns — min/max/percentiles of an empty
+    bucket are undefined, not 0 — so when ``fill_cols`` is defaulted,
+    zero mode fills only ``cnt``/``sum_tok`` and the other default
+    stats stay NULL on generated rows; pass ``fill_cols`` explicitly to
+    widen (on your own semantics).
 
     ``gchunk_col``: an existing day-grain column to use as the window
     chunk instead of recomputing ``date_trunc('day', bucket_start)``.
@@ -94,6 +101,8 @@ def gapfill(
     """
     if mode not in ("locf", "linear", "zero"):
         raise ValueError(f"unknown gapfill mode: {mode}")
+    if fill_cols is None and mode == "zero":
+        fill_cols = [c for c in _ADDITIVE_COLS if c in tiers.columns]
     fill_cols = fill_cols or [c for c in _FILL_COLS if c in tiers.columns]
     unit, step = tier_grain(tier)
 

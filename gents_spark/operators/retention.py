@@ -22,7 +22,12 @@ from datetime import datetime
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from gents_spark.plans.manifest import DONE, latest_status, read_manifest
+from gents_spark.plans.manifest import (
+    DONE,
+    EXPIRED,
+    latest_status,
+    read_manifest,
+)
 
 #: default retention horizon per tier (days of bucket age)
 DEFAULT_RETENTION_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": 36500}
@@ -37,30 +42,28 @@ def _grain_step(tier: str) -> int:
     return tier_grain(tier)[1]
 
 
-def _coarser_committed(m, tier: str) -> list[str]:
-    """All committed tiers strictly coarser than ``tier`` — the covers
-    'generate before you delete' gates on.  Generalizes the old fixed
-    raw->1m->1h->1d chain to custom ``<N>s`` grains by GRAIN WIDTH:
-    a chunk may expire once ANY committed coarser tier covers it (a
-    partial intermediate tier therefore cannot block expiry that a
-    complete coarser one justifies).
+def _split_by_grain(m, tier: str) -> tuple[list[str], list[str]]:
+    """(coarser, finer) committed tiers relative to ``tier``, by GRAIN
+    WIDTH — one distinct-tier job, consumed by both retention gates.
+    Generalizes the old fixed raw->1m->1h->1d chain to custom ``<N>s``
+    grains.
 
-    Empty-list semantics (decided here, enforced by the caller): a
-    tier with no coarser committed tier is the TOP of its deployment's
-    cascade and expires UNGATED — but only when a FINER committed tier
-    exists to rebuild it from (the old ``COARSER['1d'] is None`` rule,
-    now deployment-relative: a custom weekly coarsest tier is
-    reclaimable too).  A single-tier deployment (900s alone, raw
-    alone) has nothing to rebuild from, so nothing may expire."""
+    Cover semantics (enforced in ``expirable_chunks``): a chunk may
+    expire once ANY committed coarser tier covers it.  Deliberate
+    tradeoff vs the old nearest-coarser chain: a PARTIAL intermediate
+    tier cannot block expiry a complete coarser cover justifies — the
+    price is that an intermediate tier's missing chunk can no longer be
+    backfilled from the expired finer data (only from whatever finer
+    tiers survive).  The COARSEST committed tier has no cover; it
+    expires per-chunk wherever a FINER committed chunk can rebuild it,
+    so a single-tier deployment (or a top-tier chunk whose finer copies
+    were themselves already expired) never deletes the last copy."""
     step = _grain_step(tier)
     present = [r["tier"] for r in m.select("tier").distinct().collect()]
-    return [t for t in present if _grain_step(t) > step]
-
-
-def _has_finer_committed(m, tier: str) -> bool:
-    step = _grain_step(tier)
-    present = [r["tier"] for r in m.select("tier").distinct().collect()]
-    return any(_grain_step(t) < step for t in present)
+    return (
+        [t for t in present if _grain_step(t) > step],
+        [t for t in present if _grain_step(t) < step],
+    )
 
 
 def expirable_chunks(
@@ -98,20 +101,24 @@ def expirable_chunks(
     mine = m.filter(
         (F.col("tier") == tier) & (chunk_end <= F.to_date(F.lit(cutoff_date)))
     )
-    coarser = _coarser_committed(m, tier)
+    coarser, finer = _split_by_grain(m, tier)
     if coarser:
-        covered = (
-            m.filter(F.col("tier").isin(coarser))
-            .select("chunk")
-            .distinct()
-        )
-        mine = mine.join(covered, "chunk", "left_semi")
-    elif not _has_finer_committed(m, tier):
+        gate_tiers = coarser  # 'generate before you delete'
+    elif finer:
+        # coarsest committed tier: expirable per-chunk wherever a finer
+        # committed chunk can REBUILD it (expired finer chunks carry
+        # status='expired' and no longer count)
+        gate_tiers = finer
+    else:
         # single-tier deployment: the only copy of the data never
         # expires ('generate before you delete' has nowhere to point)
         return []
-    # else: `tier` tops a real cascade (finer tiers can rebuild it) —
-    # top-tier semantics, expiry ungated
+    covered = (
+        m.filter(F.col("tier").isin(gate_tiers))
+        .select("chunk")
+        .distinct()
+    )
+    mine = mine.join(covered, "chunk", "left_semi")
     return sorted(r["chunk"] for r in mine.select("chunk").distinct().collect())
 
 
@@ -122,7 +129,13 @@ def expire(
     tier: str,
     cutoff_date: str,
 ) -> list[str]:
-    """Remove expired chunk partitions; returns removed chunk keys."""
+    """Remove expired chunk partitions; returns removed chunk keys.
+
+    Every removal lands as a ``status='expired'`` manifest row, so the
+    latest-status view stops counting the chunk as a resume skip, a
+    coarser cover, or top-tier rebuild evidence — without it, a later
+    ``--retention`` on the coarsest tier would see the long-gone finer
+    chunks as 'done' and delete the LAST copy of that range."""
     datetime.strptime(cutoff_date, "%Y-%m-%d")  # validate
     removed = []
     for chunk in expirable_chunks(spark, manifest_dir, tier, cutoff_date):
@@ -130,4 +143,19 @@ def expire(
         if os.path.isdir(path):
             shutil.rmtree(path)
             removed.append(chunk)
+    if removed:
+        import time
+
+        from gents_spark import __version__
+        from gents_spark.plans.manifest import _append_manifest_rows
+
+        now = time.time()
+        _append_manifest_rows(
+            manifest_dir,
+            [
+                (f"expire-{int(now)}", tier, c, EXPIRED, 0, None, None,
+                 now, f"expire {tier}<{cutoff_date}", __version__)
+                for c in removed
+            ],
+        )
     return removed

@@ -39,6 +39,7 @@ MANIFEST_SCHEMA = (
 
 DONE = "done"
 STALE = "stale"
+EXPIRED = "expired"  # retention removed the chunk's data
 
 
 def _append_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
@@ -102,10 +103,15 @@ def latest_status(m: DataFrame) -> DataFrame:
 
 
 def completed_chunks(spark: SparkSession, manifest_dir: str, tier: str) -> DataFrame:
+    """Chunks a resume run must NOT rebuild: done, plus expired —
+    retention deleted those on purpose, and a resume that re-creates
+    them from still-available raw input would silently undo it.  Cover
+    checks (retention.expirable_chunks) filter on DONE alone, so an
+    expired chunk never gates another tier's expiry."""
     m = read_manifest(spark, manifest_dir)
     return (
         latest_status(m.filter(F.col("tier") == tier))
-        .filter(F.col("status") == DONE)
+        .filter(F.col("status").isin(DONE, EXPIRED))
         .select("chunk")
     )
 
@@ -270,12 +276,15 @@ def write_tier_chunks(
 def completed_tier_chunks(
     spark: SparkSession, manifest_dir: str
 ) -> set[tuple[str, str]]:
-    """All (tier, chunk) units whose LATEST manifest row is done — ONE
-    read for a whole multi-tier resume instead of one job per tier."""
+    """All (tier, chunk) units a resume must skip (latest row done OR
+    expired — see ``completed_chunks``) — ONE read for a whole
+    multi-tier resume instead of one job per tier."""
     m = read_manifest(spark, manifest_dir)
     return {
         (r["tier"], r["chunk"])
-        for r in latest_status(m).filter(F.col("status") == DONE).collect()
+        for r in latest_status(m)
+        .filter(F.col("status").isin(DONE, EXPIRED))
+        .collect()
     }
 
 

@@ -202,3 +202,40 @@ def test_retention_top_tier_ungated_when_rebuildable(spark, tmp_path):
         spark, out + "/manifest", "1m", "2026-01-05"
     )
     assert chunks_1m == chunks
+
+
+def test_expired_chunks_dont_cover_and_resume_skips(spark, tmp_path):
+    """Retention lifecycle: expiring 1m writes status='expired' rows, so
+    (a) a later resume does NOT resurrect the expired chunks from raw,
+    and (b) the top tier (1d) can only expire chunks where a finer DONE
+    chunk still exists to rebuild it — ranges whose finer copies were
+    themselves expired are no longer deletable (last-copy protection)."""
+    out = str(tmp_path / "rlc")
+    seqs = synth_sequences(spark, 2, 600)
+    for tiers, rid in ((["1m"], "l1"), (["1d"], "l2")):
+        TierPipeline(
+            spark, step_s=3600, tiers=tiers, gapfill_mode=None
+        ).run(seqs, out, run_id=rid)
+
+    removed_1m = expire(
+        spark, out + "/tiers", out + "/manifest", "1m", "2026-01-03"
+    )
+    assert removed_1m
+    # (a) resume skips the expired chunks instead of rebuilding them
+    import json
+
+    m = TierPipeline(
+        spark, step_s=3600, tiers=["1m"], gapfill_mode=None
+    ).run(seqs, out, run_id="l3", resume=True)
+    assert m["tiers"]["1m"]["written"] == 0
+    import os
+
+    for c in removed_1m:
+        assert not os.path.isdir(
+            os.path.join(out, "tiers", "tier=1m", f"chunk={c}")
+        )
+    # (b) 1d ungated expiry is bounded by surviving finer DONE chunks:
+    # the ranges whose 1m was expired cannot be deleted from 1d too
+    exp_1d = expirable_chunks(spark, out + "/manifest", "1d", "2099-01-01")
+    assert set(exp_1d).isdisjoint(set(removed_1m))
+    assert exp_1d  # later ranges (1m still done) remain reclaimable

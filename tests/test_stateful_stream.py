@@ -32,7 +32,7 @@ def _run_stream(spark, in_path, out_path, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
 
 def test_state_accumulates_across_restarts(spark, tmp_path):
@@ -99,7 +99,7 @@ def test_streaming_ewma_matches_batch_bit_equal(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     batch(0, 150)
     run()
@@ -167,7 +167,7 @@ def test_streaming_gap_detect_stale_and_recovery(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     # run 1: A beats hourly to t0+5h, B stops at t0+2h
     write(
@@ -252,7 +252,7 @@ def test_streaming_heavy_hitters_bounds_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     make_batch(0).write.mode("append").parquet(in_path)
     run_once()

@@ -25,7 +25,7 @@ def test_stream_matches_batch(spark, tmp_path):
     q = run_stream_to_parquet(
         spark, in_path, out_path, ckpt, tier="1m", step_s=10, watermark="1 minute"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = (
         spark.read.parquet(out_path)
@@ -73,7 +73,7 @@ def test_stream_late_file_reconciles_to_batch_truth(spark, tmp_path):
         spark, in_path, stream_out, ckpt, tier="1h", step_s=3600,
         watermark="1 minute",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     pipe = TierPipeline(spark, step_s=3600, tiers=["1h"], gapfill_mode=None)
     pipe.run(spark.read.parquet(in_path), out_dir, run_id="b1")
 
@@ -132,7 +132,7 @@ def test_stream_bucket_assignment_is_date_trunc(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     synth_sequences(spark, 1, 300).write.parquet(in_path)
     q = run_stream_to_parquet(spark, in_path, out_path, ckpt, tier="1h", step_s=60)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     out = spark.read.parquet(out_path)
     bad = out.filter(
         F.col("bucket_start") != F.date_trunc("hour", "bucket_start")
@@ -175,7 +175,7 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         str(tmp_path / "sess_ckpt"), gap="30 minutes",
         watermark="1 minute",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = sorted(
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_val)
@@ -231,7 +231,7 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.read.parquet(out_path)
     batch = with_event_time(spark.read.parquet(in_path), step_s=10)
@@ -368,7 +368,7 @@ def test_stream_matches_batch_custom_grain(spark, tmp_path):
         spark, in_path, out_path, ckpt, tier="900s", step_s=60,
         watermark="1 minute",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.read.parquet(out_path).collect()
     assert got
@@ -430,7 +430,7 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.read.parquet(out_path).collect()
     assert got
