@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "sliding_1h_30m",
     "resample_15m_locf",
     "sax_1d",
+    # round-5 span-level dedup census (Lee et al. 2021)
+    "duplicate_spans",
 ]
 
 

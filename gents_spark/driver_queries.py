@@ -867,6 +867,21 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(docs, bits=16)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level duplication census (Lee et al. 2021): per doc,
+    how many of its position-aware 5-word spans occur >=2 times
+    corpus-wide (operators/dedup.py::duplicate_spans).  The signal doc-
+    level dedup misses — boilerplate and quoted passages inside
+    otherwise-unique documents.  Linear (count + index join), no pair
+    enumeration; all-integer except the final rounded ratio."""
+    from gents_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return duplicate_spans(docs, n=5, min_count=2)
+
+
 def q_token_count(spark, sf_dir):
     from gents_spark.operators.textstats import token_counts
 
@@ -2061,6 +2076,31 @@ DEDUP_ORACLES: dict[str, str] = {
                (count(*) OVER (PARTITION BY fp) > 1) AS is_dup
         FROM k
     """,
+    "duplicate_spans": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        sp AS (SELECT doc_id,
+                      ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                    ||' '||ws[i+3]||' '||ws[i+4]),1,15))::BIGINT
+                          AS span
+               FROM w, unnest(range(1, len(ws) - 3)) AS t(i)),
+        g AS (SELECT span, count(*) AS total FROM sp GROUP BY 1),
+        d AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                     max(total)::BIGINT AS max_span_count
+              FROM sp JOIN g USING (span) WHERE total >= 2 GROUP BY 1),
+        s AS (SELECT doc_id,
+                     greatest(coalesce(len(string_split(text, ' ')), 0) - 4,
+                              0) AS n_spans
+              FROM documents)
+        SELECT s.doc_id, s.n_spans::INT AS n_spans,
+               coalesce(d.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               coalesce(d.max_span_count, 0)::BIGINT AS max_span_count,
+               CASE WHEN s.n_spans = 0 THEN 0.0
+                    ELSE round(coalesce(d.n_dup_spans, 0)::DOUBLE
+                               / s.n_spans, 6)
+               END AS dup_ratio
+        FROM s LEFT JOIN d USING (doc_id)
+    """,
     "dedup_ngram_jaccard": _SHINGLE_HASH_SQL + """
         , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         -- stop-shingle cap (df <= 50) on CANDIDATE generation only;
@@ -2455,7 +2495,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
     "time_spine": q_time_spine,
-    "pricing_summary": q_pricing_summary,
+    "duplicate_spans": q_duplicate_spans,  # new r05: Lee-et-al span
+    # census (pricing_summary — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail in its place)
     "revenue_by_segment": q_revenue_by_segment,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -2514,6 +2556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h_distinct": q_rollup_1h_distinct,
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
+    "pricing_summary": q_pricing_summary,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac

@@ -485,3 +485,70 @@ def keep_representatives(docs: DataFrame, clusters: DataFrame) -> DataFrame:
             | (F.col("cluster_id") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Substring-level duplication census — the repeated-span signal of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): every position-aware n-word span, counted corpus-wide;
+    each doc reports how much of it is made of spans that occur at
+    least ``min_count`` times anywhere in the corpus (within-doc
+    repeats count toward the total — a doc repeating its own paragraph
+    is as much a memorization hazard as a cross-doc copy).
+
+    Output per doc: (doc_id, n_spans, n_dup_spans, max_span_count,
+    dup_ratio) where n_spans counts positions WITH multiplicity,
+    n_dup_spans the positions whose span clears the corpus threshold,
+    max_span_count the doc's hottest span's corpus count, and
+    dup_ratio = n_dup_spans/n_spans (0.0 for sub-n-word docs).
+
+    Scale shape (unlike pair dedup, entirely LINEAR — no candidate
+    enumeration, so no frequency cap is needed): one explode of 60-bit
+    span hashes (hashed in the array, map-side), one groupBy(span) with
+    map-side partial counts, an inverted-index join back on the long
+    key, one groupBy(doc_id).  The exploded index feeds both the count
+    and the join side, so it is persisted (``shingles_col`` is
+    map-side; without an Exchange there is no ReusedExchange
+    materialization point and the split+md5 would run twice).
+    ``cache_handles``: same contract as ``ngram_jaccard_pairs``.
+    """
+    from pyspark import StorageLevel
+
+    hashed = F.transform(shingles_col(n), word_hash)
+    spans = docs.select(
+        "doc_id", F.explode(hashed).alias("span")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(spans)
+    totals = spans.groupBy("span").agg(F.count("*").alias("total"))
+    dup = (
+        spans.join(totals.filter(F.col("total") >= min_count), "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.max("total").alias("max_span_count"),
+        )
+    )
+    sizes = docs.select("doc_id", F.size(hashed).alias("n_spans"))
+    return sizes.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("max_span_count", F.lit(0)).cast("long").alias(
+            "max_span_count"
+        ),
+        F.when(F.col("n_spans") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                6,
+            )
+        )
+        .alias("dup_ratio"),
+    )

@@ -290,3 +290,52 @@ def point_in_interval_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_bin")
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key: str = "user_id",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Overlapping-interval merge per key (PostgreSQL ``range_agg`` /
+    the classic gaps-and-islands reduction): sorted by start, a new
+    island begins where the interval's start lies strictly past the
+    running max of all previous ends; each island collapses to
+    (min start, max end).  Touching intervals (start == previous end)
+    merge — intervals are [start, end) so they cover abutting time.
+
+    Output: (key, merged_start, merged_end, n_merged, covered_s).
+
+    Two window passes (prev-max-end, then the cumulative island sum)
+    and the final groupBy all share the per-key partitioning, so the
+    whole chain costs ONE shuffle; islands are numbered by local order
+    within each key, never across keys — no global coordination, scales
+    per-key like every other window operator here.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    end_us = F.unix_micros(F.col(end).cast("timestamp"))  # NTZ-safe
+    start_us = F.unix_micros(F.col(start).cast("timestamp"))
+    prev_max_end = F.max(end_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (start_us > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(key, "_island").agg(
+        F.min(start).alias("merged_start"),
+        F.max(end).alias("merged_end"),
+        F.count("*").alias("n_merged"),
+        F.round(
+            (F.max(end_us) - F.min(start_us)) / 1e6, 6
+        ).alias("covered_s"),
+    ).drop("_island")

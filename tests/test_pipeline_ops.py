@@ -823,3 +823,32 @@ def test_frame_sample_uniform_stride(spark):
 
     with _pytest.raises(ValueError):
         frame_sample_stage(df, every_n=0)
+
+
+def test_duplicate_spans_census(spark, docs):
+    """Lee-et-al span census: doc1==doc3 (all 7 spans duplicated),
+    doc2 shares 6 of 7, doc4 is unique, doc5 is sub-span-length."""
+    from gents_spark.operators.dedup import duplicate_spans
+
+    out = {
+        r["doc_id"]: r for r in duplicate_spans(docs, n=3).collect()
+    }
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (7, 7)
+    assert out[1]["dup_ratio"] == 1.0 and out[1]["max_span_count"] == 3
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (7, 6)
+    assert out[2]["dup_ratio"] == round(6 / 7, 6)
+    assert (out[4]["n_dup_spans"], out[4]["max_span_count"]) == (0, 0)
+    assert (out[5]["n_spans"], out[5]["dup_ratio"]) == (0, 0.0)
+
+
+def test_duplicate_spans_counts_within_doc_repeats(spark):
+    """A doc repeating its own n-gram is a memorization hazard even with
+    no cross-doc copy: every position of a self-repeating doc counts."""
+    from gents_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y z x y z")], "doc_id long, text string"
+    )
+    row = duplicate_spans(df, n=3).collect()[0]
+    assert (row["n_spans"], row["n_dup_spans"]) == (7, 7)
+    assert row["max_span_count"] == 3 and row["dup_ratio"] == 1.0
