@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "sax_1d",
     # round-5 span-level dedup census (Lee et al. 2021)
     "duplicate_spans",
+    # round-5 gaps-and-islands interval merge (one shuffle)
+    "merge_intervals_4h",
 ]
 
 

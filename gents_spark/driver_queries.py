@@ -1210,6 +1210,35 @@ def q_interval_join_follow(spark, sf_dir):
     )
 
 
+def q_merge_intervals(spark, sf_dir):
+    """Per-user activity coverage windows: every event opens a
+    [ts, ts+4h) interval; overlapping/touching intervals merge into
+    islands (operators/sessions.py::merge_intervals — the range_agg /
+    gaps-and-islands reduction, one shuffle).  covered_us is projected
+    as exact integer micros (bounds difference) so the oracle compare
+    never touches a float."""
+    from gents_spark.operators.sessions import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        # interval add keeps the NTZ type (see q_interval_join_follow)
+        (F.col("ts") + F.expr("INTERVAL 14400 SECONDS")).alias("end"),
+    )
+    m = merge_intervals(iv, key="user_id", start="start", end="end")
+    return m.select(
+        "user_id",
+        "merged_start",
+        "merged_end",
+        "n_merged",
+        (
+            F.unix_micros(F.col("merged_end").cast("timestamp"))
+            - F.unix_micros(F.col("merged_start").cast("timestamp"))
+        ).alias("covered_us"),
+    )
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test 5-gram contamination audit over an md5-deterministic
     20% held-out split: (test_doc, train_doc, exact shared-shingle
@@ -2506,7 +2535,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
     # fresh driver stamp; token_count rotated to the tail in its place
-    "funnel_conversion": q_funnel_conversion,
+    "merge_intervals_4h": q_merge_intervals,  # new r05: interval merge
+    # (funnel_conversion — r04-stamped — rotated to the tail in its
+    # place)
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
     # label queries, re-verified by check_oracles this session) ---
@@ -2557,6 +2588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "pricing_summary": q_pricing_summary,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -2645,6 +2677,33 @@ SESSION_ORACLES: dict[str, str] = {
          AND p.ts >= err.w_start AND p.ts < err.w_end
          AND p.event_id <> err.err_id
         GROUP BY 1
+    """,
+    "merge_intervals_4h": """
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 14400 SECOND AS e
+            FROM events
+        ), pm AS (
+            SELECT user_id, s, e,
+                   max(epoch_us(e)) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM iv
+        ), fl AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_max IS NULL OR epoch_us(s) > prev_max
+                        THEN 1 ELSE 0 END AS ni
+            FROM pm
+        ), isl AS (
+            SELECT user_id, s, e,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM fl
+        )
+        SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
+               count(*)::BIGINT AS n_merged,
+               (epoch_us(max(e)) - epoch_us(min(s)))::BIGINT AS covered_us
+        FROM isl GROUP BY user_id, island
     """,
     "contamination_ngram": _SHINGLE5_SQL + f"""
         , split AS (SELECT doc_id,

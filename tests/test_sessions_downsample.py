@@ -18,6 +18,7 @@ from gents_spark.operators.sampling import (
     stratified_sample,
 )
 from gents_spark.operators.sessions import (
+    merge_intervals,
     point_in_interval_join,
     session_stats,
     sessionize,
@@ -982,3 +983,38 @@ def test_sax_words_match_python_and_boundaries(spark):
     assert got[("s0", boundary_day)] == ("b", 1)
     with _pytest.raises(ValueError):
         sax_words(df, breakpoints=(5000, 2500))
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=a), T0 + timedelta(minutes=b))
+         for u, a, b in rows],
+        "user_id long, start timestamp, end timestamp",
+    )
+
+
+def test_merge_intervals_islands_and_touching(spark):
+    # user 1: [0,10) merges with touching [10,20); [30,40) is separate
+    # user 2: independent island numbering (no cross-key coordination)
+    df = _iv(spark, [(1, 0, 10), (1, 10, 20), (1, 30, 40), (2, 5, 15)])
+    out = sorted(
+        merge_intervals(df).collect(),
+        key=lambda r: (r.user_id, r.merged_start),
+    )
+    assert [(r.user_id, r.n_merged, r.covered_s) for r in out] == [
+        (1, 2, 1200.0), (1, 1, 600.0), (2, 1, 600.0),
+    ]
+    assert out[0].merged_start == T0
+    assert out[0].merged_end == T0 + timedelta(minutes=20)
+
+
+def test_merge_intervals_running_max_not_lag(spark):
+    # A [0,100) contains B [10,20); C [50,150) overlaps A but starts
+    # past B's end — a lag(end)-based merge would wrongly split C off,
+    # the running max(end) keeps all three in one island.
+    df = _iv(spark, [(1, 0, 100), (1, 10, 20), (1, 50, 150)])
+    out = merge_intervals(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_merged, r.covered_s) == (3, 9000.0)
+    assert r.merged_end == T0 + timedelta(minutes=150)
