@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "duplicate_spans",
     # round-5 gaps-and-islands interval merge (one shuffle)
     "merge_intervals_4h",
+    # round-5 overlap-coefficient near-dup (shares the jaccard core)
+    "dedup_containment",
 ]
 
 

@@ -867,6 +867,20 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(docs, bits=16)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Overlap-coefficient near-dup (n_common / min set size) — the
+    subset/quote signal Jaccard dilutes for asymmetric doc sizes
+    (operators/dedup.py::containment_pairs).  Same frequency-capped
+    inverted-index shape as dedup_ngram_jaccard; no cache_handles for
+    the same lazy-gate reason as q_dedup_ngram_jaccard."""
+    from gents_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return containment_pairs(docs, n=3, threshold=0.8, max_shingle_df=50)
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplication census (Lee et al. 2021): per doc,
     how many of its position-aware 5-word spans occur >=2 times
@@ -2154,6 +2168,28 @@ DEDUP_ORACLES: dict[str, str] = {
               JOIN sizes sb ON sb.doc_id = doc_b)
         SELECT * FROM j WHERE jaccard >= 0.5
     """,
+    "dedup_containment": _SHINGLE_HASH_SQL + """
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+        rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+                 JOIN dfreq USING (shingle) WHERE dfreq.c <= 50),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM rare a JOIN rare b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        common AS (SELECT doc_a, doc_b, count(*) AS n_common
+                   FROM cand
+                   JOIN sh x ON x.doc_id = cand.doc_a
+                   JOIN sh y ON y.doc_id = cand.doc_b
+                             AND y.shingle = x.shingle
+                   GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                     round(n_common::DOUBLE / least(sa.n_sh, sb.n_sh), 6)
+                         AS containment
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT * FROM j WHERE containment >= 0.8
+    """,
     "dedup_minhash_lsh": _SIG_SQL + """
         , bands AS (
             SELECT doc_id, 0 AS band, mh0||','||mh1||','||mh2 AS key FROM sig
@@ -2530,7 +2566,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_segment": q_revenue_by_segment,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_recent_orders": q_customers_with_recent_orders,
-    "topk_orders_per_segment": q_topk_orders_per_segment,
+    "dedup_containment": q_dedup_containment,  # new r05: overlap-
+    # coefficient near-dup (topk_orders_per_segment — r02/r03-stamped,
+    # check_oracles-re-verified every round — rotated to the tail)
     "distinct_union": q_distinct_union,
     # --- r04-stamped keepers filling the head ---
     # rewritten r05 (day-level aggregation before the join) -> needs a
@@ -2589,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "pricing_summary": q_pricing_summary,
     "funnel_conversion": q_funnel_conversion,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac

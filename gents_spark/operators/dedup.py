@@ -131,6 +131,63 @@ def ngram_jaccard_pairs(
     pass a list to receive the handle and unpersist after consuming;
     otherwise reclamation is left to the ContextCleaner.
     """
+    j = _pair_common_counts(docs, n, max_shingle_df, cache_handles)
+    j = j.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ),
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup: ``n_common /
+    min(n_a, n_b)`` (Broder 1997's containment measure over n-gram
+    sets).  The asymmetric-size signal Jaccard dilutes: a 50-word
+    passage quoted inside a 5000-word doc has Jaccard ~0.01 but
+    containment ~1.0 for the smaller doc — the quote/subset
+    relationships a training-data pipeline wants to catch after
+    document-level dedup has passed both docs as "unique".
+
+    Output: (doc_a, doc_b, n_common, n_a, n_b, containment) with
+    doc_a < doc_b; exact integer counts, containment rounded to 6 dp.
+    Same frequency-capped inverted-index shape (and the same exactness
+    caveat) as ``ngram_jaccard_pairs`` — candidates from shingles with
+    df <= ``max_shingle_df``, counts verified over full shingle sets.
+    """
+    c = _pair_common_counts(docs, n, max_shingle_df, cache_handles)
+    out = c.withColumn(
+        "containment",
+        F.round(
+            F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
+        ),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "containment"
+    )
+
+
+def _pair_common_counts(
+    docs: DataFrame,
+    n: int,
+    max_shingle_df: int | None,
+    cache_handles: list | None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b) for every candidate pair
+    sharing >=1 (optionally df-capped) shingle — the shared core of
+    ``ngram_jaccard_pairs`` and ``containment_pairs``; see the former
+    for the cap semantics and the persist rationale."""
     from pyspark import StorageLevel
 
     s = shingle_sets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -182,20 +239,7 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    j = (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-    )
-    return j.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
-    )
+    return common.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

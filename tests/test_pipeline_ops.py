@@ -852,3 +852,53 @@ def test_duplicate_spans_counts_within_doc_repeats(spark):
     row = duplicate_spans(df, n=3).collect()[0]
     assert (row["n_spans"], row["n_dup_spans"]) == (7, 7)
     assert row["max_span_count"] == 3 and row["dup_ratio"] == 1.0
+
+
+def test_containment_flags_subset_doc(spark):
+    """A short doc fully quoted inside a long one: Jaccard dilutes to
+    n_small/n_big but containment == 1.0 — the signal the operator
+    exists for.  Unrelated docs never pair."""
+    from gents_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, "zero one two " + quote + " ninety nine hundred and more"),
+            (3, "entirely unrelated words in this third document here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r["n_common"], r["n_a"]) == (3, 3) and r["containment"] == 1.0
+    # jaccard on the same pair is far below its own dedup threshold
+    j = {
+        (x["doc_a"], x["doc_b"]): x["jaccard"]
+        for x in ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert j[(1, 2)] < 0.3
+
+
+def test_containment_respects_shingle_df_cap(docs):
+    """With every shared shingle hotter than the cap, the candidate
+    pair disappears (boilerplate-only pairs are skipped by design);
+    with no cap it is found with exact counts."""
+    from gents_spark.operators.dedup import containment_pairs
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert uncapped[(1, 3)] == 1.0  # exact dup
+    capped = containment_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=1
+    ).collect()
+    assert capped == []
