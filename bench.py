@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "merge_intervals_4h",
     # round-5 overlap-coefficient near-dup (shares the jaccard core)
     "dedup_containment",
+    # round-5 median/MAD robust outlier screen
+    "mad_outliers",
 ]
 
 

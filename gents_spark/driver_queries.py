@@ -1602,6 +1602,20 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier screen per user (Hampel identifier,
+    |robust_z| > 3.5) — the 50%-breakdown complement to
+    rolling_zscore's trailing mean/std (operators/anomaly.py::
+    mad_outliers).  One groupBy + one stats join; both percentiles from
+    a single sorted array via sorted_percentile == quantile_cont."""
+    from gents_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value="value", threshold=3.5,
+    )
+
+
 def q_ewma_1h(spark, sf_dir):
     """Trailing-24h EWMA smoother over hourly per-source means
     (operators/anomaly.py::ewma_smooth).  Hourly means come from exact
@@ -2563,7 +2577,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,  # new r05: Lee-et-al span
     # census (pricing_summary — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail in its place)
-    "revenue_by_segment": q_revenue_by_segment,
+    "mad_outliers": q_mad_outliers,  # new r05: median/MAD robust
+    # screen (revenue_by_segment — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail)
     "customers_no_orders": q_customers_no_orders,
     "customers_with_recent_orders": q_customers_with_recent_orders,
     "dedup_containment": q_dedup_containment,  # new r05: overlap-
@@ -2628,6 +2644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "funnel_conversion": q_funnel_conversion,
     "topk_orders_per_segment": q_topk_orders_per_segment,
+    "revenue_by_segment": q_revenue_by_segment,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -2920,6 +2937,26 @@ SESSION_ORACLES: dict[str, str] = {
                    AS zscore
         FROM r
         WHERE n >= 8 AND (n*s2 - s*s) > 0
+    """,
+    # med/MAD pair via quantile_cont == sorted_percentile (the proven
+    # rollup recipe); the threshold filter runs on the UNROUNDED score
+    # in both engines
+    "mad_outliers": """
+        WITH s AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ), m AS (
+            SELECT e.user_id, any_value(s.med) AS med,
+                   quantile_cont(abs(e.value - s.med), 0.5) AS mad
+            FROM events e JOIN s USING (user_id)
+            GROUP BY e.user_id
+        )
+        SELECT e.user_id, e.ts, e.value,
+               round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+               round(0.6745 * (e.value - m.med) / m.mad, 6) AS robust_z
+        FROM events e JOIN m USING (user_id)
+        WHERE m.mad > 0
+          AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
     """,
 }
 

@@ -88,6 +88,78 @@ def rolling_zscore(
     return out
 
 
+def mad_outliers(
+    points: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    threshold: float | None = 3.5,
+    consistency: float = 0.6745,
+) -> DataFrame:
+    """Robust per-key outlier screen via median/MAD (the Hampel
+    identifier; Leys et al. 2013's recommended replacement for the
+    mean/std z-score): ``robust_z = consistency * (v - med) / MAD``
+    with ``MAD = median(|v - med|)``.  Mean/std both move with the very
+    outliers they're meant to flag (masking); the 50% breakdown point
+    of median/MAD keeps the baseline pinned even when a feed is
+    heavily polluted — the screen to run on a suspect shard *before*
+    trusting ``rolling_zscore``'s trailing-window stats.
+
+    Shape: one groupBy(key) collects the per-key sorted value array;
+    the median AND the MAD are then both computed map-side from that
+    single array (deviation array re-sorted in-expression — no second
+    shuffle, no self-join), and the |keys|-row stats table joins back
+    to the stream.  The per-key array is the same exact-percentile
+    trade documented in rollup.py (HOT_BUCKET_LIMIT): a key holding
+    10^7+ points should be pre-bucketed or screened with the sketch
+    path instead.
+
+    ``_med`` is bound as a materialized column BEFORE the deviation
+    ``transform`` so the lambda sees a column reference, not an
+    expression re-evaluated per element (the HOF-CSE trap,
+    functions/codec_udfs.py).  Keys with MAD == 0 (constant series)
+    yield NULL robust_z — a threshold filter drops them rather than
+    dividing by zero.  Output: (key, ts, value, med, mad, robust_z),
+    stats rounded to 6 dp, the filter applied on the UNROUNDED score.
+    """
+    from gents_spark.operators.rollup import sorted_percentile
+
+    sv = F.sort_array(F.collect_list(F.col(value).cast("double")))
+    stats = (
+        points.groupBy(key)
+        .agg(sv.alias("_sv"))
+        .withColumn("_med", sorted_percentile(F.col("_sv"), 0.5))
+    )
+    dev = F.sort_array(
+        F.transform(F.col("_sv"), lambda x: F.abs(x - F.col("_med")))
+    )
+    stats = stats.withColumn("_mad", sorted_percentile(dev, 0.5)).select(
+        key, "_med", "_mad"
+    )
+    z = (
+        F.lit(consistency)
+        * (F.col(value).cast("double") - F.col("_med"))
+        / F.col("_mad")
+    )
+    out = (
+        points.join(stats, key)
+        .withColumn(
+            "robust_z",
+            F.when(F.col("_mad") > 0, z).otherwise(F.lit(None)),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.abs(F.col("robust_z")) > threshold)
+    return out.select(
+        key,
+        ts,
+        value,
+        F.round("_med", 6).alias("med"),
+        F.round("_mad", 6).alias("mad"),
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
 def ewma_smooth(
     series: DataFrame,
     key: str = "source",

@@ -1018,3 +1018,29 @@ def test_merge_intervals_running_max_not_lag(spark):
     r = out[0]
     assert (r.n_merged, r.covered_s) == (3, 9000.0)
     assert r.merged_end == T0 + timedelta(minutes=150)
+
+
+def test_mad_outliers_flags_spike_exactly(spark):
+    from gents_spark.operators.anomaly import mad_outliers
+
+    # sorted [10,10,11,11,12,12,13,100]: med=11.5; deviations sorted
+    # [.5,.5,.5,.5,1.5,1.5,1.5,88.5]: MAD=1.0; z(100)=0.6745*88.5
+    vals = [10.0, 12.0, 11.0, 13.0, 12.0, 10.0, 11.0, 100.0]
+    rows = [(1, T0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    out = mad_outliers(_ev(spark, rows), threshold=3.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.value, r.med, r.mad) == (100.0, 11.5, 1.0)
+    assert r.robust_z == pytest.approx(0.6745 * 88.5, abs=1e-6)
+
+
+def test_mad_outliers_zero_mad_never_divides(spark):
+    from gents_spark.operators.anomaly import mad_outliers
+
+    # constant-majority series: MAD == 0 -> NULL z, spike NOT flagged
+    # (the documented contract; a div-by-zero would flag everything)
+    vals = [5.0, 5.0, 5.0, 5.0, 100.0]
+    rows = [(1, T0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    assert mad_outliers(_ev(spark, rows), threshold=3.5).count() == 0
+    unfiltered = mad_outliers(_ev(spark, rows), threshold=None).collect()
+    assert all(r.robust_z is None for r in unfiltered)
