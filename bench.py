@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     # round-5 median/MAD robust outlier screen
     "mad_outliers",
+    # round-5 Theil-Sen robust trend (bounded pairwise-slope median)
+    "theil_sen_168h",
 ]
 
 

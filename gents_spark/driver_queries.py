@@ -1702,6 +1702,29 @@ def q_trend_slope(spark, sf_dir):
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Per-source Theil-Sen robust trend (median of pairwise slopes)
+    over the trailing 168 hourly cents-sums — the outlier-immune
+    companion to trend_slope's OLS (operators/anomaly.py::
+    theil_sen_slope).  Slopes are bigint-difference ratios; the median
+    via sorted_percentile == quantile_cont."""
+    from gents_spark.operators.anomaly import theil_sen_slope
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+    )
+    return theil_sen_slope(
+        hourly, key="source", order_idx="t", value="s",
+        max_points=168, scale_div=100.0,
+    )
+
+
 def q_seasonal_1h(spark, sf_dir):
     """Hour-of-day seasonal baseline + residual per source over hourly
     cents-sums (operators/anomaly.py::seasonal_baseline) — exact
@@ -2581,7 +2604,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # screen (revenue_by_segment — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail)
     "customers_no_orders": q_customers_no_orders,
-    "customers_with_recent_orders": q_customers_with_recent_orders,
+    "theil_sen_168h": q_theil_sen,  # new r05: robust trend median
+    # (customers_with_recent_orders — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail)
     "dedup_containment": q_dedup_containment,  # new r05: overlap-
     # coefficient near-dup (topk_orders_per_segment — r02/r03-stamped,
     # check_oracles-re-verified every round — rotated to the tail)
@@ -2645,6 +2670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
+    "customers_with_recent_orders": q_customers_with_recent_orders,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -3243,6 +3269,37 @@ ORACLES: dict[str, str] = {
                         * CAST(st AS DOUBLE))
                      / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
         FROM g
+    """,
+    "theil_sen_168h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, epoch(bucket_start)::BIGINT // 3600 AS t, s,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY epoch(bucket_start) DESC)
+                       AS rk
+            FROM h
+        ), tr AS (
+            SELECT source, t, s FROM d WHERE rk <= 168
+        ), pairs AS (
+            SELECT a.source,
+                   (b.s - a.s)::DOUBLE / (b.t - a.t)::DOUBLE AS sl
+            FROM tr a JOIN tr b
+              ON a.source = b.source AND a.t < b.t
+        ), m AS (
+            SELECT source, quantile_cont(sl, 0.5) AS med,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs GROUP BY 1
+        ), c AS (
+            SELECT source, count(*)::BIGINT AS n_buckets FROM tr GROUP BY 1
+        )
+        SELECT c.source, c.n_buckets,
+               coalesce(m.n_pairs, 0)::BIGINT AS n_pairs,
+               round(m.med / 100.0, 6) AS slope
+        FROM c LEFT JOIN m USING (source)
     """,
     # CUSUM closed-form twin: every statistic term is an exact BIGINT
     # window aggregate; doubles only in the final display division

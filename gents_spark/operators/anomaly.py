@@ -758,6 +758,93 @@ def ols_trend(
     )
 
 
+def theil_sen_slope(
+    series: DataFrame,
+    key: str = "source",
+    order_idx: str = "t",
+    value: str = "s",
+    max_points: int = 168,
+    scale_div: float = 100.0,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(v_j - v_i)/(t_j - t_i)`` over the trailing ``max_points``
+    buckets (Theil 1950; Sen 1968).  The ~29%-breakdown companion to
+    ``ols_trend``: one bad bucket (a backfill burst, a unit flip) drags
+    an OLS slope arbitrarily far, while the slope median doesn't move
+    until a third of the window is polluted.
+
+    Input contract matches ``ols_trend``: integer ``order_idx`` (e.g.
+    absolute epoch-hour) and an exact integer ``value`` (cents-sums) —
+    every pairwise slope is then a bigint-difference ratio, identical
+    doubles in any engine, and the median comes from
+    ``sorted_percentile`` (== DuckDB ``quantile_cont``).
+
+    Scale shape: a per-key ``row_number`` bounds state to the trailing
+    ``max_points`` rows FIRST (the rank window and the groupBy share
+    the key partitioning — one shuffle), then the C(n,2) slope array
+    (168 points -> 14,028 doubles, a few hundred KB) is generated,
+    sorted and median-extracted entirely map-side.  The O(n²) pair set
+    is why ``max_points`` is mandatory — Theil–Sen over an unbounded
+    history is quadratic no matter the engine.
+
+    Output: (key, n_buckets, n_pairs, slope) — slope in value-units
+    (after ``scale_div``) per order_idx step; NULL for single-bucket
+    keys (no pair to take a median of).
+    """
+    if max_points < 2:
+        raise ValueError(f"max_points={max_points}: expected >= 2")
+    from gents_spark.operators.rollup import sorted_percentile
+
+    wr = Window.partitionBy(key).orderBy(F.col(order_idx).cast("long").desc())
+    trail = (
+        series.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= max_points)
+    )
+    g = trail.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_idx).cast("long").alias("t"),
+                    F.col(value).cast("long").alias("v"),
+                )
+            )
+        ).alias("_pts")
+    )
+    n = F.size("_pts")
+    pts = F.col("_pts")
+    slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), j - F.lit(1)),
+                lambda i: (
+                    (
+                        F.element_at(pts, j)["v"] - F.element_at(pts, i)["v"]
+                    ).cast("double")
+                    / (
+                        F.element_at(pts, j)["t"] - F.element_at(pts, i)["t"]
+                    ).cast("double")
+                ),
+            ),
+        )
+    )
+    med = sorted_percentile(F.sort_array(slopes), 0.5)
+    return g.select(
+        key,
+        n.cast("long").alias("n_buckets"),
+        # exact floor-div-2 of the long pair count (shiftright idiom)
+        F.shiftright((n.cast("long") * (n.cast("long") - 1)), 1).alias(
+            "n_pairs"
+        ),
+        # CaseWhen evaluates only the matched branch — the slope array
+        # (whose sequence(2, n) would run BACKWARD for n == 1 and index
+        # out of bounds under ANSI) is never built for single-bucket keys
+        F.when(n >= 2, F.round(med / F.lit(float(scale_div)), 6)).alias(
+            "slope"
+        ),
+    )
+
+
 def seasonal_baseline(
     series: DataFrame,
     key: str = "source",

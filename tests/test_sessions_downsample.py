@@ -1044,3 +1044,38 @@ def test_mad_outliers_zero_mad_never_divides(spark):
     assert mad_outliers(_ev(spark, rows), threshold=3.5).count() == 0
     unfiltered = mad_outliers(_ev(spark, rows), threshold=None).collect()
     assert all(r.robust_z is None for r in unfiltered)
+
+
+def test_theil_sen_resists_outlier(spark):
+    from gents_spark.operators.anomaly import ols_trend, theil_sen_slope
+
+    # clean ramp of 100 cents/step with one wild endpoint: 6 of the 10
+    # pairwise slopes are exactly 100, so the median stays 100 (slope
+    # 1.0 after scale_div) while OLS is dragged far above it
+    rows = [(s, t, v) for s in ("a",)
+            for t, v in enumerate([0, 100, 200, 300, 10000])]
+    df = spark.createDataFrame(rows, "source string, t long, s long")
+    r = theil_sen_slope(df, max_points=168).collect()[0]
+    assert (r.n_buckets, r.n_pairs, r.slope) == (5, 10, 1.0)
+    ols = ols_trend(df).collect()[0]
+    assert ols.slope > 15.0  # OLS is hijacked by the endpoint
+
+
+def test_theil_sen_trailing_bound_and_single_bucket(spark):
+    import pytest as _pytest
+
+    from gents_spark.operators.anomaly import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [("a", t, 100 * t) for t in range(5)] + [("b", 7, 42)],
+        "source string, t long, s long",
+    )
+    out = {r.source: r for r in theil_sen_slope(df, max_points=3).collect()}
+    # only the trailing 3 buckets (t=2,3,4) feed the pair set
+    assert (out["a"].n_buckets, out["a"].n_pairs) == (3, 3)
+    assert out["a"].slope == 1.0
+    # a single-bucket key yields NULL slope, never an index error
+    assert (out["b"].n_buckets, out["b"].n_pairs) == (1, 0)
+    assert out["b"].slope is None
+    with _pytest.raises(ValueError):
+        theil_sen_slope(df, max_points=1)
