@@ -2603,7 +2603,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,  # new r05: median/MAD robust
     # screen (revenue_by_segment — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail)
-    "customers_no_orders": q_customers_no_orders,
     "theil_sen_168h": q_theil_sen,  # new r05: robust trend median
     # (customers_with_recent_orders — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail)
@@ -2612,11 +2611,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # check_oracles-re-verified every round — rotated to the tail)
     "distinct_union": q_distinct_union,
     # --- r04-stamped keepers filling the head ---
-    # rewritten r05 (day-level aggregation before the join) -> needs a
-    # fresh driver stamp; token_count rotated to the tail in its place
+    # funnel: rewritten r05 (day-level aggregation before the join) ->
+    # needs a fresh driver stamp; token_count rotated to the tail in
+    # its place
+    "funnel_conversion": q_funnel_conversion,
     "merge_intervals_4h": q_merge_intervals,  # new r05: interval merge
-    # (funnel_conversion — r04-stamped — rotated to the tail in its
-    # place)
+    # (customers_no_orders — r02/r03-stamped, check_oracles-re-verified
+    # every round — rotated to the tail in its place)
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
     # label queries, re-verified by check_oracles this session) ---
@@ -2667,7 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "cohort_retention": q_cohort_retention,
     "pricing_summary": q_pricing_summary,
-    "funnel_conversion": q_funnel_conversion,
+    "customers_no_orders": q_customers_no_orders,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,

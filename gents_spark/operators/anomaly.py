@@ -790,6 +790,14 @@ def theil_sen_slope(
     Output: (key, n_buckets, n_pairs, slope) — slope in value-units
     (after ``scale_div``) per order_idx step; NULL for single-bucket
     keys (no pair to take a median of).
+
+    ``order_idx`` must be DISTINCT per key (one bucket per index — the
+    contract every bucketed producer upstream satisfies).  A violation
+    degrades gracefully rather than silently skewing the median:
+    equal-index pairs are excluded from the slope set (mirroring the
+    oracle's strict ``t_i < t_j``), n_pairs counts only the surviving
+    pairs — but the trailing-``max_points`` cutoff ties on the
+    duplicate index, so WHICH duplicate survives is not defined.
     """
     if max_points < 2:
         raise ValueError(f"max_points={max_points}: expected >= 2")
@@ -817,25 +825,31 @@ def theil_sen_slope(
             F.sequence(F.lit(2), n),
             lambda j: F.transform(
                 F.sequence(F.lit(1), j - F.lit(1)),
-                lambda i: (
+                # equal-index pairs (a contract violation) yield NULL,
+                # not an IEEE Infinity that would sort to the tail and
+                # skew the median
+                lambda i: F.when(
+                    F.element_at(pts, j)["t"] != F.element_at(pts, i)["t"],
                     (
                         F.element_at(pts, j)["v"] - F.element_at(pts, i)["v"]
                     ).cast("double")
                     / (
                         F.element_at(pts, j)["t"] - F.element_at(pts, i)["t"]
-                    ).cast("double")
+                    ).cast("double"),
                 ),
             ),
         )
     )
+    slopes = F.filter(slopes, lambda x: x.isNotNull())
     med = sorted_percentile(F.sort_array(slopes), 0.5)
     return g.select(
         key,
         n.cast("long").alias("n_buckets"),
-        # exact floor-div-2 of the long pair count (shiftright idiom)
-        F.shiftright((n.cast("long") * (n.cast("long") - 1)), 1).alias(
-            "n_pairs"
-        ),
+        # surviving (strictly-increasing-index) pairs == C(n,2) under
+        # the distinctness contract; fewer when it is violated
+        F.when(n >= 2, F.size(slopes).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_pairs"),
         # CaseWhen evaluates only the matched branch — the slope array
         # (whose sequence(2, n) would run BACKWARD for n == 1 and index
         # out of bounds under ANSI) is never built for single-bucket keys

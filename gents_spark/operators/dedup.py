@@ -578,7 +578,10 @@ def duplicate_spans(
             F.max("total").alias("max_span_count"),
         )
     )
-    sizes = docs.select("doc_id", F.size(hashed).alias("n_spans"))
+    # size of the UNHASHED shingle array: identical count (transform is
+    # 1:1) without re-running the per-span md5 over the whole corpus —
+    # Spark has no size(transform(x)) -> size(x) rewrite rule
+    sizes = docs.select("doc_id", F.size(shingles_col(n)).alias("n_spans"))
     return sizes.join(dup, "doc_id", "left").select(
         "doc_id",
         "n_spans",

@@ -1079,3 +1079,19 @@ def test_theil_sen_trailing_bound_and_single_bucket(spark):
     assert out["b"].slope is None
     with _pytest.raises(ValueError):
         theil_sen_slope(df, max_points=1)
+
+
+def test_theil_sen_duplicate_index_degrades_gracefully(spark):
+    """Contract violation (duplicate t within a key): equal-index pairs
+    are EXCLUDED from the slope set (mirroring the oracle's strict
+    t_i < t_j), never divided into an IEEE Infinity that would skew
+    the median."""
+    from gents_spark.operators.anomaly import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [("c", 1, 10), ("c", 1, 20), ("c", 2, 30)],
+        "source string, t long, s long",
+    )
+    r = theil_sen_slope(df, max_points=10, scale_div=1.0).collect()[0]
+    # surviving pairs: (1,10)->(2,30)=20 and (1,20)->(2,30)=10
+    assert (r.n_buckets, r.n_pairs, r.slope) == (3, 2, 15.0)
