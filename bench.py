@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "mad_outliers",
     # round-5 Theil-Sen robust trend (bounded pairwise-slope median)
     "theil_sen_168h",
+    # round-5 stuck-feed flatline census (all-integer islands)
+    "flatline_1h",
 ]
 
 

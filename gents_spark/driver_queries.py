@@ -1725,6 +1725,26 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_flatline_1h(spark, sf_dir):
+    """Stuck-feed screen: maximal runs (>=3 consecutive grid hours) of
+    IDENTICAL hourly event counts per source (operators/anomaly.py::
+    flatline_runs) — all-integer gaps-and-islands, one shuffle."""
+    from gents_spark.operators.anomaly import flatline_runs
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("s"))
+        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+    )
+    return flatline_runs(
+        hourly, key="source", order_idx="t", value="s", min_run=3
+    )
+
+
 def q_seasonal_1h(spark, sf_dir):
     """Hour-of-day seasonal baseline + residual per source over hourly
     cents-sums (operators/anomaly.py::seasonal_baseline) — exact
@@ -2609,7 +2629,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,  # new r05: overlap-
     # coefficient near-dup (topk_orders_per_segment — r02/r03-stamped,
     # check_oracles-re-verified every round — rotated to the tail)
-    "distinct_union": q_distinct_union,
+    "flatline_1h": q_flatline_1h,  # new r05: stuck-feed run census
+    # (distinct_union — r02/r03-stamped, check_oracles-re-verified
+    # every round — rotated to the tail)
     # --- r04-stamped keepers filling the head ---
     # funnel: rewritten r05 (day-level aggregation before the join) ->
     # needs a fresh driver stamp; token_count rotated to the tail in
@@ -2669,6 +2691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "pricing_summary": q_pricing_summary,
     "customers_no_orders": q_customers_no_orders,
+    "distinct_union": q_distinct_union,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -3270,6 +3293,31 @@ ORACLES: dict[str, str] = {
                         * CAST(st AS DOUBLE))
                      / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
         FROM g
+    """,
+    "flatline_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS b,
+                   count(*)::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, epoch(b)::BIGINT // 3600 AS t, s FROM h
+        ), f AS (
+            SELECT source, t, s,
+                   CASE WHEN lag(t) OVER w IS NULL
+                          OR t != lag(t) OVER w + 1
+                          OR s != lag(s) OVER w
+                        THEN 1 ELSE 0 END AS ni
+            FROM d WINDOW w AS (PARTITION BY source ORDER BY t)
+        ), i AS (
+            SELECT source, t, s,
+                   sum(ni) OVER (PARTITION BY source ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+            FROM f
+        )
+        SELECT source, min(t)::BIGINT AS t_start, max(t)::BIGINT AS t_end,
+               count(*)::BIGINT AS n_buckets, min(s)::BIGINT AS v
+        FROM i GROUP BY source, isl HAVING count(*) >= 3
     """,
     "theil_sen_168h": """
         WITH h AS (

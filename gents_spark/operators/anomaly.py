@@ -644,6 +644,65 @@ def _tvd_from_counts(
     )
 
 
+def flatline_runs(
+    series: DataFrame,
+    key: str = "source",
+    order_idx: str = "t",
+    value: str = "s",
+    min_run: int = 3,
+) -> DataFrame:
+    """Stuck-signal detector per key: maximal runs of consecutive
+    buckets carrying the IDENTICAL value on a contiguous grid — the
+    classic dead-sensor / frozen-feed signature (a metric that keeps
+    reporting, but reports the same number every interval, is usually
+    a wedged collector, not a quiet system).
+
+    Input contract matches ``ols_trend``: integer ``order_idx`` (e.g.
+    absolute epoch-hour) and an exact integer ``value``.  A run BREAKS
+    on a value change OR a grid gap (``t != prev_t + 1``) — a sensor
+    that stops reporting is a *gap* (``gap_report``'s job), not a
+    flatline; only uninterrupted repetition counts.
+
+    Output: (key, t_start, t_end, n_buckets, v) for runs of length >=
+    ``min_run`` — all exact integers, trivially hash-stable.
+
+    Scale shape: the merge_intervals gaps-and-islands class — ONE
+    shuffle on ``key``; the lag flag, the island cumsum and the final
+    groupBy all share the per-key partitioning.
+    """
+    if min_run < 2:
+        raise ValueError(f"min_run={min_run}: expected >= 2")
+    t = F.col(order_idx).cast("long")
+    v = F.col(value).cast("long")
+    w = Window.partitionBy(key).orderBy(t)
+    prev_t = F.lag(t).over(w)
+    prev_v = F.lag(v).over(w)
+    flagged = series.withColumn(
+        "_ni",
+        F.when(
+            prev_t.isNull()
+            | (t != prev_t + 1)
+            | (v != prev_v),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(key, "_isl")
+        .agg(
+            F.min(t).alias("t_start"),
+            F.max(t).alias("t_end"),
+            F.count("*").alias("n_buckets"),
+            F.min(v).alias("v"),
+        )
+        .filter(F.col("n_buckets") >= min_run)
+        .drop("_isl")
+    )
+
+
 def level_shift(
     series: DataFrame,
     key: str = "source",

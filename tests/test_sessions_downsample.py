@@ -1095,3 +1095,33 @@ def test_theil_sen_duplicate_index_degrades_gracefully(spark):
     r = theil_sen_slope(df, max_points=10, scale_div=1.0).collect()[0]
     # surviving pairs: (1,10)->(2,30)=20 and (1,20)->(2,30)=10
     assert (r.n_buckets, r.n_pairs, r.slope) == (3, 2, 15.0)
+
+
+def test_flatline_runs_census(spark):
+    import pytest as _pytest
+
+    from gents_spark.operators.anomaly import flatline_runs
+
+    rows = (
+        # a: 5,5,5 then 7,7 then 9,9 -> only the triple survives min_run=3
+        [("a", t, v) for t, v in enumerate([5, 5, 5, 7, 7, 9, 9])]
+        # b: identical values but a grid GAP at t=12 breaks the run
+        + [("b", 10, 4), ("b", 11, 4), ("b", 13, 4), ("b", 14, 4)]
+    )
+    df = spark.createDataFrame(rows, "source string, t long, s long")
+    out = flatline_runs(df, min_run=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.t_start, r.t_end, r.n_buckets, r.v) == (
+        "a", 0, 2, 3, 5,
+    )
+    # min_run=2 sees every repeat, gap still splits b into 2+2
+    out2 = sorted(
+        flatline_runs(df, min_run=2).collect(),
+        key=lambda x: (x.source, x.t_start),
+    )
+    assert [(r.source, r.t_start, r.n_buckets) for r in out2] == [
+        ("a", 0, 3), ("a", 3, 2), ("a", 5, 2), ("b", 10, 2), ("b", 13, 2),
+    ]
+    with _pytest.raises(ValueError):
+        flatline_runs(df, min_run=1)
