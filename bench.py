@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "theil_sen_168h",
     # round-5 stuck-feed flatline census (all-integer islands)
     "flatline_1h",
+    # round-5 Benford first-digit forensic screen
+    "benford_values",
 ]
 
 

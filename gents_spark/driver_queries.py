@@ -23,8 +23,17 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from gents_spark.operators.anomaly import BENFORD_P
 from gents_spark.operators.gapfill import gapfill
 from gents_spark.operators.rollup import TIER_UNITS
+
+#: Benford first-digit CASE for the DuckDB twin — repr() round-trips
+#: each Python double exactly, so both engines hold identical constants
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+    + " END"
+)
 
 # --------------------------------------------------------------------------
 # helpers
@@ -1725,6 +1734,20 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_benford_values(spark, sf_dir):
+    """First-digit Benford census of event values per source
+    (operators/anomaly.py::benford_screen) — digit extracted from the
+    cents integer's decimal string (no float log path); the Benford
+    constants are injected into the DuckDB twin from the SAME Python
+    floats, so obs/dev doubles are identical by construction."""
+    from gents_spark.operators.anomaly import benford_screen
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"), "value"
+    )
+    return benford_screen(ev, key="source", value="value", scale=2)
+
+
 def q_flatline_1h(spark, sf_dir):
     """Stuck-feed screen: maximal runs (>=3 consecutive grid hours) of
     IDENTICAL hourly event counts per source (operators/anomaly.py::
@@ -2616,7 +2639,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
-    "time_spine": q_time_spine,
+    "benford_values": q_benford_values,  # new r05: first-digit forensic
+    # screen (time_spine — r02/r03-stamped, check_oracles-re-verified
+    # every round — rotated to the tail)
     "duplicate_spans": q_duplicate_spans,  # new r05: Lee-et-al span
     # census (pricing_summary — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail in its place)
@@ -2692,6 +2717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "customers_no_orders": q_customers_no_orders,
     "distinct_union": q_distinct_union,
+    "time_spine": q_time_spine,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -3293,6 +3319,32 @@ ORACLES: dict[str, str] = {
                         * CAST(st AS DOUBLE))
                      / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
         FROM g
+    """,
+    # Benford constants injected from the SAME Python floats the engine
+    # uses (repr round-trips the exact double) — obs/dev are then
+    # identical doubles by construction
+    "benford_values": f"""
+        WITH c AS (
+            SELECT event_type AS source,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ), d AS (
+            SELECT source, CAST(substr(c::VARCHAR, 1, 1) AS INT) AS digit
+            FROM c WHERE c > 0
+        ), g AS (
+            SELECT source, digit, count(*)::BIGINT AS cnt
+            FROM d GROUP BY 1, 2
+        ), t AS (
+            SELECT source, digit, cnt,
+                   sum(cnt) OVER (PARTITION BY source)::BIGINT AS total
+            FROM g
+        )
+        SELECT source, digit, cnt, total,
+               round(cnt::DOUBLE / total::DOUBLE, 6) AS obs_frac,
+               round(({_BENFORD_CASE})::DOUBLE, 6) AS benford_frac,
+               round(cnt::DOUBLE / total::DOUBLE
+                     - ({_BENFORD_CASE})::DOUBLE, 6) AS dev
+        FROM t
     """,
     "flatline_1h": """
         WITH h AS (

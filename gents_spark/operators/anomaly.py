@@ -22,6 +22,8 @@ numerator, one double division.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -641,6 +643,67 @@ def _tvd_from_counts(
             ),
             6,
         ).alias("tvd"),
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d) — module-level so
+#: the DuckDB oracle can inject the IDENTICAL double literals
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_screen(
+    df: DataFrame,
+    key: str = "source",
+    value: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """First-significant-digit census per key vs Benford's law — the
+    classic fabricated-data / unit-flip screen (Benford 1938; Nigrini's
+    forensic-accounting usage): organically-generated heavy-tailed
+    magnitudes put ~30.1% of first digits at 1, while synthetic fills,
+    truncated feeds and double-scaled units visibly distort the curve.
+
+    Digit extraction is EXACT — no log10/floor float path: the value is
+    fixed-pointed to an integer (``scale`` decimal places, same contract
+    as rolling_zscore) and the first character of its decimal string is
+    the first significant digit; integer-to-string is stable in every
+    engine.  Non-positive values carry no Benford expectation and are
+    excluded.
+
+    Output per (key, digit) present in the data: ``cnt``, ``total``,
+    ``obs_frac`` (rounded 6dp), ``benford_frac`` (the log10 constant),
+    ``dev`` = obs - expected (rounded 6dp, computed from the UNROUNDED
+    observation and the shared constant).  Digits a key never produces
+    emit no row — their deviation is the constant itself, visible as
+    the missing row.
+
+    Scale shape: one partial+final count aggregation on (key, digit),
+    then a 9-rows-per-key window for the total — the same exchange
+    feeds both; no join, no UDF.
+    """
+    mult = 10 ** scale
+    c = F.round(F.col(value) * mult).cast("bigint")
+    digits = df.filter(c > 0).select(
+        key, F.substring(c.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy(key, "digit").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy(key))
+    bp = F.when(F.col("digit") == 1, F.lit(BENFORD_P[1]))
+    for d in range(2, 10):
+        bp = bp.when(F.col("digit") == d, F.lit(BENFORD_P[d]))
+    obs = F.col("cnt").cast("double") / F.col("total").cast("double")
+    return (
+        counts.withColumn("total", total)
+        .withColumn("benford_frac", F.round(bp, 6))
+        .select(
+            key,
+            "digit",
+            "cnt",
+            "total",
+            F.round(obs, 6).alias("obs_frac"),
+            "benford_frac",
+            F.round(obs - bp, 6).alias("dev"),
+        )
     )
 
 

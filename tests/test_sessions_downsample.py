@@ -1125,3 +1125,23 @@ def test_flatline_runs_census(spark):
     ]
     with _pytest.raises(ValueError):
         flatline_runs(df, min_run=1)
+
+
+def test_benford_screen_exact_census(spark):
+    from gents_spark.operators.anomaly import BENFORD_P, benford_screen
+
+    # digits from the CENTS integer: 1.23 -> 123 -> '1'; 0.05 -> 5 -> '5'
+    # 0.0 and negatives carry no Benford expectation -> excluded
+    rows = [
+        ("a", 1.23), ("a", 19.99), ("a", 0.05), ("a", 0.0), ("a", -3.0),
+        ("b", 2.00),
+    ]
+    df = spark.createDataFrame(rows, "source string, value double")
+    out = {(r.source, r.digit): r for r in benford_screen(df).collect()}
+    assert set(out) == {("a", 1), ("a", 5), ("b", 2)}
+    a1 = out[("a", 1)]
+    assert (a1.cnt, a1.total) == (2, 3)
+    assert a1.obs_frac == round(2 / 3, 6)
+    assert a1.benford_frac == round(BENFORD_P[1], 6)
+    assert a1.dev == round(2 / 3 - BENFORD_P[1], 6)
+    assert out[("b", 2)].obs_frac == 1.0
