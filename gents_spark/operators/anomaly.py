@@ -678,8 +678,9 @@ def benford_screen(
     the missing row.
 
     Scale shape: one partial+final count aggregation on (key, digit),
-    then a 9-rows-per-key window for the total — the same exchange
-    feeds both; no join, no UDF.
+    then a second exchange on key alone for the total window — but that
+    second shuffle moves at most 9 rows per key (the aggregated digit
+    census), never the raw data; no join, no UDF.
     """
     mult = 10 ** scale
     c = F.round(F.col(value) * mult).cast("bigint")
@@ -742,8 +743,14 @@ def flatline_runs(
     prev_v = F.lag(v).over(w)
     flagged = series.withColumn(
         "_ni",
+        # a NULL value (contract violation — the input is an exact
+        # integer metric) BREAKS the run rather than silently continuing
+        # it: v != prev_v is SQL-NULL around a NULL and would otherwise
+        # fall through to otherwise(0), fusing [5, NULL, 5] into one run
         F.when(
             prev_t.isNull()
+            | v.isNull()
+            | prev_v.isNull()
             | (t != prev_t + 1)
             | (v != prev_v),
             F.lit(1),
@@ -963,21 +970,26 @@ def theil_sen_slope(
         )
     )
     slopes = F.filter(slopes, lambda x: x.isNotNull())
-    med = sorted_percentile(F.sort_array(slopes), 0.5)
+    # materialize the O(n^2) slope array ONCE as a column — n_pairs and
+    # the median would otherwise each embed an independent copy of the
+    # flatten/transform/filter tree (HOFs are CodegenFallback and the
+    # copies sit in separate CaseWhen branches, so no CSE rescues it).
+    # CaseWhen evaluates only the matched branch — the array (whose
+    # sequence(2, n) would run BACKWARD for n == 1 and index out of
+    # bounds under ANSI) is never built for single-bucket keys.
+    g = g.withColumn(
+        "_slopes", F.when(n >= 2, F.sort_array(slopes))
+    )
+    med = sorted_percentile(F.col("_slopes"), 0.5)
     return g.select(
         key,
         n.cast("long").alias("n_buckets"),
         # surviving (strictly-increasing-index) pairs == C(n,2) under
         # the distinctness contract; fewer when it is violated
-        F.when(n >= 2, F.size(slopes).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("n_pairs"),
-        # CaseWhen evaluates only the matched branch — the slope array
-        # (whose sequence(2, n) would run BACKWARD for n == 1 and index
-        # out of bounds under ANSI) is never built for single-bucket keys
-        F.when(n >= 2, F.round(med / F.lit(float(scale_div)), 6)).alias(
-            "slope"
+        F.coalesce(F.size("_slopes"), F.lit(0)).cast("long").alias(
+            "n_pairs"
         ),
+        F.round(med / F.lit(float(scale_div)), 6).alias("slope"),
     )
 
 

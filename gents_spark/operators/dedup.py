@@ -578,10 +578,14 @@ def duplicate_spans(
             F.max("total").alias("max_span_count"),
         )
     )
-    # size of the UNHASHED shingle array: identical count (transform is
-    # 1:1) without re-running the per-span md5 over the whole corpus —
-    # Spark has no size(transform(x)) -> size(x) rewrite rule
-    sizes = docs.select("doc_id", F.size(shingles_col(n)).alias("n_spans"))
+    # the span COUNT needs neither hashing nor the concatenated shingle
+    # strings: it is greatest(|words| - (n-1), 0) directly (coalesce
+    # keeps NULL text at 0, matching shingles_col's empty-array
+    # contract) — one split, zero concat/md5 on this side
+    n_spans = F.greatest(
+        F.coalesce(F.size(words_col()), F.lit(0)) - (n - 1), F.lit(0)
+    )
+    sizes = docs.select("doc_id", n_spans.alias("n_spans"))
     return sizes.join(dup, "doc_id", "left").select(
         "doc_id",
         "n_spans",

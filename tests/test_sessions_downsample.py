@@ -1145,3 +1145,16 @@ def test_benford_screen_exact_census(spark):
     assert a1.benford_frac == round(BENFORD_P[1], 6)
     assert a1.dev == round(2 / 3 - BENFORD_P[1], 6)
     assert out[("b", 2)].obs_frac == 1.0
+
+
+def test_flatline_null_value_breaks_run(spark):
+    """[5, NULL, 5] on a contiguous grid is NOT a 3-bucket flatline —
+    NULL comparisons would otherwise fall through to 'same run'."""
+    from gents_spark.operators.anomaly import flatline_runs
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, None), ("a", 2, 5)],
+        "source string, t long, s long",
+    )
+    assert flatline_runs(df, min_run=3).count() == 0
+    assert flatline_runs(df, min_run=2).count() == 0
