@@ -364,3 +364,110 @@ def streaming_heavy_hitters(stream: DataFrame, k: int = 16) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FLATLINE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("t_start", LongType()),
+        StructField("t_end", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("v", LongType()),
+    ]
+)
+
+FLATLINE_STATE_SCHEMA = StructType(
+    [
+        StructField("run_start", LongType()),
+        StructField("run_v", LongType()),
+        StructField("next_t", LongType()),
+        StructField("run_len", LongType()),
+    ]
+)
+
+
+def _flatline_update_fn(min_run: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ts, vs = [], []
+        for pdf in pdfs:
+            if len(pdf):
+                ts.append(pdf["t"].to_numpy(dtype="int64"))
+                vs.append(pdf["v"].to_numpy(dtype="int64"))
+        if not ts:
+            return
+        t = np.concatenate(ts)
+        v = np.concatenate(vs)
+        order = np.argsort(t, kind="stable")
+        t, v = t[order], v[order]
+        # islands WITHIN the batch: vectorized break detection (grid
+        # gap or value change), then a loop over islands only — the
+        # same no-per-row discipline as the MG counters above
+        brk = np.flatnonzero((np.diff(t) != 1) | (np.diff(v) != 0))
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(t) - 1]))
+        open_run = state.get if state.exists else None
+        closed: list[tuple[int, int, int, int]] = []
+        for s, e in zip(starts, ends):
+            i_start, i_end = int(t[s]), int(t[e])
+            i_len, i_v = int(e - s + 1), int(v[s])
+            if open_run is not None:
+                rs, rv, nt, rl = open_run
+                if i_start == nt and i_v == rv:
+                    # the island extends the carried run
+                    open_run = (rs, rv, i_end + 1, rl + i_len)
+                    continue
+                # carried run closes at the island boundary
+                closed.append((rs, nt - 1, rl, rv))
+            open_run = (i_start, i_v, i_end + 1, i_len)
+        # the loop leaves exactly the last island (possibly merged with
+        # the carried run) open; everything in `closed` is final
+        emit = [r for r in closed if r[2] >= min_run]
+        state.update(tuple(int(x) for x in open_run))
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]] * len(emit),
+                    "t_start": [r[0] for r in emit],
+                    "t_end": [r[1] for r in emit],
+                    "n_buckets": [r[2] for r in emit],
+                    "v": [r[3] for r in emit],
+                }
+            )
+
+    return update
+
+
+def streaming_flatline(stream: DataFrame, min_run: int = 3) -> DataFrame:
+    """stream: (source, t, v) bucketed integer metric -> each CLOSED
+    run of >= ``min_run`` consecutive identical buckets, as it closes —
+    the STREAMING twin of ``operators/anomaly.flatline_runs`` (same
+    break rule: value change OR grid gap), emitting the stuck-feed
+    alarm the moment the feed unsticks instead of at the nightly batch
+    census.
+
+    Contract: one row per (source, t) — the upstream bucketed producer
+    (a tier build or windowed count) guarantees it; within a
+    micro-batch rows may arrive unordered (sorted internally), but
+    buckets must not straddle batches out of order.  A run still OPEN
+    never emits (there is no way to know it won't extend); the batch
+    census is the reconciliation path for runs open at end-of-data —
+    the same live/nightly split as streaming_heavy_hitters.
+
+    State per source is one open run (start, value, next-expected-t,
+    length) — O(1) regardless of history.  Restart-deterministic: no
+    processing-time dependence at all, so replaying the same files
+    through the checkpoint yields identical alarms.
+    """
+    if min_run < 2:
+        raise ValueError(f"min_run={min_run}: expected >= 2")
+    return stream.groupBy("source").applyInPandasWithState(
+        _flatline_update_fn(min_run),
+        FLATLINE_OUTPUT_SCHEMA,
+        FLATLINE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

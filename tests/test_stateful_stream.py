@@ -287,3 +287,74 @@ def test_streaming_heavy_hitters_bounds_across_restart(spark, tmp_path):
         # every estimate is an undercount within the emitted bound
         for t, (est, err, _) in summary.items():
             assert est <= truth[s][t] <= est + err, (s, t)
+
+
+def test_streaming_flatline_matches_batch_closed_runs(spark, tmp_path):
+    """Runs crossing BOTH a micro-batch boundary and a checkpoint
+    restart must merge in state and emit once, equal to the batch
+    census' closed qualifying runs."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gents_spark.operators.anomaly import flatline_runs
+    from gents_spark.streaming.stateful import streaming_flatline
+
+    in_path = str(tmp_path / "fl_in")
+    out_path = str(tmp_path / "fl_out")
+    ckpt = str(tmp_path / "fl_ckpt")
+
+    batch1 = [("a", t, 5) for t in range(5)] + [
+        ("b", 0, 7), ("b", 1, 7), ("b", 2, 8),
+    ]
+    batch2 = [("a", 5, 6)] + [("b", 3, 8), ("b", 4, 8), ("b", 5, 9)]
+
+    def run():
+        stream = (
+            spark.readStream.schema("source string, t long, v long")
+            .parquet(in_path)
+        )
+        q = (
+            streaming_flatline(stream, min_run=3)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    sch = "source string, t long, v long"
+    spark.createDataFrame(batch1, sch).write.mode("append").parquet(in_path)
+    run()
+    # a's 5-run and b's 8-run are still OPEN: nothing may emit yet
+    # (b's 7-run closed at len 2 < min_run)
+    import os
+
+    emitted0 = (
+        spark.read.parquet(out_path).count()
+        if any(f.endswith(".parquet") for f in os.listdir(out_path))
+        else 0
+    )
+    assert emitted0 == 0
+
+    spark.createDataFrame(batch2, sch).write.mode("append").parquet(in_path)
+    run()  # restart from checkpoint: carried runs must extend, then close
+
+    got = {
+        (r.source, r.t_start, r.t_end, r.n_buckets, r.v)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    full = spark.createDataFrame(batch1 + batch2, sch)
+    # batch census, minus runs still open at end-of-data (v=6 at t5 and
+    # v=9 at t5 are open AND sub-min_run; the documented reconciliation)
+    expected = {
+        (r.source, r.t_start, r.t_end, r.n_buckets, r.v)
+        for r in flatline_runs(
+            full, key="source", order_idx="t", value="v", min_run=3
+        ).collect()
+        if not (r.t_end == 5)
+    }
+    assert got == expected == {
+        ("a", 0, 4, 5, 5), ("b", 2, 4, 3, 8),
+    }
