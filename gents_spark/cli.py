@@ -127,6 +127,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "of the given tier (n_missing/n_gaps/max run/"
                         "coverage) — the planning view of what gap-fill "
                         "would generate")
+    p.add_argument("--flatline-report", metavar="TIER", default=None,
+                   help="after the build, print per-source runs of >= "
+                        "--flatline-min-run consecutive buckets with an "
+                        "IDENTICAL row count in the given tier — the "
+                        "stuck-feed screen (a collector that keeps "
+                        "reporting the same number is wedged, not quiet)")
+    p.add_argument("--flatline-min-run", type=int, default=3,
+                   help="minimum run length for --flatline-report")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -165,7 +173,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"--retention {spec!r}: bad cutoff date ({e})"
             ) from e
     for t in (args.tiers or []) + [
-        x for x in (args.gap_report, args.export_tier) if x
+        x
+        for x in (args.gap_report, args.export_tier, args.flatline_report)
+        if x
     ] + [
         spec.partition("=")[0]
         for spec in (args.retention or [])
@@ -334,6 +344,51 @@ def main(argv: list[str] | None = None) -> int:
         out["gap_report"] = {
             args.gap_report: [
                 r.asDict() for r in sorted(census, key=lambda r: r["source"])
+            ]
+        }
+    if args.flatline_report:
+        import os
+
+        import pyspark.sql.functions as F
+
+        from gents_spark.operators.anomaly import flatline_runs
+        from gents_spark.operators.rollup import tier_grain
+        from gents_spark.plans.manifest import read_tier
+
+        _, step_s = tier_grain(args.flatline_report)
+        tier_df = read_tier(
+            spark, os.path.join(args.output, "tiers"), args.flatline_report
+        ).select(
+            "source",
+            F.expr(f"unix_timestamp(bucket_start) div {step_s}").alias("t"),
+            F.col("cnt").alias("s"),
+        )
+        runs = (
+            flatline_runs(
+                tier_df, key="source", order_idx="t", value="s",
+                min_run=args.flatline_min_run,
+            )
+            .select(
+                "source",
+                F.date_format(
+                    F.timestamp_seconds(F.col("t_start") * step_s),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("run_start"),
+                F.date_format(
+                    F.timestamp_seconds(F.col("t_end") * step_s),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("run_end"),
+                "n_buckets",
+                F.col("v").alias("cnt"),
+            )
+            .collect()
+        )
+        out["flatline_report"] = {
+            args.flatline_report: [
+                r.asDict()
+                for r in sorted(
+                    runs, key=lambda r: (r["source"], r["run_start"])
+                )
             ]
         }
     if args.export_tier:

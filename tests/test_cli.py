@@ -503,3 +503,28 @@ def test_cli_mixed_named_and_custom_tiers_one_run(spark, tmp_path,
         if t != "1m":  # coarser tiers carry composed payloads
             assert df.filter("payload is not null").count() == counts[t]
     assert counts["1m"] > counts["900s"] > counts["1h"] > 0
+
+
+def test_cli_flatline_report(spark, tmp_path, capsys):
+    """--flatline-report TIER prints per-source stuck-feed runs: a
+    constant-cadence synth source produces exactly one 3-hour run of
+    identical hourly counts (60,60,60) before the partial edge hour
+    (cnt 20) breaks it."""
+    import json
+
+    in_path = str(tmp_path / "seqs_fl")
+    out = str(tmp_path / "out_fl")
+    synth_sequences(spark, 2, 200).write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1h", "--gapfill", "none", "--step-s", "60",
+        "--master", "local[4]", "--flatline-report", "1h",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    runs = rep["flatline_report"]["1h"]
+    assert len(runs) == 2
+    for r in runs:
+        assert (r["n_buckets"], r["cnt"]) == (3, 60)
+        assert r["run_start"].endswith("00:00:00")
+        assert r["run_end"].endswith("02:00:00")
