@@ -216,7 +216,14 @@ def _pair_common_counts(
             .distinct()
         )
         # exact verify: count ALL common shingles of each candidate pair
-        # (candidate-driven joins — hot shingles never form pairs here)
+        # (candidate-driven joins — hot shingles never form pairs here).
+        # REJECTED r05 experiment: semi-filtering each verify side to
+        # candidate docs first (plain AND broadcast semi) measured
+        # SLOWER at sf0.1 (8.5s -> 14-16s) — the extra scans of the
+        # cached index cost more than the saved (doc, shingle) shuffle
+        # at any SF we can measure; at cluster scale AQE converts the
+        # cand-side joins below to broadcasts, which bounds the shuffle
+        # to the candidates' rows anyway.
         sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
         sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
         common = (
