@@ -292,6 +292,126 @@ def holt_smooth(
     )
 
 
+def holt_winters(
+    series: DataFrame,
+    key: str = "source",
+    order_idx: str = "t",
+    value: str = "v",
+    period: int = 24,
+    window: int = 168,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential: level + trend +
+    seasonality, Winters 1960) folded ONCE per key over the trailing
+    ``window`` buckets — the seasonal completion of the smoother family
+    (``ewma_smooth`` level-only -> ``holt_smooth`` +trend -> this
+    +period-``period`` seasonality), emitting the end-of-series state
+    and the next full season of forecasts per key.
+
+    Recurrence per step i over x (additive form), seeded with
+    ``(l, b, s) = (x_0, 0, zeros(period))``:
+
+        l' = alpha*(x - s[i mod p]) + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+        s'[i mod p] = gamma*(x - l') + (1-gamma)*s[i mod p]
+
+    Forecast h steps out: ``l + h*b + s[(i+h-1) mod p]``.
+
+    Input contract matches ``ols_trend``/``theil_sen_slope``: integer
+    ``order_idx``, numeric ``value`` (feed exact cents-derived doubles
+    for reproducibility), distinct index per key.  With
+    exactly-representable alpha/beta/gamma the fold is pure double
+    mul/add in a fixed order — the pytest pins it BIT-equal to a pure
+    Python fold (no SQL oracle: a 3-state + p-slot accumulator is past
+    what the materialized-CTE unroll recipe can express sanely).
+
+    Scale shape: the theil_sen class — a per-key rank window bounds
+    state to ``window`` rows (one shuffle shared with the groupBy),
+    then ONE O(window * period) codegen fold per KEY (not per row);
+    output is one row per key.  Output: (key, n_buckets, level, trend,
+    season array<double>, forecast array<double> of ``period`` steps).
+    """
+    for name, x in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < x <= 1.0:
+            raise ValueError(f"{name}={x}: expected (0, 1]")
+    if period < 2 or window < period:
+        raise ValueError(
+            f"period={period}, window={window}: need period >= 2 and "
+            "window >= period"
+        )
+    wr = Window.partitionBy(key).orderBy(F.col(order_idx).cast("long").desc())
+    trail = (
+        series.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= window)
+    )
+    g = trail.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_idx).cast("long").alias("t"),
+                    F.col(value).cast("double").alias("v"),
+                )
+            )
+        ).alias("_pts")
+    )
+    vals = F.transform(F.col("_pts"), lambda p: p["v"])
+    g = g.withColumn("_vals", vals)
+    a, oma = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    bt, omb = F.lit(float(beta)), F.lit(1.0 - beta)
+    gm, omg = F.lit(float(gamma)), F.lit(1.0 - gamma)
+    m = period
+
+    def _step(acc, x):
+        si = F.element_at(acc["s"], (acc["i"] % m) + 1)
+        lnew = (x - si) * a + (acc["l"] + acc["b"]) * oma
+        # repeat the l' EXPRESSION inline (the holt_smooth recipe) so
+        # b'/s' subtract the identical double
+        bnew = (((x - si) * a + (acc["l"] + acc["b"]) * oma) - acc["l"]) \
+            * bt + acc["b"] * omb
+        snew = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.when(
+                j == acc["i"] % m,
+                (x - ((x - si) * a + (acc["l"] + acc["b"]) * oma)) * gm
+                + si * omg,
+            ).otherwise(F.element_at(acc["s"], j + 1)),
+        )
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            snew.alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    seed = F.struct(
+        F.element_at(F.col("_vals"), 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), m).alias("s"),
+        F.lit(0).alias("i"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("_vals"), 2, window), seed, _step
+    )
+    g = g.withColumn("_st", fold)
+    st = F.col("_st")
+    forecast = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda h: st["l"]
+        + h.cast("double") * st["b"]
+        + F.element_at(st["s"], ((st["i"] + h - 1) % m) + 1),
+    )
+    return g.select(
+        key,
+        F.size("_vals").cast("long").alias("n_buckets"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        st["s"].alias("season"),
+        forecast.alias("forecast"),
+    )
+
+
 def cusum_drift(
     series: DataFrame,
     key: str = "source",

@@ -1158,3 +1158,59 @@ def test_flatline_null_value_breaks_run(spark):
     )
     assert flatline_runs(df, min_run=3).count() == 0
     assert flatline_runs(df, min_run=2).count() == 0
+
+
+def _py_holt_winters(vals, m, a, bcoef, g):
+    l, b, s, i = float(vals[0]), 0.0, [0.0] * m, 0
+    for x in vals[1:]:
+        si = s[i % m]
+        lnew = (x - si) * a + (l + b) * (1 - a)
+        bnew = (lnew - l) * bcoef + b * (1 - bcoef)
+        s[i % m] = (x - lnew) * g + si * (1 - g)
+        l, b = lnew, bnew
+        i += 1
+    fc = [l + h * b + s[(i + h - 1) % m] for h in range(1, m + 1)]
+    return l, b, s, fc
+
+
+def test_holt_winters_bit_equal_to_python_fold(spark):
+    import pytest as _pytest
+
+    from gents_spark.operators.anomaly import holt_winters
+
+    # seasonal pattern (10,40,25 repeating) + a ramp, 14 buckets
+    vals = [float(10 + 15 * ((t * 2) % 3) + 3 * t) for t in range(14)]
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(vals)],
+        "source string, t long, v double",
+    )
+    r = holt_winters(
+        df, period=3, window=168, alpha=0.5, beta=0.25, gamma=0.25
+    ).collect()[0]
+    l, b, s, fc = _py_holt_winters(vals, 3, 0.5, 0.25, 0.25)
+    assert r.n_buckets == 14
+    assert r.level == l and r.trend == b  # BIT-equal, not approx
+    assert list(r.season) == s and list(r.forecast) == fc
+    with _pytest.raises(ValueError):
+        holt_winters(df, period=1)
+    with _pytest.raises(ValueError):
+        holt_winters(df, period=24, window=12)
+
+
+def test_holt_winters_trailing_window_and_shuffled_input(spark):
+    """Only the trailing `window` buckets feed the fold, and input
+    partition/arrival order must not matter (array_sort by t)."""
+    from gents_spark.operators.anomaly import holt_winters
+
+    vals = [float((t * 7) % 5 + t) for t in range(20)]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, t long, v double")
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "source string, t long, v double"
+    ).repartition(7)
+    want = _py_holt_winters(vals[-8:], 4, 0.5, 0.25, 0.25)
+    for frame in (df, shuffled):
+        r = holt_winters(frame, period=4, window=8).collect()[0]
+        assert r.n_buckets == 8
+        assert (r.level, r.trend) == (want[0], want[1])
+        assert list(r.forecast) == want[3]
