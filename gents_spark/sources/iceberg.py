@@ -62,15 +62,26 @@ def _looks_like_table_ref(ref: str) -> bool:
     )
 
 
+#: the hinted input shape (BASELINE input_hint) — passed EXPLICITLY to
+#: the JSONL reader: schema inference costs a full extra pass over the
+#: data, which at 10^12 sequences is a second read of the corpus
+SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
 def open_sequences(spark: SparkSession, ref: str) -> DataFrame:
     """Resolve the sequences input: an Iceberg/catalog table reference
     (``catalog.db.table`` — requires the runtime jar + catalog conf,
-    see module docstring) or a parquet path/directory.
+    see module docstring), a parquet path/directory, or a JSONL
+    path/directory (``.jsonl``/``.json`` suffix; read with the explicit
+    hinted schema — no inference pass, malformed lines become NULL
+    doc_ids that the validity quarantine catches downstream).
 
     Raises a configuration-pointing error when a table reference is
     used without a catalog, instead of Spark's bare
     ``TABLE_OR_VIEW_NOT_FOUND``.
     """
+    if ref.endswith((".jsonl", ".json")):
+        return spark.read.schema(SEQ_SCHEMA).json(ref)
     if _looks_like_table_ref(ref):
         try:
             return spark.table(ref)

@@ -528,3 +528,37 @@ def test_cli_flatline_report(spark, tmp_path, capsys):
         assert (r["n_buckets"], r["cnt"]) == (3, 60)
         assert r["run_start"].endswith("00:00:00")
         assert r["run_end"].endswith("02:00:00")
+
+
+def test_cli_jsonl_input_end_to_end(spark, tmp_path, capsys):
+    """--input seqs.jsonl: JSONL resolves through open_sequences with
+    the explicit hinted schema (no inference pass) and builds a tier;
+    a malformed line becomes a NULL-doc_id row that the validity
+    quarantine catches instead of crashing the read."""
+    import json
+
+    jl = tmp_path / "seqs.jsonl"
+    lines = [
+        json.dumps(
+            {
+                "doc_id": f"src0/{i}",
+                "tokens": [(i * 7 + j) % 100 for j in range(5)],
+                "n_tok": 5,
+                "source": "src0",
+            }
+        )
+        for i in range(120)
+    ]
+    lines.append('{"doc_id": 12 broken json')
+    jl.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "out_jl")
+    rc = main([
+        "--input", str(jl), "--output", out,
+        "--tiers", "1h", "--gapfill", "none", "--step-s", "60",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quarantined_rows"] == 1
+    assert rep["tiers"]["1h"]["rows_written"] == 2  # 120 min = 2 hours
