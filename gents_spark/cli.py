@@ -185,6 +185,12 @@ def main(argv: list[str] | None = None) -> int:
             tier_grain(t)  # named tier or '<N>s' custom grain
         except ValueError as e:
             raise SystemExit(str(e)) from e
+    if args.flatline_min_run < 2:
+        # fail BEFORE the (possibly hours-long) build, like the tier
+        # labels above — flatline_runs would raise only at report time
+        raise SystemExit(
+            f"--flatline-min-run {args.flatline_min_run}: expected >= 2"
+        )
     prof = resolve_profile(
         args.profile, args.include_sources, args.exclude_sources,
         append_filters=args.append_filters,
@@ -358,7 +364,14 @@ def main(argv: list[str] | None = None) -> int:
         _, step_s = tier_grain(args.flatline_report)
         tier_df = read_tier(
             spark, os.path.join(args.output, "tiers"), args.flatline_report
-        ).select(
+        )
+        if "filled" in tier_df.columns:
+            # gap-filled rows (LOCF copies cnt, zero writes 0) must not
+            # count: a sensor that stops reporting is a GAP
+            # (--gap-report's job), and an unfiltered LOCF run would
+            # alarm on exactly that
+            tier_df = tier_df.filter(~F.coalesce("filled", F.lit(False)))
+        tier_df = tier_df.select(
             "source",
             F.expr(f"unix_timestamp(bucket_start) div {step_s}").alias("t"),
             F.col("cnt").alias("s"),

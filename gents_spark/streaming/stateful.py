@@ -394,6 +394,13 @@ def _flatline_update_fn(min_run: int):
 
         ts, vs = [], []
         for pdf in pdfs:
+            # a NULL t or v (contract violation) must not poison-pill
+            # the query: Arrow hands NaN in a float column and the
+            # int64 cast raises, failing every replay of this batch.
+            # DROPPING the row reproduces the batch twin's break rule —
+            # the missing bucket becomes a grid gap, which breaks the
+            # run on both sides exactly like flatline_runs' NULL break.
+            pdf = pdf.dropna(subset=["t", "v"])
             if len(pdf):
                 ts.append(pdf["t"].to_numpy(dtype="int64"))
                 vs.append(pdf["v"].to_numpy(dtype="int64"))

@@ -562,3 +562,41 @@ def test_cli_jsonl_input_end_to_end(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["quarantined_rows"] == 1
     assert rep["tiers"]["1h"]["rows_written"] == 2  # 120 min = 2 hours
+
+
+def test_cli_flatline_report_ignores_gapfilled_rows(spark, tmp_path, capsys):
+    """A reporting GAP under default locf gap-fill must NOT read as a
+    stuck feed: LOCF copies the anchor cnt onto filled rows, which
+    would otherwise fuse into a qualifying run."""
+    import json
+
+    in_path = str(tmp_path / "seqs_flg")
+    out = str(tmp_path / "out_flg")
+    seqs = synth_sequences(spark, 1, 200)
+    # hour-long hole (seqs 60..119): hours are cnt 60, GAP, 60, 20
+    seqs = seqs.filter(
+        ~F.substring("doc_id", 8, 10).cast("long").between(60, 119)
+    )
+    seqs.write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1h", "--gapfill", "locf", "--step-s", "60",
+        "--master", "local[4]", "--flatline-report", "1h",
+        "--flatline-min-run", "3",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # without the filled-row filter this reports one (60,60,60) run
+    assert rep["flatline_report"]["1h"] == []
+
+
+def test_cli_flatline_min_run_validated_before_build(tmp_path, capsys):
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="flatline-min-run"):
+        main([
+            "--input", str(tmp_path / "nope.parquet"),
+            "--output", str(tmp_path / "out"),
+            "--tiers", "1h", "--flatline-report", "1h",
+            "--flatline-min-run", "1",
+        ])

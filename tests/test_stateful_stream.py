@@ -358,3 +358,44 @@ def test_streaming_flatline_matches_batch_closed_runs(spark, tmp_path):
     assert got == expected == {
         ("a", 0, 4, 5, 5), ("b", 2, 4, 3, 8),
     }
+
+
+def test_streaming_flatline_null_row_breaks_not_poisons(spark, tmp_path):
+    """A NULL v row must not fail the micro-batch (Arrow NaN -> int64
+    cast): it drops, the missing bucket becomes a grid gap, and the run
+    breaks on both sides — the batch twin's NULL semantics."""
+    from gents_spark.streaming.stateful import streaming_flatline
+
+    in_path = str(tmp_path / "fln_in")
+    out_path = str(tmp_path / "fln_out")
+    ckpt = str(tmp_path / "fln_ckpt")
+    rows = (
+        [("a", t, 5) for t in range(3)]
+        + [("a", 3, None)]
+        + [("a", t, 5) for t in range(4, 9)]
+        + [("a", 9, 6)]  # closes the second run
+    )
+    spark.createDataFrame(
+        rows, "source string, t long, v long"
+    ).write.parquet(in_path)
+    q = (
+        streaming_flatline(
+            spark.readStream.schema("source string, t long, v long")
+            .parquet(in_path),
+            min_run=3,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_path)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.t_start, r.t_end, r.n_buckets, r.v)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # run 1 (t0-2) closed by the gap at t3; run 2 (t4-8) closed by v=6
+    assert got == {(0, 2, 3, 5), (4, 8, 5, 5)}
