@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "flatline_1h",
     # round-5 Benford first-digit forensic screen
     "benford_values",
+    # round-5 composed curation verdict (quality AND dedup AND sample)
+    "curate_corpus",
 ]
 
 

@@ -1061,6 +1061,20 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation verdict (operators/curate.py): Gopher
+    quality AND exact-dedup canonicality AND a deterministic 50%
+    content-addressed sample, one auditable row per doc with every
+    stage's verdict.  Each stage is gate-verified alone elsewhere;
+    this pins the COMPOSITION."""
+    from gents_spark.operators.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return curate_corpus(docs, sample_frac=0.5)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from gents_spark.operators.similarity import cosine_topk
 
@@ -2637,7 +2651,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_agg_1h": q_counter_agg_1h,
     "multimodal_meta": q_multimodal_meta,
     "embedding_label_stats": q_embedding_label_stats,
-    "doc_fingerprint": q_doc_fingerprint,
+    "curate_corpus": q_curate_corpus,  # new r05: composed curation
+    # verdict (doc_fingerprint — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail)
     "year_bounds": q_year_bounds,
     "benford_values": q_benford_values,  # new r05: first-digit forensic
     # screen (time_spine — r02/r03-stamped, check_oracles-re-verified
@@ -2718,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_no_orders": q_customers_no_orders,
     "distinct_union": q_distinct_union,
     "time_spine": q_time_spine,
+    "doc_fingerprint": q_doc_fingerprint,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -3214,6 +3231,71 @@ ORACLES: dict[str, str] = {
                    CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
                ], x -> x IS NOT NULL)) = 0 AS keep
         FROM scored
+    """,
+    # composition of the quality_filter / dedup_exact / hash-sample
+    # oracles above — stage expressions copied verbatim so the composed
+    # verdicts reuse the already-proven twins
+    "curate_corpus": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), base AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   len(list_distinct(ws))::BIGINT AS n_distinct_words
+            FROM w
+        ), bg AS (
+            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (
+            SELECT doc_id, bigram, count(*)::BIGINT AS c
+            FROM bg GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, c AS top_bigram_n, n_bigrams
+            FROM (SELECT doc_id, c,
+                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, bigram) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        ), scored AS (
+            SELECT b.doc_id, n_words,
+                   round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
+                       AS dup_word_frac,
+                   round(top_bigram_n::DOUBLE / n_bigrams, 6)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
+        ), q AS (
+            SELECT doc_id,
+                   len(list_filter([
+                       CASE WHEN n_words < 30 THEN 'too_short' END,
+                       CASE WHEN n_words > 100000 THEN 'too_long' END,
+                       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                       CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
+                   ], x -> x IS NOT NULL)) = 0 AS passed_quality,
+                   coalesce(array_to_string(list_filter([
+                       CASE WHEN n_words < 30 THEN 'too_short' END,
+                       CASE WHEN n_words > 100000 THEN 'too_long' END,
+                       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                       CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
+                   ], x -> x IS NOT NULL), ','), '') AS drop_reasons
+            FROM scored
+        ), k AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY fp) = doc_id
+                       AS is_canonical
+            FROM (SELECT doc_id,
+                         md5(array_to_string(
+                             (string_split(text,' '))[1:5], ' ')) AS fp
+                  FROM documents)
+        ), s AS (
+            SELECT doc_id,
+                   {_HF.format(x="doc_id::VARCHAR")} < 0.5 AS sampled
+            FROM documents
+        )
+        SELECT q.doc_id, passed_quality, is_canonical, sampled,
+               (passed_quality AND is_canonical AND sampled)
+                   AS final_keep,
+               drop_reasons
+        FROM q JOIN k USING (doc_id) JOIN s USING (doc_id)
     """,
     # identical pattern strings as operators/textstats.py::PII_PATTERNS
     # (Java-regex/RE2 common subset); DuckDB needs the 'g' flag for

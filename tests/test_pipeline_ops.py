@@ -902,3 +902,39 @@ def test_containment_respects_shingle_df_cap(docs):
         docs, n=3, threshold=0.5, max_shingle_df=1
     ).collect()
     assert capped == []
+
+
+def test_curate_corpus_composes_stage_verdicts(spark):
+    """final_keep == quality AND canonicality AND sample, with each
+    stage's verdict auditable per doc; a doc failing ANY stage drops."""
+    from gents_spark.operators.curate import curate_corpus
+    from gents_spark.operators.sampling import hash_frac
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, long_text),                     # clean, canonical
+        (2, long_text),                     # exact dup of 1 -> drops
+        (3, "short doc"),                   # fails quality (too_short)
+        (4, " ".join(["spam"] * 40)),       # fails dup_words rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_corpus(df, sample_frac=1.0).collect()}
+    assert out[1].final_keep and out[1].drop_reasons == ""
+    assert out[2].passed_quality and not out[2].is_canonical
+    assert not out[2].final_keep
+    assert not out[3].passed_quality and "too_short" in out[3].drop_reasons
+    assert not out[4].passed_quality and "dup_words" in out[4].drop_reasons
+    # sample_frac gates the survivor deterministically
+    frac = [
+        r[0] for r in df.select(hash_frac(F.col("doc_id"))).collect()
+    ]
+    keep1 = curate_corpus(df, sample_frac=0.0001).collect()
+    want = sum(
+        1 for d, f in zip([1, 2, 3, 4], frac)
+        if d == 1 and f < 0.0001
+    )
+    assert sum(r.final_keep for r in keep1) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(df, sample_frac=0.0)
