@@ -3053,6 +3053,47 @@ SESSION_ORACLES: dict[str, str] = {
     """,
 }
 
+#: shared Gopher-rule CTE chain + drop-list — interpolated into BOTH the
+#: quality_filter and curate_corpus oracles so a threshold/expression
+#: edit can never silently diverge the composed twin from the stage twin
+_QUALITY_CTES = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), base AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   len(list_distinct(ws))::BIGINT AS n_distinct_words
+            FROM w
+        ), bg AS (
+            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (
+            SELECT doc_id, bigram, count(*)::BIGINT AS c
+            FROM bg GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, c AS top_bigram_n, n_bigrams
+            FROM (SELECT doc_id, c,
+                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, bigram) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        ), scored AS (
+            SELECT b.doc_id, n_words,
+                   round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
+                       AS dup_word_frac,
+                   round(top_bigram_n::DOUBLE / n_bigrams, 6)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
+        )
+"""
+
+_QUALITY_DROPS = """list_filter([
+                   CASE WHEN n_words < 30 THEN 'too_short' END,
+                   CASE WHEN n_words > 100000 THEN 'too_long' END,
+                   CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                   CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
+               ], x -> x IS NOT NULL)"""
+
 ORACLES: dict[str, str] = {
     **SESSION_ORACLES,
     "rollup_1m": _tier_sql("minute"),
@@ -3186,97 +3227,23 @@ ORACLES: dict[str, str] = {
     """,
     # Gopher-rule verdict over the repetition CTEs, same thresholds and
     # the same ROUNDED fractions as the engine (boundary-deterministic)
-    "quality_filter": """
-        WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ), base AS (
-            SELECT doc_id, len(ws)::BIGINT AS n_words,
-                   len(list_distinct(ws))::BIGINT AS n_distinct_words
-            FROM w
-        ), bg AS (
-            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
-            FROM w, unnest(range(1, len(ws))) AS t(i)
-        ), cnt AS (
-            SELECT doc_id, bigram, count(*)::BIGINT AS c
-            FROM bg GROUP BY 1, 2
-        ), top AS (
-            SELECT doc_id, c AS top_bigram_n, n_bigrams
-            FROM (SELECT doc_id, c,
-                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
-                         row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY c DESC, bigram) AS rn
-                  FROM cnt)
-            WHERE rn = 1
-        ), scored AS (
-            SELECT b.doc_id, n_words,
-                   round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
-                       AS dup_word_frac,
-                   round(top_bigram_n::DOUBLE / n_bigrams, 6)
-                       AS top_bigram_frac
-            FROM base b LEFT JOIN top USING (doc_id)
-        )
+    "quality_filter": _QUALITY_CTES + f"""
         SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
                -- coalesce: DuckDB array_to_string(<empty list>) is NULL,
                -- Spark array_join is ''
-               coalesce(array_to_string(list_filter([
-                   CASE WHEN n_words < 30 THEN 'too_short' END,
-                   CASE WHEN n_words > 100000 THEN 'too_long' END,
-                   CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
-                   CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
-               ], x -> x IS NOT NULL), ','), '') AS drop_reasons,
-               len(list_filter([
-                   CASE WHEN n_words < 30 THEN 'too_short' END,
-                   CASE WHEN n_words > 100000 THEN 'too_long' END,
-                   CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
-                   CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
-               ], x -> x IS NOT NULL)) = 0 AS keep
+               coalesce(array_to_string({_QUALITY_DROPS}, ','), '')
+                   AS drop_reasons,
+               len({_QUALITY_DROPS}) = 0 AS keep
         FROM scored
     """,
     # composition of the quality_filter / dedup_exact / hash-sample
     # oracles above — stage expressions copied verbatim so the composed
     # verdicts reuse the already-proven twins
-    "curate_corpus": f"""
-        WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ), base AS (
-            SELECT doc_id, len(ws)::BIGINT AS n_words,
-                   len(list_distinct(ws))::BIGINT AS n_distinct_words
-            FROM w
-        ), bg AS (
-            SELECT doc_id, ws[i]||' '||ws[i+1] AS bigram
-            FROM w, unnest(range(1, len(ws))) AS t(i)
-        ), cnt AS (
-            SELECT doc_id, bigram, count(*)::BIGINT AS c
-            FROM bg GROUP BY 1, 2
-        ), top AS (
-            SELECT doc_id, c AS top_bigram_n, n_bigrams
-            FROM (SELECT doc_id, c,
-                         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
-                         row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY c DESC, bigram) AS rn
-                  FROM cnt)
-            WHERE rn = 1
-        ), scored AS (
-            SELECT b.doc_id, n_words,
-                   round((n_words - n_distinct_words)::DOUBLE / n_words, 6)
-                       AS dup_word_frac,
-                   round(top_bigram_n::DOUBLE / n_bigrams, 6)
-                       AS top_bigram_frac
-            FROM base b LEFT JOIN top USING (doc_id)
-        ), q AS (
+    "curate_corpus": _QUALITY_CTES.rstrip() + f""", q AS (
             SELECT doc_id,
-                   len(list_filter([
-                       CASE WHEN n_words < 30 THEN 'too_short' END,
-                       CASE WHEN n_words > 100000 THEN 'too_long' END,
-                       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
-                       CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
-                   ], x -> x IS NOT NULL)) = 0 AS passed_quality,
-                   coalesce(array_to_string(list_filter([
-                       CASE WHEN n_words < 30 THEN 'too_short' END,
-                       CASE WHEN n_words > 100000 THEN 'too_long' END,
-                       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
-                       CASE WHEN top_bigram_frac > 0.2 THEN 'rep_bigram' END
-                   ], x -> x IS NOT NULL), ','), '') AS drop_reasons
+                   len({_QUALITY_DROPS}) = 0 AS passed_quality,
+                   coalesce(array_to_string({_QUALITY_DROPS}, ','), '')
+                       AS drop_reasons
             FROM scored
         ), k AS (
             SELECT doc_id,

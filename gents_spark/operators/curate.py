@@ -44,11 +44,11 @@ def curate_corpus(
       content-addressed, so reruns and engines agree bit-for-bit.
 
     Scale shape: quality is map-side except its bigram top-1 (one
-    doc-keyed aggregation), dedup is one window over the fingerprint,
-    the sample is pure map-side; the composition adds two doc_id
-    equi-joins of per-doc tables (AQE broadcasts nothing here at
-    corpus scale — they are same-cardinality co-partitioned joins).
-    No stage sees the text twice.
+    doc-keyed aggregation), dedup is one window over the fingerprint;
+    the composition adds ONE doc_id equi-join of the two per-doc
+    verdict tables, and the sample verdict is a pure map-side
+    projection of doc_id on the joined result — no third branch, no
+    extra shuffle.  No stage sees the text twice.
     """
     if not 0.0 < sample_frac <= 1.0:
         raise ValueError(f"sample_frac={sample_frac}: expected (0, 1]")
@@ -61,15 +61,12 @@ def curate_corpus(
         "doc_id",
         (F.col("canonical_doc_id") == F.col("doc_id")).alias("is_canonical"),
     )
-    s = docs.select(
-        "doc_id",
-        (hash_frac(F.col("doc_id")) < F.lit(float(sample_frac))).alias(
-            "sampled"
-        ),
-    )
     return (
         q.join(d, "doc_id")
-        .join(s, "doc_id")
+        .withColumn(
+            "sampled",
+            hash_frac(F.col("doc_id")) < F.lit(float(sample_frac)),
+        )
         .select(
             "doc_id",
             "passed_quality",
