@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "benford_values",
     # round-5 composed curation verdict (quality AND dedup AND sample)
     "curate_corpus",
+    # round-5 off-grid interpolated as-of join (union + two windows)
+    "asof_interpolate",
 ]
 
 

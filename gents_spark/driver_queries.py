@@ -1276,6 +1276,24 @@ def q_merge_intervals(spark, sf_dir):
     )
 
 
+def q_asof_interpolate(spark, sf_dir):
+    """Interpolated as-of join (operators/sessions.py::interp_join):
+    each user's click-value series linearly interpolated at that
+    user's error-event timestamps — off-grid interpolation, the value
+    AT t rather than gapfill_linear's grid buckets.  Union + two
+    windows, one shuffle, no join."""
+    from gents_spark.operators.sessions import interp_join
+
+    ev = _t(spark, sf_dir, "events")
+    return interp_join(
+        queries=ev.filter(F.col("event_type") == "error"),
+        data=ev.filter(F.col("event_type") == "click"),
+        key="user_id",
+        ts="ts",
+        value="value",
+    )
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test 5-gram contamination audit over an md5-deterministic
     20% held-out split: (test_doc, train_doc, exact shared-shingle
@@ -2654,7 +2672,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,  # new r05: composed curation
     # verdict (doc_fingerprint — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail)
-    "year_bounds": q_year_bounds,
+    "asof_interpolate": q_asof_interpolate,  # new r05: off-grid linear
+    # interpolation join (year_bounds — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail)
     "benford_values": q_benford_values,  # new r05: first-digit forensic
     # screen (time_spine — r02/r03-stamped, check_oracles-re-verified
     # every round — rotated to the tail)
@@ -2735,6 +2755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_union": q_distinct_union,
     "time_spine": q_time_spine,
     "doc_fingerprint": q_doc_fingerprint,
+    "year_bounds": q_year_bounds,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -2826,6 +2847,42 @@ SESSION_ORACLES: dict[str, str] = {
          AND p.ts >= err.w_start AND p.ts < err.w_end
          AND p.event_id <> err.err_id
         GROUP BY 1
+    """,
+    "asof_interpolate": """
+        WITH d AS (
+            SELECT user_id, ts, 0 AS isq, value
+            FROM events WHERE event_type = 'click'
+        ), q0 AS (
+            SELECT user_id, ts, 1 AS isq, NULL::DOUBLE AS value
+            FROM events WHERE event_type = 'error'
+        ), u AS (
+            SELECT * FROM d UNION ALL SELECT * FROM q0
+        ), k AS (
+            SELECT user_id, ts, isq, epoch_us(ts) AS tu,
+                   last_value(CASE WHEN isq = 0 THEN epoch_us(ts) END
+                              IGNORE NULLS) OVER wb AS pt,
+                   last_value(CASE WHEN isq = 0 THEN value END
+                              IGNORE NULLS) OVER wb AS pv,
+                   first_value(CASE WHEN isq = 0 THEN epoch_us(ts) END
+                               IGNORE NULLS) OVER wf AS nt,
+                   first_value(CASE WHEN isq = 0 THEN value END
+                               IGNORE NULLS) OVER wf AS nv
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, isq
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts, isq
+                          ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, ts, pv AS v_prev, nv AS v_next,
+               round(CASE WHEN pt IS NULL THEN NULL
+                          WHEN tu = pt THEN pv
+                          WHEN nt IS NULL THEN NULL
+                          ELSE pv + (nv - pv)
+                               * ((tu - pt)::DOUBLE / (nt - pt)::DOUBLE)
+                     END, 6) AS v_interp
+        FROM k WHERE isq = 1
     """,
     "merge_intervals_4h": """
         WITH iv AS (

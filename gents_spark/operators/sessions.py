@@ -292,6 +292,86 @@ def point_in_interval_join(
     return joined.drop("_bin")
 
 
+def interp_join(
+    queries: DataFrame,
+    data: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Interpolated as-of join: for each query row, the data series'
+    linearly-interpolated value at the query's (arbitrary, off-grid)
+    timestamp — TimescaleDB's ``interpolate()`` generalized from grid
+    buckets to a join (``asof_join`` answers "the last value before
+    t", this answers "the value AT t").  ``gapfill(mode='linear')``
+    covers grid timestamps; this covers the rest.
+
+    UNION formulation — ONE shuffle on the key and no join at all:
+    query and data rows interleave into a single per-key ordered
+    stream, two frame-bounded windows carry the surrounding data
+    points to each query row, and the interpolation is one fixed
+    double expression over exact integer micros.  On a timestamp tie
+    the data row sorts FIRST (isq ascending), so a query AT a data
+    point returns that value exactly (ratio 0).  Queries before the
+    first or after the last data point return NULL — interpolation,
+    never extrapolation.
+
+    Contract: (key, ts) unique within ``data`` (two data rows tying on
+    ts would make the neighbor choice order-dependent).  Output: one
+    row per query row — (key, ts, v_prev, v_next, v_interp).
+    """
+    d = data.select(
+        key,
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_isq"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    q = queries.select(
+        key,
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_isq"),
+        F.lit(None).cast("double").alias("_v"),
+    )
+    u = d.unionByName(q)
+    order = [F.col("_t").asc(), F.col("_isq").asc()]
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    tu = F.unix_micros(F.col("_t").cast("timestamp"))
+    dat_t = F.when(F.col("_isq") == 0, tu)
+    dat_v = F.when(F.col("_isq") == 0, F.col("_v"))
+    k = (
+        u.withColumn("_tu", tu)
+        .withColumn("_pt", F.last(dat_t, ignorenulls=True).over(wb))
+        .withColumn("_pv", F.last(dat_v, ignorenulls=True).over(wb))
+        .withColumn("_nt", F.first(dat_t, ignorenulls=True).over(wf))
+        .withColumn("_nv", F.first(dat_v, ignorenulls=True).over(wf))
+    )
+    ratio = (F.col("_tu") - F.col("_pt")).cast("double") / (
+        F.col("_nt") - F.col("_pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("_pt").isNull(), F.lit(None).cast("double"))
+        .when(F.col("_tu") == F.col("_pt"), F.col("_pv"))
+        .when(F.col("_nt").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * ratio)
+    )
+    return k.filter(F.col("_isq") == 1).select(
+        key,
+        F.col("_t").alias(ts),
+        F.col("_pv").alias("v_prev"),
+        F.col("_nv").alias("v_next"),
+        F.round(interp, 6).alias("v_interp"),
+    )
+
+
 def merge_intervals(
     intervals: DataFrame,
     key: str = "user_id",

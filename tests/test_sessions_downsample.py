@@ -1214,3 +1214,38 @@ def test_holt_winters_trailing_window_and_shuffled_input(spark):
         assert r.n_buckets == 8
         assert (r.level, r.trend) == (want[0], want[1])
         assert list(r.forecast) == want[3]
+
+
+def test_interp_join_exact_values_and_edges(spark):
+    from gents_spark.operators.sessions import interp_join
+
+    data = spark.createDataFrame(
+        [
+            (1, T0, 10.0),
+            (1, T0 + timedelta(seconds=100), 30.0),
+            (2, T0, 5.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, T0 + timedelta(seconds=25)),    # 1/4 of the way -> 15.0
+            (1, T0),                             # exact hit -> 10.0
+            (1, T0 - timedelta(seconds=1)),      # before first -> NULL
+            (1, T0 + timedelta(seconds=200)),    # after last -> NULL
+            (2, T0),                             # exact hit, single point
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.ts): r
+        for r in interp_join(queries, data).collect()
+    }
+    assert len(out) == 5
+    assert out[(1, T0 + timedelta(seconds=25))].v_interp == 15.0
+    hit = out[(1, T0)]
+    assert hit.v_interp == 10.0 and hit.v_prev == 10.0
+    assert out[(1, T0 - timedelta(seconds=1))].v_interp is None
+    assert out[(1, T0 + timedelta(seconds=200))].v_interp is None
+    # exact hit on a single-point series interpolates to that point
+    assert out[(2, T0)].v_interp == 5.0
