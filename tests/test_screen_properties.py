@@ -378,3 +378,107 @@ def test_dominant_period_detects_planted_cycles(spark):
 
     with _pytest.raises(ValueError):
         dominant_period(df, candidate_periods=(1,))
+
+
+def test_merge_intervals_matches_python_sweep(spark):
+    """Random overlapping/touching/nested intervals per key vs an
+    independent Python sweep-line merge — exact bounds, counts and
+    covered seconds, shuffled multi-partition input."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.sessions import merge_intervals
+
+    rng = random.Random(43)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for u in range(4):
+        for _ in range(60):
+            a = rng.randint(0, 5000)
+            rows.append(
+                (u, t0 + timedelta(seconds=a),
+                 t0 + timedelta(seconds=a + rng.randint(1, 400)))
+            )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, start timestamp, end timestamp"
+    ).repartition(7)
+    got = sorted(
+        (
+            (r.user_id, r.merged_start, r.merged_end, r.n_merged,
+             r.covered_s)
+            for r in merge_intervals(df).collect()
+        )
+    )
+    want = []
+    by_key: dict[int, list] = {}
+    for u, s, e in rows:
+        by_key.setdefault(u, []).append((s, e))
+    for u, iv in by_key.items():
+        iv.sort()
+        cur_s, cur_e, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s > cur_e:
+                want.append((u, cur_s, cur_e, n,
+                             (cur_e - cur_s).total_seconds()))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e, n = max(cur_e, e), n + 1
+        want.append((u, cur_s, cur_e, n,
+                     (cur_e - cur_s).total_seconds()))
+    assert got == sorted(want)
+
+
+def test_interp_join_matches_python_interpolation(spark):
+    """Random data/query streams vs pure-Python bisect interpolation —
+    EXACT double equality (same subtraction/ratio/fma-free shape)."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.sessions import interp_join
+
+    rng = random.Random(44)
+    t0 = datetime(2024, 5, 1)
+    data_rows, query_rows = [], []
+    for u in range(3):
+        ts = rng.sample(range(0, 100_000), 80)
+        for t in ts:
+            data_rows.append(
+                (u, t0 + timedelta(seconds=t),
+                 float(rng.randint(-500_00, 500_00)) / 100.0)
+            )
+        for t in rng.sample(range(-50, 100_050), 120):
+            query_rows.append((u, t0 + timedelta(seconds=t)))
+    rng.shuffle(data_rows)
+    rng.shuffle(query_rows)
+    data = spark.createDataFrame(
+        data_rows, "user_id long, ts timestamp, value double"
+    ).repartition(5)
+    queries = spark.createDataFrame(
+        query_rows, "user_id long, ts timestamp"
+    ).repartition(3)
+    got = {
+        (r.user_id, r.ts): r.v_interp
+        for r in interp_join(queries, data).collect()
+    }
+    assert len(got) == len(query_rows)
+    import bisect
+
+    series: dict[int, list] = {}
+    for u, t, v in data_rows:
+        series.setdefault(u, []).append((t, v))
+    for pts in series.values():
+        pts.sort()
+    for u, qt in query_rows:
+        pts = series[u]
+        times = [p[0] for p in pts]
+        i = bisect.bisect_right(times, qt)
+        if i > 0 and times[i - 1] == qt:
+            want = pts[i - 1][1]
+        elif i == 0 or i == len(pts):
+            want = None
+        else:
+            (ta, va), (tb, vb) = pts[i - 1], pts[i]
+            ratio = (qt - ta).total_seconds() * 1e6 / (
+                (tb - ta).total_seconds() * 1e6
+            )
+            want = round(va + (vb - va) * ratio, 6)
+        assert got[(u, qt)] == want, (u, qt)
