@@ -2859,13 +2859,20 @@ SESSION_ORACLES: dict[str, str] = {
             SELECT * FROM d UNION ALL SELECT * FROM q0
         ), k AS (
             SELECT user_id, ts, isq, epoch_us(ts) AS tu,
-                   last_value(CASE WHEN isq = 0 THEN epoch_us(ts) END
+                   -- both carries gate on isq AND value non-null (the
+                   -- engine's is_point): timestamps and values must
+                   -- skip a NULL-value point TOGETHER
+                   last_value(CASE WHEN isq = 0 AND value IS NOT NULL
+                                   THEN epoch_us(ts) END
                               IGNORE NULLS) OVER wb AS pt,
-                   last_value(CASE WHEN isq = 0 THEN value END
+                   last_value(CASE WHEN isq = 0 AND value IS NOT NULL
+                                   THEN value END
                               IGNORE NULLS) OVER wb AS pv,
-                   first_value(CASE WHEN isq = 0 THEN epoch_us(ts) END
+                   first_value(CASE WHEN isq = 0 AND value IS NOT NULL
+                                    THEN epoch_us(ts) END
                                IGNORE NULLS) OVER wf AS nt,
-                   first_value(CASE WHEN isq = 0 THEN value END
+                   first_value(CASE WHEN isq = 0 AND value IS NOT NULL
+                                    THEN value END
                                IGNORE NULLS) OVER wf AS nv
             FROM u
             WINDOW wb AS (PARTITION BY user_id ORDER BY ts, isq

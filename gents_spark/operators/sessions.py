@@ -317,8 +317,18 @@ def interp_join(
     never extrapolation.
 
     Contract: (key, ts) unique within ``data`` (two data rows tying on
-    ts would make the neighbor choice order-dependent).  Output: one
-    row per query row — (key, ts, v_prev, v_next, v_interp).
+    ts would make the neighbor choice order-dependent).  A data row
+    with a NULL value is SKIPPED — both neighbor carries ignore it
+    together (timestamp and value gate on the same condition, so the
+    pair can never desync), and interpolation brackets across it.
+    Output: one row per query row — (key, ts, v_prev, v_next,
+    v_interp).
+
+    Related: ``operators/asof.py::asof_join`` owns the last/nearest
+    VALUE-carry family (whole-row struct carry, tolerance, directions);
+    this operator lives with the union-window composites because its
+    result is a computed expression over TWO carries, not a carried
+    row.
     """
     d = data.select(
         key,
@@ -345,8 +355,12 @@ def interp_join(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     tu = F.unix_micros(F.col("_t").cast("timestamp"))
-    dat_t = F.when(F.col("_isq") == 0, tu)
-    dat_v = F.when(F.col("_isq") == 0, F.col("_v"))
+    # BOTH carries gate on the same condition (incl. value non-null):
+    # conditioning _pt on isq alone but _pv on ignorenulls would pair
+    # one row's timestamp with another row's value
+    is_point = (F.col("_isq") == 0) & F.col("_v").isNotNull()
+    dat_t = F.when(is_point, tu)
+    dat_v = F.when(is_point, F.col("_v"))
     k = (
         u.withColumn("_tu", tu)
         .withColumn("_pt", F.last(dat_t, ignorenulls=True).over(wb))

@@ -480,5 +480,13 @@ def test_interp_join_matches_python_interpolation(spark):
             ratio = (qt - ta).total_seconds() * 1e6 / (
                 (tb - ta).total_seconds() * 1e6
             )
-            want = round(va + (vb - va) * ratio, 6)
+            # HALF_UP like Spark's F.round — Python round() is
+            # half-to-even and would diverge on exact .5 ties
+            from decimal import ROUND_HALF_UP, Decimal
+
+            want = float(
+                Decimal(repr(va + (vb - va) * ratio)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
         assert got[(u, qt)] == want, (u, qt)

@@ -1249,3 +1249,27 @@ def test_interp_join_exact_values_and_edges(spark):
     assert out[(1, T0 + timedelta(seconds=200))].v_interp is None
     # exact hit on a single-point series interpolates to that point
     assert out[(2, T0)].v_interp == 5.0
+
+
+def test_interp_join_skips_null_value_points_in_sync(spark):
+    """A NULL-value data point is invisible to BOTH neighbor carries:
+    timestamps may never desync from values (a carry gated on isq
+    alone would present t=0's value as an 'exact hit' at t=100)."""
+    from gents_spark.operators.sessions import interp_join
+
+    data = spark.createDataFrame(
+        [
+            (1, T0, 10.0),
+            (1, T0 + timedelta(seconds=100), None),
+            (1, T0 + timedelta(seconds=200), 20.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    queries = spark.createDataFrame(
+        [(1, T0 + timedelta(seconds=100)),
+         (1, T0 + timedelta(seconds=150))],
+        "user_id long, ts timestamp",
+    )
+    out = {r.ts: r.v_interp for r in interp_join(queries, data).collect()}
+    assert out[T0 + timedelta(seconds=100)] == 15.0  # brackets (0, 200)
+    assert out[T0 + timedelta(seconds=150)] == 17.5
