@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "curate_corpus",
     # round-5 off-grid interpolated as-of join (union + two windows)
     "asof_interpolate",
+    # round-5 funnel time-to-convert percentiles
+    "funnel_latency",
 ]
 
 

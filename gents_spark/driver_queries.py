@@ -1294,6 +1294,59 @@ def q_asof_interpolate(spark, sf_dir):
     )
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution per click day: exact integer-micros
+    latency from each converted click to its FIRST purchase inside the
+    24h window, p50/p95 via sorted_percentile == quantile_cont over
+    those exact integers.  Same binned interval join as
+    funnel_conversion (no cross join); the percentile arrays are
+    day-level — bounded by conversions/day."""
+    from gents_spark.operators.rollup import sorted_percentile
+    from gents_spark.operators.sessions import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 86400 SECONDS")).alias("w_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    first_p = (
+        point_in_interval_join(
+            purchases, clicks, key="user_id", ts="ts",
+            start="w_start", end="w_end", grain_s=86400,
+        )
+        .groupBy("click_id", "w_start")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_pus"))
+    )
+    lat = first_p.select(
+        F.date_trunc("day", F.col("w_start")).alias("click_day"),
+        (
+            F.col("_pus")
+            - F.unix_micros(F.col("w_start").cast("timestamp"))
+        ).alias("_lat_us"),
+    )
+    g = lat.groupBy("click_day").agg(
+        F.count("*").alias("n_converted"),
+        F.sort_array(F.collect_list(F.col("_lat_us").cast("double"))).alias(
+            "_sl"
+        ),
+    )
+    return g.select(
+        "click_day",
+        "n_converted",
+        F.round(sorted_percentile(F.col("_sl"), 0.5) / 1e6, 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(sorted_percentile(F.col("_sl"), 0.95) / 1e6, 6).alias(
+            "p95_latency_s"
+        ),
+    )
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test 5-gram contamination audit over an md5-deterministic
     20% held-out split: (test_doc, train_doc, exact shared-shingle
@@ -2667,7 +2720,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "timestep_delta": q_timestep_delta,
     "argmax_top1": q_argmax_top1,
     "counter_agg_1h": q_counter_agg_1h,
-    "multimodal_meta": q_multimodal_meta,
+    "funnel_latency": q_funnel_latency,  # new r05: time-to-convert
+    # percentiles (multimodal_meta — r02/r03-stamped, check_oracles-
+    # re-verified every round — rotated to the tail; decode/resize keep
+    # the multimodal family in the head)
     "embedding_label_stats": q_embedding_label_stats,
     "curate_corpus": q_curate_corpus,  # new r05: composed curation
     # verdict (doc_fingerprint — r02/r03-stamped, check_oracles-
@@ -2756,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_spine": q_time_spine,
     "doc_fingerprint": q_doc_fingerprint,
     "year_bounds": q_year_bounds,
+    "multimodal_meta": q_multimodal_meta,
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
@@ -2847,6 +2904,31 @@ SESSION_ORACLES: dict[str, str] = {
          AND p.ts >= err.w_start AND p.ts < err.w_end
          AND p.event_id <> err.err_id
         GROUP BY 1
+    """,
+    "funnel_latency": """
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS w_start,
+                   ts + INTERVAL 86400 SECOND AS w_end
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT c.click_id, c.w_start, min(epoch_us(p.ts)) AS p_us
+            FROM c JOIN p
+              ON p.user_id = c.user_id
+             AND p.ts >= c.w_start AND p.ts < c.w_end
+            GROUP BY 1, 2
+        ), l AS (
+            SELECT date_trunc('day', w_start)::TIMESTAMP AS click_day,
+                   p_us - epoch_us(w_start) AS lat_us
+            FROM j
+        )
+        SELECT click_day, count(*)::BIGINT AS n_converted,
+               round(quantile_cont(lat_us, 0.5) / 1e6, 6)
+                   AS p50_latency_s,
+               round(quantile_cont(lat_us, 0.95) / 1e6, 6)
+                   AS p95_latency_s
+        FROM l GROUP BY 1
     """,
     "asof_interpolate": """
         WITH d AS (

@@ -1273,3 +1273,34 @@ def test_interp_join_skips_null_value_points_in_sync(spark):
     out = {r.ts: r.v_interp for r in interp_join(queries, data).collect()}
     assert out[T0 + timedelta(seconds=100)] == 15.0  # brackets (0, 200)
     assert out[T0 + timedelta(seconds=150)] == 17.5
+
+
+def test_funnel_latency_first_purchase_and_exclusive_window(spark):
+    """Latency measures the FIRST purchase in [click, click+24h);
+    a purchase exactly at +24h is outside, unconverted clicks emit no
+    latency row."""
+    import os
+
+    from gents_spark.driver_queries import q_funnel_latency
+
+    rows = [
+        (1, 1, T0, "click", 0.0),
+        (2, 1, T0 + timedelta(seconds=10), "purchase", 0.0),
+        (3, 1, T0 + timedelta(seconds=5), "purchase", 0.0),
+        (4, 2, T0, "click", 0.0),
+        (5, 2, T0 + timedelta(seconds=86400), "purchase", 0.0),  # at +24h
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = q_funnel_latency(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_converted, r.p50_latency_s, r.p95_latency_s) == (
+        1, 5.0, 5.0,
+    )
