@@ -126,6 +126,12 @@ BENCH_QUERIES = [
     "asof_interpolate",
     # round-5 funnel time-to-convert percentiles
     "funnel_latency",
+    # round-5 OHLC bars (map-side struct min/max open/close)
+    "ohlc_1h",
+    # round-5 max drawdown of the cumulative volume curve
+    "drawdown_1h",
+    # round-5 daily volume-concentration (Gini) census
+    "volume_gini_1d",
 ]
 
 

@@ -2632,6 +2632,95 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """Hourly OHLC bars over per-event cents values (operators/
+    rollup.py::ohlc).  Open/close come from ONE map-side-combinable
+    min/max over struct(ts_us, cents) — no window sort, no second
+    shuffle; the (ts, value) tie-break is mirrored by the oracle's
+    row_number ORDER BY tus, cents / tus DESC, cents DESC form, and
+    every comparison is exact-integer, so the twin hash-matches."""
+    from gents_spark.operators.rollup import ohlc
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_time"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bars = ohlc(
+        ev, "1h", source_col="source", ts_col="event_time",
+        value_col="cents",
+    )
+    return bars.select(
+        "source",
+        "bucket_start",
+        "bucket_end",
+        "cnt",
+        F.col("open").alias("open_cents"),
+        F.col("high").alias("high_cents"),
+        F.col("low").alias("low_cents"),
+        F.col("close").alias("close_cents"),
+    )
+
+
+def q_drawdown_1h(spark, sf_dir):
+    """Per-source maximum drawdown of the cumulative hourly cents curve
+    (operators/anomaly.py::max_drawdown) — the bounded-loss companion
+    to cusum_1h's drift ramps.  All statistics are exact bigint window
+    aggregates with NO division anywhere; the earliest-trough argmax is
+    a single max(struct(dd, -ts_us, ...)) mirrored by the oracle's
+    row_number ORDER BY dd DESC, bucket_start."""
+    from gents_spark.operators.anomaly import max_drawdown
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s")
+        )
+    )
+    out = max_drawdown(
+        hourly, key="source", order="bucket_start", value="s"
+    )
+    return out.select(
+        "source",
+        "n_buckets",
+        F.col("total").alias("total_cents"),
+        F.col("max_drawdown").alias("max_drawdown_cents"),
+        "trough_bucket",
+        F.col("peak_cum").alias("peak_cum_cents"),
+        F.col("trough_cum").alias("trough_cum_cents"),
+    )
+
+
+def q_volume_gini_1d(spark, sf_dir):
+    """Daily Gini coefficient + top-1 share of cents volume across
+    users (operators/concentration.py::gini_concentration) — the
+    mixture-skew diagnostic weighted_mix consumes.  Rank sums stay
+    exact bigints (row_number over (x, user_id) — tie-order invariant
+    for the statistic); the only doubles are the two final single
+    divisions, mirrored expression-for-expression by the twin."""
+    from gents_spark.operators.concentration import gini_concentration
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = gini_concentration(
+        ev, group="day", entity="user_id", weight="cents"
+    )
+    return out.select(
+        "day",
+        "n_entities",
+        F.col("total").alias("total_cents"),
+        "gini",
+        "top_share",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2715,10 +2804,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sax_1d": q_sax_1d,  # new r05: SAX daily-shape words
     # (local_supplier_volume — r02/r03-stamped, same standing evidence —
     # rotated to the tail in its place)
+    "ohlc_1h": q_ohlc_1h,  # new r05: open/high/low/close bars
+    # (bucket_consistency — r02/r03-stamped, check_oracles-re-verified
+    # every round — rotated to the tail in its place)
+    "drawdown_1h": q_drawdown_1h,  # new r05: max drawdown of the
+    # cumulative volume curve (timestep_delta — r02/r03-stamped, same
+    # standing evidence — rotated to the tail in its place)
+    "volume_gini_1d": q_volume_gini_1d,  # new r05: daily volume
+    # concentration census (argmax_top1 — r02/r03-stamped, same
+    # standing evidence — rotated to the tail in its place)
     # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
-    "bucket_consistency": q_bucket_consistency,
-    "timestep_delta": q_timestep_delta,
-    "argmax_top1": q_argmax_top1,
     "counter_agg_1h": q_counter_agg_1h,
     "funnel_latency": q_funnel_latency,  # new r05: time-to-convert
     # percentiles (multimodal_meta — r02/r03-stamped, check_oracles-
@@ -2761,6 +2856,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
     # label queries, re-verified by check_oracles this session) ---
     "range_label": q_range_label,
+    "bucket_consistency": q_bucket_consistency,
+    "timestep_delta": q_timestep_delta,
+    "argmax_top1": q_argmax_top1,
     "tier_label": q_tier_label,
     "shipping_priority": q_shipping_priority,
     "props_extract": q_props_extract,
@@ -3634,6 +3732,106 @@ ORACLES: dict[str, str] = {
                round(CAST(max_cum - cum_dev AS DOUBLE)
                      / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum_neg
         FROM c
+    """,
+    # OHLC twin: the engine's map-side min/max over struct(ts_us, cents)
+    # is mirrored by a row_number form — ORDER BY tus, cents (open) /
+    # tus DESC, cents DESC (close) reproduces the lexicographic struct
+    # tie-break exactly; all comparisons are integer.
+    "ohlc_1h": """
+        WITH e AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   epoch_us(ts)::BIGINT AS tus,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT source, bucket_start, cents,
+                   row_number() OVER (PARTITION BY source, bucket_start
+                                      ORDER BY tus, cents) AS ra,
+                   row_number() OVER (PARTITION BY source, bucket_start
+                                      ORDER BY tus DESC, cents DESC) AS rd
+            FROM e
+        )
+        SELECT source, bucket_start,
+               bucket_start + INTERVAL 1 HOUR AS bucket_end,
+               count(*)::BIGINT AS cnt,
+               max(CASE WHEN ra = 1 THEN cents END)::BIGINT AS open_cents,
+               max(cents)::BIGINT AS high_cents,
+               min(cents)::BIGINT AS low_cents,
+               max(CASE WHEN rd = 1 THEN cents END)::BIGINT AS close_cents
+        FROM r GROUP BY 1, 2
+    """,
+    # drawdown twin: cum/peak via the same ROWS UNBOUNDED PRECEDING
+    # frames; the engine's max(struct(dd, -tus, ...)) argmax maps to
+    # row_number ORDER BY dd DESC, bucket_start (earliest trough wins).
+    "drawdown_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), c AS (
+            SELECT source, bucket_start, s,
+                   sum(s) OVER (PARTITION BY source ORDER BY bucket_start
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+            FROM h
+        ), d AS (
+            SELECT source, bucket_start, s, cum,
+                   max(cum) OVER (PARTITION BY source ORDER BY bucket_start
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS peak
+            FROM c
+        ), r AS (
+            SELECT source, bucket_start, s, cum, peak,
+                   peak - cum AS dd,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY peak - cum DESC,
+                                               bucket_start) AS rn
+            FROM d
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_buckets,
+               sum(s)::BIGINT AS total_cents,
+               max(CASE WHEN rn = 1 THEN dd END)::BIGINT
+                   AS max_drawdown_cents,
+               max(CASE WHEN rn = 1 THEN bucket_start END) AS trough_bucket,
+               max(CASE WHEN rn = 1 THEN peak END)::BIGINT
+                   AS peak_cum_cents,
+               max(CASE WHEN rn = 1 THEN cum END)::BIGINT
+                   AS trough_cum_cents
+        FROM r GROUP BY source
+    """,
+    # Gini twin: rank formula over ascending (x, user_id) — rank sums
+    # exact bigints; the two single divisions repeat the engine's
+    # expression shape (CAST num AS DOUBLE / CAST den AS DOUBLE).
+    "volume_gini_1d": """
+        WITH u AS (
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT day, user_id, x,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY x, user_id)::BIGINT AS i
+            FROM u
+        ), g AS (
+            SELECT day,
+                   count(*)::BIGINT AS n_entities,
+                   sum(x)::BIGINT AS total_cents,
+                   max(x)::BIGINT AS mx,
+                   sum(i * x)::BIGINT AS ix
+            FROM r GROUP BY 1
+        )
+        SELECT day, n_entities, total_cents,
+               CASE WHEN total_cents > 0 THEN
+                   round(CAST(2 * ix - (n_entities + 1) * total_cents
+                              AS DOUBLE)
+                         / CAST(n_entities * total_cents AS DOUBLE), 9)
+               END AS gini,
+               CASE WHEN total_cents > 0 THEN
+                   round(CAST(mx AS DOUBLE)
+                         / CAST(total_cents AS DOUBLE), 9)
+               END AS top_share
+        FROM g
     """,
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds

@@ -1241,3 +1241,78 @@ def dominant_period(
         F.col("_b.power").alias("power"),
         F.col("_b.n_buckets").alias("n_buckets"),
     )
+
+
+def max_drawdown(
+    series: DataFrame,
+    key: str = "source",
+    order: str = "bucket_start",
+    value: str = "s",
+) -> DataFrame:
+    """Per-key maximum drawdown of the running cumulative sum of an
+    exact integer ``value`` column — the classic "largest peak-to-trough
+    drop" statistic, here reading a source's cumulative token/volume
+    delivery curve: a feed that stalls or starts shedding volume shows
+    a growing drawdown long before its total goes negative.  (GenTS has
+    no value-level screens; this extends the drift pack — see
+    ``cusum_drift`` — with the bounded-loss view.)
+
+    Definition (all exact bigints)::
+
+        cum_t  = sum(value) over rows <= t        (per key, in order)
+        peak_t = max(cum) over rows <= t
+        dd_t   = peak_t - cum_t                   (>= 0)
+        max_drawdown = max_t dd_t
+
+    Returns ONE row per key: ``n_buckets``, ``total`` (final cum),
+    ``max_drawdown``, ``trough_bucket`` (the EARLIEST bucket achieving
+    the max drawdown — deterministic tie-break), ``peak_cum`` and
+    ``trough_cum`` at that bucket.
+
+    Exactness: every statistic is an integer window aggregate; there
+    are no divisions at all, so the DuckDB twin hash-matches bit-for-bit.
+    The argmax is a single ``max(struct(dd, -t_us, ...))`` — lexicographic
+    struct ordering picks the largest drawdown and, among ties, the
+    smallest timestamp (largest negated epoch).
+
+    Scale shape: one shuffle on ``key``, two frame-cumulative window
+    passes over the (already aggregated, bounded per key) series, then
+    a partial-agg groupBy — no fold, no UDF, no self-join.
+    """
+    ow = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value).cast("long")
+    d = (
+        series.select(key, order, v.alias("_v"))
+        .withColumn("_cum", F.sum("_v").over(ow))
+        .withColumn("_peak", F.max("_cum").over(ow))
+        .withColumn("_dd", F.col("_peak") - F.col("_cum"))
+        .withColumn(
+            "_negt", -F.unix_micros(F.col(order).cast("timestamp"))
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col("_dd").alias("dd"),
+            F.col("_negt").alias("nt"),
+            F.col("_peak").alias("pk"),
+            F.col("_cum").alias("cm"),
+        )
+    ).alias("_b")
+    out = d.groupBy(key).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("_v").alias("total"),
+        best,
+    )
+    return out.select(
+        key,
+        "n_buckets",
+        "total",
+        F.col("_b.dd").alias("max_drawdown"),
+        F.timestamp_micros(-F.col("_b.nt")).alias("trough_bucket"),
+        F.col("_b.pk").alias("peak_cum"),
+        F.col("_b.cm").alias("trough_cum"),
+    )

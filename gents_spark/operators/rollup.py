@@ -414,3 +414,63 @@ def cascade(
         t: rollup(df, t, source_col=source_col, ts_col=ts_col, value_col=value_col)
         for t in tiers
     }
+
+
+def ohlc(
+    df: DataFrame,
+    tier: str,
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Open/high/low/close bars per (source, bucket) — the classic
+    first/last-in-window rollup the count/sum/min/max/percentile tier
+    model (``rollup``) cannot express: *open* is the value of the
+    EARLIEST row in the bucket, *close* the LATEST.  For a feed of
+    token counts the open→close delta per bucket is the within-bucket
+    level change, the standard compaction for charting and for
+    level-shift screens over coarse tiers.
+
+    Scale shape: ONE partial-agg groupBy — open/close come from a
+    single ``min``/``max`` over ``struct(ts_us, value)`` (lexicographic
+    struct ordering), which combines map-side like any min/max, so
+    there is no window sort, no row_number, and no second shuffle.
+    A 10^8-row hot bucket costs the same task state as a 10-row one
+    (four scalars per bucket).
+
+    Determinism: rows sharing the bucket's extreme timestamp tie-break
+    on the value itself — open takes the SMALLEST value at the earliest
+    ts, close the LARGEST at the latest (documented contract, mirrored
+    by the oracle's ``ORDER BY ts, v`` / ``ORDER BY ts DESC, v DESC``
+    row_number form).  All comparisons are exact integers when
+    ``value_col`` is integer fixed-point, so the DuckDB twin
+    hash-matches bit-for-bit.
+    """
+    v = F.col(value_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            bucket_col(ts_col, tier).alias("bucket_start"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct(t_us.alias("t"), v.alias("v"))).alias("_o"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(F.struct(t_us.alias("t"), v.alias("v"))).alias("_c"),
+        )
+        .withColumn("tier", F.lit(tier))
+        .withColumn("bucket_end", bucket_end_col(tier))
+    )
+    return out.select(
+        "source",
+        "tier",
+        "bucket_start",
+        "bucket_end",
+        "cnt",
+        F.col("_o.v").alias("open"),
+        "high",
+        "low",
+        F.col("_c.v").alias("close"),
+    )

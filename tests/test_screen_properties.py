@@ -490,3 +490,109 @@ def test_interp_join_matches_python_interpolation(spark):
                 )
             )
         assert got[(u, qt)] == want, (u, qt)
+
+
+def test_ohlc_matches_python_exact(spark):
+    from gents_spark.operators.rollup import ohlc
+
+    rng = random.Random(47)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for s in range(3):
+        for _ in range(400):
+            # coarse second grid => plenty of exact-timestamp ties to
+            # exercise the (ts, value) struct tie-break
+            ts = t0 + timedelta(seconds=rng.randint(0, 6 * 3600) * 10)
+            rows.append((f"s{s}", ts, rng.randint(-10_000, 10_000)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "source string, event_time timestamp, v long"
+    ).repartition(7)
+    got = {
+        (r["source"], r["bucket_start"]): (
+            r["cnt"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in ohlc(df, "1h", value_col="v").collect()
+    }
+    buckets: dict[tuple, list] = {}
+    for s, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((s, b), []).append((ts, v))
+    assert set(got) == set(buckets)
+    for k, pts in buckets.items():
+        pts.sort()  # (ts, v) lexicographic == the documented tie-break
+        vals = [v for _, v in pts]
+        exp = (len(pts), pts[0][1], max(vals), min(vals), pts[-1][1])
+        assert got[k] == exp, k
+
+
+def test_max_drawdown_matches_python_exact(spark):
+    from gents_spark.operators.anomaly import max_drawdown
+
+    rng = random.Random(48)
+    rows = _series(rng)
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    ).repartition(7)
+    got = {
+        r["source"]: (
+            r["n_buckets"], r["total"], r["max_drawdown"],
+            r["trough_bucket"], r["peak_cum"], r["trough_cum"],
+        )
+        for r in max_drawdown(df).collect()
+    }
+    by_src: dict[str, list] = {}
+    for s, t, v in rows:
+        by_src.setdefault(s, []).append((t, v))
+    for s, pts in by_src.items():
+        pts.sort()
+        cum = peak = 0
+        best = None  # (dd, bucket, peak, cum); earliest bucket wins ties
+        total = 0
+        first = True
+        for t, v in pts:
+            cum = v if first else cum + v
+            peak = cum if first else max(peak, cum)
+            first = False
+            total += v
+            dd = peak - cum
+            if best is None or dd > best[0]:
+                best = (dd, t, peak, cum)
+        assert got[s] == (
+            len(pts), total, best[0], best[1], best[2], best[3]
+        ), s
+
+
+def test_gini_matches_python_exact(spark):
+    from gents_spark.operators.concentration import gini_concentration
+
+    rng = random.Random(49)
+    rows = []
+    for g in range(4):
+        for e in range(rng.randint(2, 40)):
+            for _ in range(rng.randint(1, 4)):
+                rows.append((f"g{g}", e, rng.randint(0, 5_000)))
+    # plus a degenerate group: single entity -> gini must be 0
+    rows.append(("solo", 1, 777))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "grp string, ent long, w long")
+    df = df.repartition(7)
+    got = {
+        r["grp"]: (r["n_entities"], r["total"], r["gini"], r["top_share"])
+        for r in gini_concentration(
+            df, group="grp", entity="ent", weight="w"
+        ).collect()
+    }
+    per: dict[str, dict] = {}
+    for g, e, w in rows:
+        per.setdefault(g, {})
+        per[g][e] = per[g].get(e, 0) + w
+    for g, ew in per.items():
+        xs = sorted((x, e) for e, x in ew.items())
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        ix = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+        gini = round((2 * ix - (n + 1) * tot) / (n * tot), 9)
+        top = round(max(x for x, _ in xs) / tot, 9)
+        assert got[g] == (n, tot, gini, top), g
+    assert got["solo"][2] == 0.0
