@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "drawdown_1h",
     # round-5 daily volume-concentration (Gini) census
     "volume_gini_1d",
+    # round-5 Markov transition census (user flow map)
+    "user_flow",
+    # round-5 corpus bigram collocation lift (phrase mining)
+    "collocations",
 ]
 
 

@@ -2721,6 +2721,44 @@ def q_volume_gini_1d(spark, sf_dir):
     )
 
 
+def q_user_flow(spark, sf_dir):
+    """First-order Markov transition census of each user's event
+    stream (operators/sessions.py::transition_counts) — the all-pairs
+    flow map funnel_conversion slices one path out of.  Consecutive
+    pairs are ordered by (ts, event_id) — the event_id tie-break makes
+    lag() deterministic; counts are exact bigints and share is the one
+    double division, mirrored by the twin's identical cast shape."""
+    from gents_spark.operators.sessions import transition_counts
+
+    out = transition_counts(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        order=("ts", "event_id"),
+        state="event_type",
+    )
+    return out.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.col("n_keys").alias("n_users"),
+        "share",
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """Corpus bigram collocation lift (operators/vocab.py::
+    collocation_lift) — phrase-mining census over the documents table.
+    All counts derive from ONE adjacent-pair table (marginals =
+    unordered aggregate windows over the distinct-bigram census, total
+    = broadcast one-row crossJoin); lift's mul/mul/div double chain is
+    mirrored shape-for-shape by the twin, so the row hash-matches."""
+    from gents_spark.operators.vocab import collocation_lift
+
+    return collocation_lift(
+        _t(spark, sf_dir, "documents"), text="text", min_count=5
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2813,13 +2851,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_gini_1d": q_volume_gini_1d,  # new r05: daily volume
     # concentration census (argmax_top1 — r02/r03-stamped, same
     # standing evidence — rotated to the tail in its place)
-    # --- r02/r03-stamped tail of r04, rotated back in for fresh stamps ---
-    "counter_agg_1h": q_counter_agg_1h,
+    "user_flow": q_user_flow,  # new r05: Markov transition census
+    # (counter_agg_1h — r02/r03-stamped, check_oracles-re-verified
+    # every round — returned to the tail to make room; new-query first
+    # stamps outrank old-stamp refreshes)
+    "collocations": q_collocations,  # new r05: bigram lift census
+    # (embedding_label_stats — r02/r03-stamped, same standing
+    # evidence — returned to the tail in its place)
     "funnel_latency": q_funnel_latency,  # new r05: time-to-convert
     # percentiles (multimodal_meta — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail; decode/resize keep
     # the multimodal family in the head)
-    "embedding_label_stats": q_embedding_label_stats,
     "curate_corpus": q_curate_corpus,  # new r05: composed curation
     # verdict (doc_fingerprint — r02/r03-stamped, check_oracles-
     # re-verified every round — rotated to the tail)
@@ -2856,6 +2898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
     # label queries, re-verified by check_oracles this session) ---
     "range_label": q_range_label,
+    "counter_agg_1h": q_counter_agg_1h,
+    "embedding_label_stats": q_embedding_label_stats,
     "bucket_consistency": q_bucket_consistency,
     "timestep_delta": q_timestep_delta,
     "argmax_top1": q_argmax_top1,
@@ -3832,6 +3876,54 @@ ORACLES: dict[str, str] = {
                          / CAST(total_cents AS DOUBLE), 9)
                END AS top_share
         FROM g
+    """,
+    # transition twin: lag over the same (ts, event_id) order; the
+    # per-prev share division repeats the engine's cast shape.
+    "user_flow": """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), p AS (
+            SELECT prev AS prev_state, event_type AS next_state,
+                   count(*)::BIGINT AS n_transitions,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_state, next_state, n_transitions, n_users,
+               round(CAST(n_transitions AS DOUBLE)
+                     / CAST(sum(n_transitions)
+                            OVER (PARTITION BY prev_state) AS DOUBLE),
+                     9) AS share
+        FROM p
+    """,
+    # collocation twin: adjacent pairs via 1-based ws[i]/ws[i+1] (the
+    # repetition_stats pattern); marginals/total as aggregate windows
+    # over the distinct-bigram census; lift repeats the engine's
+    # (DOUBLE * DOUBLE) / (DOUBLE * DOUBLE) chain; min_count filter
+    # applied AFTER the marginals, like the engine.
+    "collocations": """
+        WITH w AS (
+            SELECT string_split(text, ' ') AS ws FROM documents
+        ), bg AS (
+            SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ), c AS (
+            SELECT w1, w2, count(*)::BIGINT AS n_pair
+            FROM bg GROUP BY 1, 2
+        ), m AS (
+            SELECT w1, w2, n_pair,
+                   sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_left,
+                   sum(n_pair) OVER (PARTITION BY w2)::BIGINT AS n_right,
+                   sum(n_pair) OVER ()::BIGINT AS n_total
+            FROM c
+        )
+        SELECT w1, w2, n_pair, n_left, n_right, n_total,
+               round((CAST(n_total AS DOUBLE) * CAST(n_pair AS DOUBLE))
+                     / (CAST(n_left AS DOUBLE)
+                        * CAST(n_right AS DOUBLE)), 6) AS lift
+        FROM m WHERE n_pair >= 5
     """,
     # EWMA fold twin: DuckDB list() over the same ROWS frame preserves
     # ORDER BY order, list_reduce seeds with the first element and folds

@@ -433,3 +433,58 @@ def merge_intervals(
             (F.max(end_us) - F.min(start_us)) / 1e6, 6
         ).alias("covered_s"),
     ).drop("_island")
+
+
+def transition_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    state: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition census of the per-key event
+    stream: for every ordered pair of states (A -> B), how many times a
+    key's NEXT event after an A was a B, how many distinct keys made
+    that move, and the transition probability among all moves out of A.
+    The flow map funnels are slices of — ``funnel_conversion`` asks
+    about one path, this censuses all |S|^2 of them (error loops,
+    view->purchase shortcuts, signup dead-ends).  (GenTS has no event
+    semantics; reference parity is the span-ordering machinery cited in
+    the module docstring applied to state labels.)
+
+    Determinism: consecutive-pair extraction orders each key's stream
+    by the full ``order`` tuple — callers MUST include a unique
+    tie-break column (the default includes ``event_id``) or equal-ts
+    neighbors would make lag() nondeterministic.  Counts are exact
+    bigints; ``share`` is the one double division (count / per-prev
+    total), mirrored expression-for-expression by the oracle twin.
+
+    Scale shape: ONE shuffle on ``key`` for the lag window (partitions
+    bounded per key like every session operator here), then a map-side
+    partial-agg groupBy to the pair census; the per-prev share window
+    runs over the AGGREGATED |S|^2-row table, never the raw stream.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    d = (
+        events.withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    per = d.groupBy(
+        F.col("_prev").alias("prev_state"),
+        F.col(state).alias("next_state"),
+    ).agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct(key).alias("n_keys"),
+    )
+    tot = Window.partitionBy("prev_state")
+    share = F.round(
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(tot).cast("double"),
+        9,
+    )
+    return per.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        "n_keys",
+        share.alias("share"),
+    )

@@ -160,3 +160,80 @@ def topk_terms_per_bucket(
         .filter(F.col("rank") <= k)
         .select(key, day, "rank", term, "tf")
     )
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level bigram collocation census with association LIFT —
+    the phrase-mining primitive (word2vec/Mikolov-style phrase joining,
+    Dunning contingency tables) a training pipeline runs before
+    deciding which token pairs to glue: lift >> 1 = the pair co-occurs
+    far above chance ("new york"), lift ~ 1 = incidental adjacency.
+    ``repetition_stats`` censuses bigrams WITHIN one doc; this is the
+    cross-corpus view.
+
+    Definitions, all from the ONE adjacent-pair table: ``n_pair`` =
+    count of the ordered pair, ``n_left`` = count of ``w1`` as a
+    bigram's first word, ``n_right`` = count of ``w2`` as second,
+    ``n_total`` = all bigram occurrences in the corpus, and
+
+        lift = (n_total * n_pair) / (n_left * n_right)
+
+    (PMI = ln(lift); lift is emitted instead of the log so the only
+    float work is one mul/mul/div chain in doubles — overflow-safe at
+    any corpus size and mirrored shape-for-shape by the oracle twin.)
+    Counts are exact bigints; rows with ``n_pair < min_count`` are
+    dropped AFTER the marginals are computed, so the filter never
+    biases the statistics.
+
+    Scale shape: pair extraction is a map-side zip_with over each doc's
+    word array (one explode, no join back to docs); the census is one
+    map-side-combined groupBy on (w1, w2); the two marginals are
+    unordered aggregate windows over the DISTINCT-bigram table (each
+    partition bounded by |vocab|, never by |tokens|); the corpus total
+    is a broadcast one-row crossJoin.  Nothing materializes a
+    vocabulary on the driver.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count={min_count}: expected >= 1")
+    from gents_spark.operators.textstats import words_col
+
+    ws = words_col(text)
+    n = F.size(ws)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    cnt = cnt.withColumn(
+        "n_left", F.sum("n_pair").over(Window.partitionBy("w1"))
+    ).withColumn(
+        "n_right", F.sum("n_pair").over(Window.partitionBy("w2"))
+    )
+    total = cnt.agg(F.sum("n_pair").alias("n_total"))
+    lift = F.round(
+        (F.col("n_total").cast("double") * F.col("n_pair").cast("double"))
+        / (
+            F.col("n_left").cast("double")
+            * F.col("n_right").cast("double")
+        ),
+        6,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .filter(F.col("n_pair") >= F.lit(min_count))
+        .select(
+            "w1", "w2", "n_pair", "n_left", "n_right",
+            "n_total", lift.alias("lift"),
+        )
+    )

@@ -596,3 +596,104 @@ def test_gini_matches_python_exact(spark):
         top = round(max(x for x, _ in xs) / tot, 9)
         assert got[g] == (n, tot, gini, top), g
     assert got["solo"][2] == 0.0
+
+
+def test_transition_counts_matches_python_exact(spark):
+    from gents_spark.operators.sessions import transition_counts
+
+    rng = random.Random(50)
+    t0 = datetime(2024, 5, 1)
+    states = ["a", "b", "c", "d"]
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randint(0, 60)):
+            # coarse minute grid => exact-ts ties exercise the
+            # event_id tie-break
+            ts = t0 + timedelta(minutes=rng.randint(0, 200))
+            rows.append((u, eid, ts, rng.choice(states)))
+            eid += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    ).repartition(7)
+    got = {
+        (r["prev_state"], r["next_state"]): (
+            r["n_transitions"], r["n_keys"], r["share"]
+        )
+        for r in transition_counts(df).collect()
+    }
+    per_user: dict[int, list] = {}
+    for u, e, ts, s in rows:
+        per_user.setdefault(u, []).append((ts, e, s))
+    counts: dict[tuple, int] = {}
+    users: dict[tuple, set] = {}
+    for u, evs in per_user.items():
+        evs.sort()  # (ts, event_id) — the documented order
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+            users.setdefault((a, b), set()).add(u)
+    assert set(got) == set(counts)
+    outof: dict[str, int] = {}
+    for (a, _), c in counts.items():
+        outof[a] = outof.get(a, 0) + c
+    for k, c in counts.items():
+        n, nu, share = got[k]
+        assert (n, nu) == (c, len(users[k])), k
+        assert share == pytest.approx(c / outof[k[0]], abs=1e-9), k
+
+
+def test_collocation_lift_matches_python_exact(spark):
+    from gents_spark.operators.vocab import collocation_lift
+
+    rng = random.Random(51)
+    alphabet = [f"w{i}" for i in range(15)]
+    docs = []
+    for d in range(60):
+        n = rng.randint(0, 30)  # includes 0- and 1-word docs
+        docs.append((d, " ".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = df.repartition(7)
+    got = {
+        (r["w1"], r["w2"]): (
+            r["n_pair"], r["n_left"], r["n_right"], r["n_total"],
+            r["lift"],
+        )
+        for r in collocation_lift(df, min_count=2).collect()
+    }
+    pair: dict[tuple, int] = {}
+    for _, text in docs:
+        ws = text.split(" ") if text else [""]
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    left: dict[str, int] = {}
+    right: dict[str, int] = {}
+    for (a, b), c in pair.items():
+        left[a] = left.get(a, 0) + c
+        right[b] = right.get(b, 0) + c
+    total = sum(pair.values())
+    exp_keys = {k for k, c in pair.items() if c >= 2}
+    assert set(got) == exp_keys
+    for k in exp_keys:
+        n, nl, nr, nt, lift = got[k]
+        c = pair[k]
+        assert (n, nl, nr, nt) == (c, left[k[0]], right[k[1]], total), k
+        assert lift == pytest.approx(
+            total * c / (left[k[0]] * right[k[1]]), abs=1e-6
+        ), k
+
+
+def test_collocation_lift_handles_degenerate_docs(spark):
+    from gents_spark.operators.vocab import collocation_lift
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "solo"), (4, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): r["n_pair"]
+        for r in collocation_lift(df, min_count=2).collect()
+    }
+    # only the repeated pairs from doc 4 survive; NULL/empty/1-word
+    # docs contribute nothing and do not crash pair extraction
+    assert got == {("x", "y"): 3, ("y", "x"): 2}
