@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "user_flow",
     # round-5 corpus bigram collocation lift (phrase mining)
     "collocations",
+    # round-5 composed flatline/gap/level-shift alarm report
+    "screen_report_1h",
 ]
 
 

@@ -2721,6 +2721,43 @@ def q_volume_gini_1d(spark, sf_dir):
     )
 
 
+def q_screen_report_1h(spark, sf_dir):
+    """Composed feed-health report (operators/screens.py::
+    screen_report): flatline, gap and level-shift alarms over the SAME
+    persisted hourly count table, one unified alarm schema — the
+    timeseries twin of curate_corpus's composed verdict.  Flatline and
+    gap rows are all-integer; the level-shift score and its threshold
+    comparison repeat level_shift_1h's already-hash-green expression
+    shape, so engine and oracle filter identical row sets."""
+    from gents_spark.operators.screens import screen_report
+
+    hourly = _hourly_counts(spark, sf_dir).select(
+        F.col("t").alias("source"),
+        F.col("h").alias("bucket_start"),
+        F.col("c").alias("s"),
+    )
+    out = screen_report(
+        hourly,
+        key="source",
+        ts="bucket_start",
+        value="s",
+        step_s=3600,
+        min_run=3,
+        shift_window=12,
+        shift_threshold=1.5,
+        scale_div=1.0,
+    )
+    return out.select(
+        F.col("key").alias("source"),
+        "alarm_type",
+        "t_start",
+        "t_end",
+        "n_buckets",
+        F.col("v").alias("stuck_value"),
+        "score",
+    )
+
+
 def q_user_flow(spark, sf_dir):
     """First-order Markov transition census of each user's event
     stream (operators/sessions.py::transition_counts) — the all-pairs
@@ -2773,7 +2810,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- changed or new in r05 (must be in the stamped head-50) ---
     "quality_filter": q_quality_filter,
     "pack_documents": q_pack_documents,
-    "pack_documents_chunked": q_pack_documents_chunked,
     "kmeans_clusters": q_kmeans_clusters,  # r05: oracle via unrolled Lloyd
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -2851,6 +2887,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_gini_1d": q_volume_gini_1d,  # new r05: daily volume
     # concentration census (argmax_top1 — r02/r03-stamped, same
     # standing evidence — rotated to the tail in its place)
+    "screen_report_1h": q_screen_report_1h,  # new r05: composed
+    # flatline/gap/level-shift alarm report (pack_documents_chunked —
+    # r05, but exact-equality-pinned by pytest to the stamped
+    # pack_documents — moved just past the head boundary; with >50
+    # r05-new queries the gate cannot stamp them all, so seats go to
+    # queries whose evidence isn't redundant with a stamped twin)
     "user_flow": q_user_flow,  # new r05: Markov transition census
     # (counter_agg_1h — r02/r03-stamped, check_oracles-re-verified
     # every round — returned to the tail to make room; new-query first
@@ -2897,6 +2939,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotated tail: untouched this round, driver-green
     # (rows+schema+hash) in CORRECTNESS_r04 (or r02/r03 for the two
     # label queries, re-verified by check_oracles this session) ---
+    "pack_documents_chunked": q_pack_documents_chunked,  # r05 but
+    # exact-equality-pinned by pytest to the stamped pack_documents
     "range_label": q_range_label,
     "counter_agg_1h": q_counter_agg_1h,
     "embedding_label_stats": q_embedding_label_stats,
@@ -3876,6 +3920,77 @@ ORACLES: dict[str, str] = {
                          / CAST(total_cents AS DOUBLE), 9)
                END AS top_share
         FROM g
+    """,
+    # composed-screen twin: flatline block = the flatline_1h oracle
+    # shape, gap block from the same lag CTE, level-shift block = the
+    # level_shift_1h oracle shape filtered on the ROUNDED score (the
+    # engine filters after F.round too, so both engines pick identical
+    # row sets); epoch-hour alarms come back via to_timestamp like the
+    # gapfill gen-row oracles.
+    "screen_report_1h": """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts)::TIMESTAMP AS b,
+                   count(*)::BIGINT AS s
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT source, epoch(b)::BIGINT // 3600 AS t, s FROM h
+        ), f AS (
+            SELECT source, t, s, lag(t) OVER w AS pt,
+                   CASE WHEN lag(t) OVER w IS NULL
+                          OR t != lag(t) OVER w + 1
+                          OR s != lag(s) OVER w
+                        THEN 1 ELSE 0 END AS ni
+            FROM d WINDOW w AS (PARTITION BY source ORDER BY t)
+        ), i AS (
+            SELECT source, t, s,
+                   sum(ni) OVER (PARTITION BY source ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+            FROM f
+        ), flat AS (
+            SELECT source, 'flatline' AS alarm_type,
+                   to_timestamp(min(t) * 3600)::TIMESTAMP AS t_start,
+                   to_timestamp(max(t) * 3600)::TIMESTAMP AS t_end,
+                   count(*)::BIGINT AS n_buckets,
+                   min(s)::BIGINT AS stuck_value,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM i GROUP BY source, isl HAVING count(*) >= 3
+        ), gaps AS (
+            SELECT source, 'gap' AS alarm_type,
+                   to_timestamp((pt + 1) * 3600)::TIMESTAMP AS t_start,
+                   to_timestamp((t - 1) * 3600)::TIMESTAMP AS t_end,
+                   (t - pt - 1)::BIGINT AS n_buckets,
+                   CAST(NULL AS BIGINT) AS stuck_value,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM f WHERE t - pt - 1 > 0
+        ), lw AS (
+            SELECT source, b,
+                   sum(s) OVER (PARTITION BY source ORDER BY b
+                                ROWS BETWEEN CURRENT ROW
+                                AND 11 FOLLOWING)::BIGINT AS fs,
+                   count(s) OVER (PARTITION BY source ORDER BY b
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 11 FOLLOWING)::BIGINT AS fn,
+                   sum(s) OVER (PARTITION BY source ORDER BY b
+                                ROWS BETWEEN 12 PRECEDING
+                                AND 1 PRECEDING)::BIGINT AS bs,
+                   count(s) OVER (PARTITION BY source ORDER BY b
+                                  ROWS BETWEEN 12 PRECEDING
+                                  AND 1 PRECEDING)::BIGINT AS bn
+            FROM h
+        ), sh AS (
+            SELECT source, b,
+                   round((fs::DOUBLE / fn::DOUBLE
+                          - bs::DOUBLE / bn::DOUBLE) / 1.0, 6) AS score
+            FROM lw WHERE fn = 12 AND bn = 12
+        )
+        SELECT * FROM flat
+        UNION ALL SELECT * FROM gaps
+        UNION ALL
+        SELECT source, 'level_shift' AS alarm_type, b AS t_start,
+               b AS t_end, 24::BIGINT AS n_buckets,
+               CAST(NULL AS BIGINT) AS stuck_value, score
+        FROM sh WHERE abs(score) >= 1.5
     """,
     # transition twin: lag over the same (ts, event_id) order; the
     # per-prev share division repeats the engine's cast shape.

@@ -697,3 +697,98 @@ def test_collocation_lift_handles_degenerate_docs(spark):
     # only the repeated pairs from doc 4 survive; NULL/empty/1-word
     # docs contribute nothing and do not crash pair extraction
     assert got == {("x", "y"): 3, ("y", "x"): 2}
+
+
+def test_screen_report_matches_python_exact(spark):
+    from gents_spark.operators.screens import screen_report
+
+    rng = random.Random(52)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    # key "planted": flatline at hours 10..14, gap at 20..22 (missing),
+    # level step at hour 40 (100 -> 1000)
+    for h in range(72):
+        if 20 <= h <= 22:
+            continue
+        if 10 <= h <= 14:
+            v = 500
+        else:
+            v = 100 if h < 40 else 1000
+        rows.append(("planted", t0 + timedelta(hours=h), v))
+    # plus two noisy keys with random holes/values
+    for s in range(2):
+        for h in range(72):
+            if rng.random() < 0.2:
+                continue
+            rows.append((f"n{s}", t0 + timedelta(hours=h),
+                         rng.randint(90, 110)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    ).repartition(7)
+    # threshold 1.95 sits between the reachable shift grid points
+    # (integer sums / 12 => multiples of 1/12) so no boundary rounding
+    got = {
+        (r["key"], r["alarm_type"], r["t_start"], r["t_end"]): (
+            r["n_buckets"], r["v"], r["score"]
+        )
+        for r in screen_report(
+            df, shift_threshold=1.95, scale_div=1.0
+        ).collect()
+    }
+
+    per: dict[str, list] = {}
+    for s, ts, v in rows:
+        per.setdefault(s, []).append((int((ts - t0).total_seconds())
+                                      // 3600, ts, v))
+    exp: dict[tuple, tuple] = {}
+    for k, pts in per.items():
+        pts.sort()
+        # flatline runs (identical v on a contiguous grid)
+        i = 0
+        while i < len(pts):
+            j = i
+            while (
+                j + 1 < len(pts)
+                and pts[j + 1][0] == pts[j][0] + 1
+                and pts[j + 1][2] == pts[i][2]
+            ):
+                j += 1
+            if j - i + 1 >= 3:
+                exp[(k, "flatline", pts[i][1], pts[j][1])] = (
+                    j - i + 1, pts[i][2], None
+                )
+            i = j + 1
+        # gaps
+        for (ta, _, _), (tb, _, _) in zip(pts, pts[1:]):
+            if tb - ta > 1:
+                exp[(k, "gap",
+                     t0 + timedelta(hours=ta + 1),
+                     t0 + timedelta(hours=tb - 1))] = (
+                    tb - ta - 1, None, None
+                )
+        # level shifts over ROWS frames of the present rows
+        vals = [v for _, _, v in pts]
+        for i in range(len(pts)):
+            if i < 12 or i + 12 > len(pts):
+                continue
+            shift = sum(vals[i:i + 12]) / 12 - sum(vals[i - 12:i]) / 12
+            if abs(round(shift, 6)) >= 1.95:
+                exp[(k, "level_shift", pts[i][1], pts[i][1])] = (
+                    24, None, round(shift, 6)
+                )
+    assert set(got) == set(exp)
+    for key in exp:
+        g, e = got[key], exp[key]
+        assert g[:2] == e[:2], key
+        if e[2] is None:
+            assert g[2] is None, key
+        else:
+            assert g[2] == pytest.approx(e[2], abs=1e-9), key
+    # sanity: the planted alarms are all present
+    assert ("planted", "flatline", t0 + timedelta(hours=10),
+            t0 + timedelta(hours=14)) in got
+    assert ("planted", "gap", t0 + timedelta(hours=20),
+            t0 + timedelta(hours=22)) in got
+    assert any(k[0] == "planted" and k[1] == "level_shift"
+               for k in got)
