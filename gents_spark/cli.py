@@ -21,6 +21,7 @@ import time
 
 from gents_spark import __version__
 from gents_spark.configs import PROFILES, resolve_profile
+from gents_spark.operators.rollup import grid_index
 from gents_spark.pipeline import TierPipeline
 from gents_spark.session import get_spark
 
@@ -373,7 +374,9 @@ def main(argv: list[str] | None = None) -> int:
             tier_df = tier_df.filter(~F.coalesce("filled", F.lit(False)))
         tier_df = tier_df.select(
             "source",
-            F.expr(f"unix_timestamp(bucket_start) div {step_s}").alias("t"),
+            # floor-division grid index — `div` truncates toward zero
+            # and would shift pre-1970 buckets off the DuckDB-`//` grid
+            grid_index("bucket_start", step_s).alias("t"),
             F.col("cnt").alias("s"),
         )
         runs = (

@@ -40,6 +40,15 @@ _BENFORD_CASE = (
 # --------------------------------------------------------------------------
 
 
+def _grid_index(ts_col, step_s):
+    """FLOOR-division grid index (operators/rollup.py::grid_index) —
+    Spark's `div` truncates toward zero and would diverge from the
+    DuckDB twins' flooring `//` on pre-1970 timestamps."""
+    from gents_spark.operators.rollup import grid_index
+
+    return grid_index(ts_col, step_s)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Deliberately NOT repartitioned: the gate/bench fact files are small
     # (events@sf0.1 = 100k rows, 1 row group), so an up-front
@@ -1789,7 +1798,7 @@ def q_trend_slope(spark, sf_dir):
             F.date_trunc("hour", "ts").alias("bucket_start"),
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
-        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+        .withColumn("t", _grid_index("bucket_start", 3600))
     )
     return ols_trend(
         hourly, key="source", order_idx="t", value="s", scale_div=100.0
@@ -1811,7 +1820,7 @@ def q_theil_sen(spark, sf_dir):
             F.date_trunc("hour", "ts").alias("bucket_start"),
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
-        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+        .withColumn("t", _grid_index("bucket_start", 3600))
     )
     return theil_sen_slope(
         hourly, key="source", order_idx="t", value="s",
@@ -1846,7 +1855,7 @@ def q_flatline_1h(spark, sf_dir):
             F.date_trunc("hour", "ts").alias("bucket_start"),
         )
         .agg(F.count("*").alias("s"))
-        .withColumn("t", F.expr("unix_timestamp(bucket_start) div 3600"))
+        .withColumn("t", _grid_index("bucket_start", 3600))
     )
     return flatline_runs(
         hourly, key="source", order_idx="t", value="s", min_run=3

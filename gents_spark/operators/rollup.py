@@ -108,6 +108,28 @@ def time_bucket(
     return F.timestamp_micros(us - F.pmod(us - ous, w))
 
 
+def grid_index(ts_col, step_s: int, origin_s: int = 0) -> F.Column:
+    """FLOOR-division grid index of a timestamp: ``(epoch - origin) //
+    step_s`` as a bigint — the integer bucket number the island/gap
+    screens (``flatline_runs``, ``screen_report``) order by.
+
+    Spark's ``div`` truncates toward zero, which puts the half-step
+    left of the origin into bucket 0 instead of bucket -1 and diverges
+    from DuckDB's flooring ``//`` on pre-origin timestamps; this uses
+    the same exact-integer ``pmod`` floor as ``time_bucket`` (the
+    subtraction yields an exact step multiple, so the one division is
+    lossless).  ``origin_s`` aligns offset grids (a 00:07:30-anchored
+    tier passes its origin so index*step+origin round-trips to the
+    true bucket timestamp).
+    """
+    if step_s < 1:
+        raise ValueError(f"step_s={step_s}: expected >= 1")
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    e = F.unix_timestamp(c.cast("timestamp")) - F.lit(int(origin_s))
+    s = F.lit(int(step_s))
+    return ((e - F.pmod(e, s)) / s).cast("long")
+
+
 def sliding_rollup(
     points: DataFrame,
     width_s: int,
@@ -448,8 +470,14 @@ def ohlc(
     """
     v = F.col(value_col)
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # NULL values are excluded up front: Spark's struct min/max would
+    # order a NULL field FIRST (open=NULL) while high/low/cnt skip or
+    # count it inconsistently — a NULL price is a missing observation,
+    # not a bar member (and the oracle's NULLS LAST row_number would
+    # disagree row-for-row otherwise)
     out = (
-        df.groupBy(
+        df.filter(v.isNotNull())
+        .groupBy(
             F.col(source_col).alias("source"),
             bucket_col(ts_col, tier).alias("bucket_start"),
         )

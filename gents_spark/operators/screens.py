@@ -50,6 +50,7 @@ def screen_report(
     ts: str = "bucket_start",
     value: str = "s",
     step_s: int = 3600,
+    origin_s: int = 0,
     min_run: int = 3,
     shift_window: int = 12,
     shift_threshold: float = 2.0,
@@ -59,6 +60,15 @@ def screen_report(
     series.  ``shift_threshold`` is compared against the ABSOLUTE
     rounded shift (same 6-dp rounding as ``level_shift``); gaps and
     flatlines are parameterized by the grid ``step_s`` and ``min_run``.
+
+    ``origin_s`` MUST match the tier's bucket alignment (0 for
+    date_trunc/epoch-aligned tiers; the anchor's epoch offset for
+    ``time_bucket(origin=...)`` tiers): flatline and gap alarm times
+    are reconstructed as ``index*step + origin``, so a mismatched
+    origin would snap them off-grid while level-shift alarms (which
+    carry the raw bucket timestamp) stay on it — the report would
+    disagree with itself.  Round-tripping is exact when the input is
+    grid-aligned (``grid_index`` floors, never truncates).
     """
     if step_s < 1:
         raise ValueError(f"step_s={step_s}: expected >= 1")
@@ -66,14 +76,18 @@ def screen_report(
         raise ValueError(
             f"shift_threshold={shift_threshold}: expected > 0"
         )
+    from gents_spark.operators.rollup import grid_index
+
     d = tier.select(
         F.col(key).alias("key"),
         F.col(ts).alias("ts"),
         F.col(value).cast("long").alias("v"),
-    ).withColumn("t", F.expr(f"unix_timestamp(ts) div {step_s}"))
+    ).withColumn("t", grid_index("ts", step_s, origin_s))
 
     def _ts(col: F.Column) -> F.Column:
-        return F.timestamp_seconds(col * F.lit(step_s))
+        return F.timestamp_seconds(
+            col * F.lit(step_s) + F.lit(int(origin_s))
+        )
 
     flat = flatline_runs(
         d, key="key", order_idx="t", value="v", min_run=min_run

@@ -792,3 +792,79 @@ def test_screen_report_matches_python_exact(spark):
             t0 + timedelta(hours=22)) in got
     assert any(k[0] == "planted" and k[1] == "level_shift"
                for k in got)
+
+
+def test_ohlc_null_values_are_missing_observations(spark):
+    from gents_spark.operators.rollup import ohlc
+
+    t0 = datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [
+            ("s", t0, None),              # earliest row: NULL value
+            ("s", t0 + timedelta(minutes=1), 7),
+            ("s", t0 + timedelta(minutes=2), 3),
+            ("s", t0 + timedelta(minutes=3), None),  # latest row: NULL
+            ("x", t0, None),              # all-NULL bucket -> no bar
+        ],
+        "source string, event_time timestamp, v long",
+    )
+    rows = {r["source"]: r for r in ohlc(df, "1h", value_col="v").collect()}
+    assert set(rows) == {"s"}
+    r = rows["s"]
+    # NULLs are excluded from the bar entirely (cnt included)
+    assert (r["cnt"], r["open"], r["high"], r["low"], r["close"]) == (
+        2, 7, 7, 3, 3
+    )
+
+
+def test_screen_report_offset_grid_alarms_stay_on_grid(spark):
+    from gents_spark.operators.screens import screen_report
+
+    # a 00:07:30-anchored 15-minute tier (the bucket_15m_offset
+    # alignment): alarm timestamps must round-trip to true buckets
+    t0 = datetime(2024, 5, 1, 0, 7, 30)
+    step = timedelta(minutes=15)
+    rows = []
+    for i in range(40):
+        if 20 <= i <= 22:
+            continue  # gap
+        v = 500 if 10 <= i <= 14 else 100  # flatline at 10..14
+        rows.append(("k", t0 + i * step, v))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, s long"
+    )
+    got = {
+        (r["alarm_type"], r["t_start"], r["t_end"])
+        for r in screen_report(
+            df, step_s=900, origin_s=450, shift_threshold=1000.0
+        ).collect()
+    }
+    assert ("flatline", t0 + 10 * step, t0 + 14 * step) in got
+    assert ("gap", t0 + 20 * step, t0 + 22 * step) in got
+    # every reported time sits ON the offset grid
+    for _, a, b in got:
+        for ts in (a, b):
+            assert (int((ts - t0).total_seconds()) % 900) == 0
+
+
+def test_grid_index_floors_pre_epoch_timestamps(spark):
+    from gents_spark.operators.rollup import grid_index
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (datetime(1969, 12, 31, 23, 30),),  # -1800s -> bucket -1
+            (datetime(1969, 12, 31, 23, 0),),   # -3600s -> bucket -1
+            (datetime(1970, 1, 1, 0, 30),),     # 1800s  -> bucket 0
+            (datetime(1969, 12, 31, 22, 59),),  # -3660s -> bucket -2
+        ],
+        "ts timestamp",
+    )
+    got = [
+        r["t"]
+        for r in df.select(grid_index("ts", 3600).alias("t"))
+        .orderBy(F.col("ts")).collect()
+    ]
+    # python floor-division semantics, matching DuckDB's `//`
+    assert got == [-2, -1, -1, 0]
