@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "collocations",
     # round-5 composed flatline/gap/level-shift alarm report
     "screen_report_1h",
+    # round-5 Spearman rank correlation (exact double-rank transform)
+    "spearman_1h",
 ]
 
 

@@ -2730,6 +2730,50 @@ def q_volume_gini_1d(spark, sf_dir):
     )
 
 
+def q_spearman_1h(spark, sf_dir):
+    """Spearman rank correlation of hourly event counts between every
+    event-type pair — the ROBUST companion to source_correlation's
+    Pearson (monotone co-movement, insensitive to the heavy-tailed
+    bursts that dominate a product-moment corr).  Exactness: ranks use
+    the DOUBLED average-rank transform ``2*rank + tie_count - 1``
+    (an exact bigint — the .5 average ranks never touch a float), and
+    Spearman = Pearson over the doubled ranks, so the whole statistic
+    reuses _pair_pearson's exact-integer sums with doubles only in the
+    one final num/den expression.  Shape: persisted hourly agg ->
+    bounded |types|² hour self-join -> two value-ordered rank windows
+    per pair partition (bounded by hours-per-pair) -> one groupBy."""
+    hourly = _hourly_counts(spark, sf_dir)
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        F.col("a.c").alias("xc"),
+        F.col("b.c").alias("yc"),
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    x2 = (
+        F.lit(2).cast("long") * F.rank().over(wp.orderBy("xc"))
+        + F.count("*").over(
+            Window.partitionBy("type_a", "type_b", "xc")
+        )
+        - F.lit(1)
+    ).cast("long")
+    y2 = (
+        F.lit(2).cast("long") * F.rank().over(wp.orderBy("yc"))
+        + F.count("*").over(
+            Window.partitionBy("type_a", "type_b", "yc")
+        )
+        - F.lit(1)
+    ).cast("long")
+    ranked = pairs.select(
+        "type_a", "type_b", x2.alias("x"), y2.alias("y")
+    )
+    return _pair_pearson(ranked, "type_a", "type_b", "spearman")
+
+
 def q_screen_report_1h(spark, sf_dir):
     """Composed feed-health report (operators/screens.py::
     screen_report): flatline, gap and level-shift alarms over the SAME
@@ -2821,7 +2865,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "kmeans_clusters": q_kmeans_clusters,  # r05: oracle via unrolled Lloyd
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_trained": q_ann_ivf_trained,
     "lttb_downsample": q_lttb_downsample,  # r05: oracle via unrolled chain
     "ewma_1h": q_ewma_1h,  # new r05: EWMA smoother (column_classes
     # rotated to the tail on its r04 stamp to keep the head at 50)
@@ -2896,6 +2939,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_gini_1d": q_volume_gini_1d,  # new r05: daily volume
     # concentration census (argmax_top1 — r02/r03-stamped, same
     # standing evidence — rotated to the tail in its place)
+    "spearman_1h": q_spearman_1h,  # new r05: rank correlation
+    # (ann_ivf_trained — r05, but its kmeans wiring is covered by the
+    # stamped kmeans_clusters + ann_ivf_topk pair and a recall pytest —
+    # moved just past the head boundary; same >50-new-queries tradeoff
+    # as pack_documents_chunked below)
     "screen_report_1h": q_screen_report_1h,  # new r05: composed
     # flatline/gap/level-shift alarm report (pack_documents_chunked —
     # r05, but exact-equality-pinned by pytest to the stamped
@@ -2950,6 +2998,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # label queries, re-verified by check_oracles this session) ---
     "pack_documents_chunked": q_pack_documents_chunked,  # r05 but
     # exact-equality-pinned by pytest to the stamped pack_documents
+    "ann_ivf_trained": q_ann_ivf_trained,  # r05 but covered by the
+    # stamped kmeans_clusters + ann_ivf_topk pair and a recall pytest
     "range_label": q_range_label,
     "counter_agg_1h": q_counter_agg_1h,
     "embedding_label_stats": q_embedding_label_stats,
@@ -3928,6 +3978,45 @@ ORACLES: dict[str, str] = {
                    round(CAST(mx AS DOUBLE)
                          / CAST(total_cents AS DOUBLE), 9)
                END AS top_share
+        FROM g
+    """,
+    # Spearman twin: the doubled average-rank transform (2*rank +
+    # tie_count - 1, exact bigint) then source_correlation's exact
+    # Pearson shape; rank() is min-rank in both engines.
+    "spearman_1h": """
+        WITH hourly AS (
+            SELECT event_type AS t, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.t AS type_a, b.t AS type_b, a.c AS xc, b.c AS yc
+            FROM hourly a JOIN hourly b
+              ON a.h = b.h AND a.t < b.t
+        ), r AS (
+            SELECT type_a, type_b,
+                   (2 * rank() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY xc)
+                    + count(*) OVER (PARTITION BY type_a, type_b, xc)
+                    - 1)::BIGINT AS x,
+                   (2 * rank() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY yc)
+                    + count(*) OVER (PARTITION BY type_a, type_b, yc)
+                    - 1)::BIGINT AS y
+            FROM pairs
+        ), g AS (
+            SELECT type_a, type_b, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+                   sum(y*y)::BIGINT AS syy
+            FROM r GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n AS n_hours,
+               round(CASE WHEN (sqrt((n*sxx - sx*sx)::DOUBLE)
+                                * sqrt((n*syy - sy*sy)::DOUBLE)) > 0
+                     THEN (n*sxy - sx*sy)::DOUBLE
+                          / (sqrt((n*sxx - sx*sx)::DOUBLE)
+                             * sqrt((n*syy - sy*sy)::DOUBLE))
+                     END, 6) AS spearman
         FROM g
     """,
     # composed-screen twin: flatline block = the flatline_1h oracle

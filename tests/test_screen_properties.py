@@ -868,3 +868,76 @@ def test_grid_index_floors_pre_epoch_timestamps(spark):
     ]
     # python floor-division semantics, matching DuckDB's `//`
     assert got == [-2, -1, -1, 0]
+
+
+def test_spearman_matches_python_exact(spark):
+    """q_spearman_1h's rank transform, replayed on a hand-built events
+    table vs a pure-Python average-rank Spearman."""
+    from gents_spark.driver_queries import q_spearman_1h
+
+    rng = random.Random(53)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    series = {t: {} for t in ("a", "b", "c")}
+    for h in range(100):
+        for t in series:
+            # coarse counts => plenty of rank ties
+            n = rng.randint(0, 4)
+            if n == 0:
+                continue
+            series[t][h] = n
+            for _ in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, minutes=5),
+                             1, t, 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(5).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["type_a"], r["type_b"]): (r["n_hours"], r["spearman"])
+            for r in q_spearman_1h(spark, d).collect()
+        }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (j + 1 < len(order)
+                   and vals[order[j + 1]] == vals[order[i]]):
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    for ta in series:
+        for tb in series:
+            if ta >= tb:
+                continue
+            hours = sorted(set(series[ta]) & set(series[tb]))
+            xs = [series[ta][h] for h in hours]
+            ys = [series[tb][h] for h in hours]
+            rx, ry = avg_ranks(xs), avg_ranks(ys)
+            n = len(hours)
+            mx, my = sum(rx) / n, sum(ry) / n
+            num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+            den = (sum((a - mx) ** 2 for a in rx)
+                   * sum((b - my) ** 2 for b in ry)) ** 0.5
+            gn, gs = got[(ta, tb)]
+            assert gn == n, (ta, tb)
+            if den == 0:
+                assert gs is None, (ta, tb)
+            else:
+                # engine emits round(spearman, 6)
+                assert gs == pytest.approx(num / den, abs=1e-6), (ta, tb)
