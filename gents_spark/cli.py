@@ -136,6 +136,16 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "reporting the same number is wedged, not quiet)")
     p.add_argument("--flatline-min-run", type=int, default=3,
                    help="minimum run length for --flatline-report")
+    p.add_argument("--screen-report", metavar="TIER", default=None,
+                   help="after the build, print the COMPOSED feed-health "
+                        "report of the given tier: flatline runs, gaps "
+                        "and level shifts over the per-source row counts "
+                        "in one alarm table (--flatline-min-run and "
+                        "--screen-shift-threshold parameterize it)")
+    p.add_argument("--screen-shift-threshold", type=float, default=2.0,
+                   help="minimum |forward - backward| 12-bucket frame-"
+                        "mean contrast (rows per bucket) for a "
+                        "level_shift alarm in --screen-report")
     p.add_argument("--salted", action="store_true",
                    help="two-phase salted aggregation for hot sources")
     p.add_argument("--n-salt", type=int, default=16,
@@ -175,7 +185,8 @@ def main(argv: list[str] | None = None) -> int:
             ) from e
     for t in (args.tiers or []) + [
         x
-        for x in (args.gap_report, args.export_tier, args.flatline_report)
+        for x in (args.gap_report, args.export_tier,
+                  args.flatline_report, args.screen_report)
         if x
     ] + [
         spec.partition("=")[0]
@@ -191,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
         # labels above — flatline_runs would raise only at report time
         raise SystemExit(
             f"--flatline-min-run {args.flatline_min_run}: expected >= 2"
+        )
+    if args.screen_shift_threshold <= 0:
+        raise SystemExit(
+            f"--screen-shift-threshold {args.screen_shift_threshold}: "
+            "expected > 0"
         )
     prof = resolve_profile(
         args.profile, args.include_sources, args.exclude_sources,
@@ -404,6 +420,60 @@ def main(argv: list[str] | None = None) -> int:
                 r.asDict()
                 for r in sorted(
                     runs, key=lambda r: (r["source"], r["run_start"])
+                )
+            ]
+        }
+    if args.screen_report:
+        import os
+
+        import pyspark.sql.functions as F
+
+        from gents_spark.operators.rollup import tier_grain
+        from gents_spark.operators.screens import screen_report
+        from gents_spark.plans.manifest import read_tier
+
+        _, step_s = tier_grain(args.screen_report)
+        tier_df = read_tier(
+            spark, os.path.join(args.output, "tiers"), args.screen_report
+        )
+        if "filled" in tier_df.columns:
+            # same exclusion as --flatline-report: gap-filled rows are
+            # the GAP alarms' subject, not flatline/shift evidence
+            tier_df = tier_df.filter(~F.coalesce("filled", F.lit(False)))
+        alarms = (
+            screen_report(
+                tier_df.select(
+                    "source", "bucket_start", F.col("cnt").alias("s")
+                ),
+                key="source",
+                ts="bucket_start",
+                value="s",
+                step_s=step_s,
+                min_run=args.flatline_min_run,
+                shift_threshold=args.screen_shift_threshold,
+                scale_div=1.0,
+            )
+            .select(
+                F.col("key").alias("source"),
+                "alarm_type",
+                F.date_format("t_start", "yyyy-MM-dd HH:mm:ss")
+                .alias("t_start"),
+                F.date_format("t_end", "yyyy-MM-dd HH:mm:ss")
+                .alias("t_end"),
+                "n_buckets",
+                F.col("v").alias("cnt"),
+                "score",
+            )
+            .collect()
+        )
+        out["screen_report"] = {
+            args.screen_report: [
+                r.asDict()
+                for r in sorted(
+                    alarms,
+                    key=lambda r: (
+                        r["source"], r["alarm_type"], r["t_start"]
+                    ),
                 )
             ]
         }

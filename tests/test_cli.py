@@ -600,3 +600,52 @@ def test_cli_flatline_min_run_validated_before_build(tmp_path, capsys):
             "--tiers", "1h", "--flatline-report", "1h",
             "--flatline-min-run", "1",
         ])
+
+
+def test_cli_screen_report_composed_alarms(spark, tmp_path, capsys):
+    """--screen-report TIER unions flatline, gap and level-shift alarms
+    over the tier's per-source counts: a constant-cadence source with
+    one hour-long hole yields exactly one gap alarm (the hole) and one
+    flatline alarm (the 3 contiguous identical hours after it)."""
+    import json
+
+    in_path = str(tmp_path / "seqs_sr")
+    out = str(tmp_path / "out_sr")
+    seqs = synth_sequences(spark, 1, 300)  # 5 hours of cnt 60
+    seqs = seqs.filter(
+        ~F.substring("doc_id", 8, 10).cast("long").between(60, 119)
+    )  # hour 1 becomes a hole
+    seqs.write.parquet(in_path)
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1h", "--gapfill", "none", "--step-s", "60",
+        "--master", "local[4]", "--screen-report", "1h",
+        "--flatline-min-run", "3",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    alarms = rep["screen_report"]["1h"]
+    by_type = {}
+    for r in alarms:
+        by_type.setdefault(r["alarm_type"], []).append(r)
+    assert set(by_type) == {"flatline", "gap"}  # too short for shifts
+    (gap,) = by_type["gap"]
+    assert gap["n_buckets"] == 1
+    assert gap["t_start"] == gap["t_end"]
+    assert gap["t_start"].endswith("01:00:00")
+    (flat,) = by_type["flatline"]
+    assert (flat["n_buckets"], flat["cnt"]) == (3, 60)
+    assert flat["t_start"].endswith("02:00:00")
+    assert flat["t_end"].endswith("04:00:00")
+
+
+def test_cli_screen_shift_threshold_validated_before_build(tmp_path):
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="screen-shift-threshold"):
+        main([
+            "--input", str(tmp_path / "nope.parquet"),
+            "--output", str(tmp_path / "out"),
+            "--tiers", "1h", "--screen-report", "1h",
+            "--screen-shift-threshold", "-1",
+        ])
