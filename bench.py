@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "screen_report_1h",
     # round-5 Spearman rank correlation (exact double-rank transform)
     "spearman_1h",
+    # round-5 weekly named tier + monthly calendar rollup
+    "rollup_1w",
+    "rollup_1mo",
 ]
 
 

@@ -119,6 +119,44 @@ def q_rollup_1d(spark, sf_dir):
     return _events_tiers(spark, sf_dir, "1d")
 
 
+def q_rollup_1w(spark, sf_dir):
+    """Weekly tier ('1w', added r05): weeks are REGULAR (604800 s,
+    Monday-anchored by date_trunc in both engines), so '1w' is a full
+    named tier — same flagship rollup shape, every step-seconds
+    consumer works unchanged."""
+    return _events_tiers(spark, sf_dir, "1w")
+
+
+def q_rollup_1mo(spark, sf_dir):
+    """Monthly calendar rollup (operators/rollup.py::calendar_rollup):
+    months are IRREGULAR (28..31 days), so they are not a pipeline tier
+    — bucket_end uses exact calendar arithmetic (timestamp_add MONTH),
+    the TimescaleDB monthly-cagg surface.  Same exact-percentile shape
+    as the tier rollups."""
+    from gents_spark.operators.rollup import calendar_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_time"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = calendar_rollup(
+        ev, "month", value_col="cents", with_percentiles=True
+    )
+    return out.select(
+        "source",
+        "bucket_start",
+        "bucket_end",
+        "cnt",
+        F.col("sum_v").alias("sum_cents"),
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+        F.round(F.col("p50_v"), 6).alias("p50_cents"),
+        F.round(F.col("p95_v"), 6).alias("p95_cents"),
+        F.round(F.col("p99_v"), 6).alias("p99_cents"),
+    )
+
+
 def q_rollup_1h_midpoint(spark, sf_dir):
     """W2 midpoint alignment: each event opens a deterministic interval
     [ts, ts + (event_id % 7200)s) and is assigned to the hour bucket of
@@ -3000,6 +3038,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-equality-pinned by pytest to the stamped pack_documents
     "ann_ivf_trained": q_ann_ivf_trained,  # r05 but covered by the
     # stamped kmeans_clusters + ann_ivf_topk pair and a recall pytest
+    "rollup_1w": q_rollup_1w,  # new r05 tail-top: the head is
+    # saturated with unstamped-new queries; evidence = check_oracles
+    # (the weekly tier reuses the thrice-stamped _events_tiers shape)
+    "rollup_1mo": q_rollup_1mo,  # new r05 tail-top: calendar grains
     "range_label": q_range_label,
     "counter_agg_1h": q_counter_agg_1h,
     "embedding_label_stats": q_embedding_label_stats,
@@ -3489,6 +3531,41 @@ ORACLES: dict[str, str] = {
     **SESSION_ORACLES,
     "rollup_1m": _tier_sql("minute"),
     "rollup_1h": _tier_sql("hour"),
+    "rollup_1w": _tier_sql("week"),
+    # monthly calendar twin: DuckDB date_trunc('month') + INTERVAL 1
+    # MONTH mirror calendar_rollup's exact calendar arithmetic; cents
+    # keep sums exact; quantile_cont == sorted_percentile (the proven
+    # tier pairing)
+    "rollup_1mo": """
+        WITH g AS (
+            SELECT event_type AS source,
+                   CAST(date_trunc('month', ts) AS TIMESTAMP)
+                       AS bucket_start,
+                   count(*) AS cnt,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents,
+                   min(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS min_cents,
+                   max(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS max_cents,
+                   round(quantile_cont(
+                       CAST(round(value * 100) AS BIGINT), 0.5)::DOUBLE,
+                       6) AS p50_cents,
+                   round(quantile_cont(
+                       CAST(round(value * 100) AS BIGINT), 0.95)::DOUBLE,
+                       6) AS p95_cents,
+                   round(quantile_cont(
+                       CAST(round(value * 100) AS BIGINT), 0.99)::DOUBLE,
+                       6) AS p99_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT source, bucket_start,
+               CAST(bucket_start + INTERVAL 1 MONTH AS TIMESTAMP)
+                   AS bucket_end,
+               cnt, sum_cents, min_cents, max_cents,
+               p50_cents, p95_cents, p99_cents
+        FROM g
+    """,
     # merged-sketch percentiles are EXACT for integer measures, so the
     # oracle is the plain exact percentile over the floored values
     "sketch_merge_1h": """

@@ -32,11 +32,21 @@ import re as _re
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-#: tier name -> date_trunc unit
-TIER_UNITS: dict[str, str] = {"1m": "minute", "1h": "hour", "1d": "day"}
+#: tier name -> date_trunc unit.  '1w' (added r05) is a full named
+#: tier: weeks are REGULAR (604800 s, Monday-anchored by date_trunc in
+#: both engines), so every step-seconds consumer (gap-fill spines, grid
+#: indices, retention ordering, payload codecs) works unchanged —
+#: unlike months, which are irregular and live in ``calendar_rollup``
+#: only.
+TIER_UNITS: dict[str, str] = {
+    "1m": "minute", "1h": "hour", "1d": "day", "1w": "week",
+}
 #: tier name -> bucket width in seconds
-TIER_SECONDS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
-#: coarser-tier cascade order
+TIER_SECONDS: dict[str, int] = {
+    "1m": 60, "1h": 3600, "1d": 86400, "1w": 604800,
+}
+#: coarser-tier cascade order (the DEFAULT build set; '1w' is opt-in
+#: via --tiers / TierPipeline(tiers=...))
 TIER_ORDER: list[str] = ["1m", "1h", "1d"]
 
 
@@ -502,3 +512,82 @@ def ohlc(
         "low",
         F.col("_c.v").alias("close"),
     )
+
+
+#: calendar grains whose buckets have IRREGULAR widths (or, for week,
+#: a calendar anchor) — date_trunc unit -> timestamp_add unit
+CAL_GRAINS: dict[str, str] = {
+    "week": "WEEK",
+    "month": "MONTH",
+    "quarter": "QUARTER",
+    "year": "YEAR",
+}
+
+
+def calendar_rollup(
+    df: DataFrame,
+    grain: str,
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    value_col: str = "n_tok",
+    with_percentiles: bool = True,
+) -> DataFrame:
+    """Calendar-aligned continuous aggregate — the TimescaleDB
+    monthly-cagg surface the fixed-width tier model cannot express:
+    month/quarter/year buckets are IRREGULAR (28..31-day months), so
+    they cannot be a pipeline tier (gap-fill spines, grid indices and
+    payload codecs all assume one step width; '1w' IS regular and is a
+    full named tier instead).  Billing months and monthly data-volume
+    reports bucket here.
+
+    bucket_start = ``date_trunc(grain)``; bucket_end =
+    ``timestamp_add(unit, 1, bucket_start)`` — exact calendar
+    arithmetic, so a January bar spans 31 days and February 28/29 with
+    no 30.44-day approximation.  Aggregates are the tier model's
+    (cnt/sum/min/max + exact interpolated percentiles over the sorted
+    value array — ``sorted_percentile``, the same bitwise-stable shape
+    as ``rollup``'s exact mode).
+
+    Scale shape: identical to ``rollup`` — ONE partially-aggregated
+    shuffle on (source, bucket); percentile arrays are per-bucket, so
+    the exact mode carries the bucket's values like any exact
+    percentile must (use coarse grains over pre-aggregated finer tiers
+    when buckets would not fit a task).
+    """
+    if grain not in CAL_GRAINS:
+        raise ValueError(
+            f"unknown calendar grain {grain!r}; choose one of "
+            f"{sorted(CAL_GRAINS)}"
+        )
+    v = F.col(value_col)
+    aggs = [
+        F.count("*").alias("cnt"),
+        F.sum(v.cast("long")).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    ]
+    if with_percentiles:
+        aggs.append(
+            F.sort_array(F.collect_list(v.cast("double"))).alias("_sv")
+        )
+    out = (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(*aggs)
+        .withColumn("cal_grain", F.lit(grain))
+        .withColumn(
+            "bucket_end",
+            F.timestamp_add(CAL_GRAINS[grain], F.lit(1), F.col("bucket_start")),
+        )
+    )
+    cols = [
+        "source", "cal_grain", "bucket_start", "bucket_end",
+        "cnt", "sum_v", "min_v", "max_v",
+    ]
+    if with_percentiles:
+        for p, name in zip(PCTS, ("p50_v", "p95_v", "p99_v")):
+            out = out.withColumn(name, sorted_percentile(F.col("_sv"), p))
+        cols += ["p50_v", "p95_v", "p99_v"]
+    return out.select(*cols)

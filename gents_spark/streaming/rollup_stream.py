@@ -30,7 +30,14 @@ SEQUENCES_SCHEMA = (
     "doc_id string, tokens array<int>, n_tok int, source string"
 )
 
-WINDOW_WIDTH = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+WINDOW_WIDTH = {
+    "1m": "1 minute", "1h": "1 hour", "1d": "1 day", "1w": "7 days",
+}
+#: F.window durations are EPOCH-aligned; 1970-01-01 is a Thursday, so
+#: '7 days' windows need a +4d startTime to match date_trunc('week')'s
+#: Monday anchor (the batch '1w' tier).  Sub-day widths divide a day
+#: and already coincide.
+WINDOW_START = {"1w": "4 days"}
 
 
 def read_sequences_stream(
@@ -59,11 +66,17 @@ def streaming_rollup(
     """
     _, step = tier_grain(tier)  # validates the label
     width = WINDOW_WIDTH.get(tier, f"{step} seconds")
+    start = WINDOW_START.get(tier)
+    w = (
+        F.window("event_time", width, width, start)
+        if start
+        else F.window("event_time", width)
+    )
     ev = with_event_time(stream, step_s=step_s).withWatermark(
         "event_time", watermark
     )
     return (
-        ev.groupBy("source", F.window("event_time", width))
+        ev.groupBy("source", w)
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),

@@ -649,3 +649,31 @@ def test_cli_screen_shift_threshold_validated_before_build(tmp_path):
             "--tiers", "1h", "--screen-report", "1h",
             "--screen-shift-threshold", "-1",
         ])
+
+
+def test_cli_weekly_tier_end_to_end(spark, tmp_path, capsys):
+    """r05 '1w' named tier: weeks are regular (604800 s) so the full
+    pipeline works unchanged; buckets anchor on MONDAY (date_trunc
+    week), not the epoch's Thursday."""
+    in_path = str(tmp_path / "seqs_w")
+    out = str(tmp_path / "out_w")
+    # step-s 3600: 400 seqs/source = ~16.7 days => 3-4 weekly buckets
+    synth_sequences(spark, 2, 400).write.parquet(in_path)
+
+    rc = main([
+        "--input", in_path, "--output", out,
+        "--tiers", "1d", "1w", "--gapfill", "locf",
+        "--step-s", "3600", "--master", "local[4]",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["tiers"]["1w"]["written"] > 0
+
+    t = read_tier(spark, out + "/tiers", "1w")
+    rows = t.select("source", "bucket_start", "bucket_end").collect()
+    assert rows
+    for r in rows:
+        assert r["bucket_start"].weekday() == 0  # Monday anchor
+        assert (
+            r["bucket_end"] - r["bucket_start"]
+        ).total_seconds() == 604800

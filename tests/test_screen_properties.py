@@ -941,3 +941,67 @@ def test_spearman_matches_python_exact(spark):
             else:
                 # engine emits round(spearman, 6)
                 assert gs == pytest.approx(num / den, abs=1e-6), (ta, tb)
+
+
+def test_calendar_rollup_month_boundaries_exact(spark):
+    from gents_spark.operators.rollup import calendar_rollup
+
+    rng = random.Random(54)
+    rows = []
+    # span a leap February and month ends
+    for d in range(1, 120):
+        ts = datetime(2024, 1, 1) + timedelta(days=d - 1, hours=3)
+        rows.append(("s", ts, rng.randint(-500, 500)))
+    df = spark.createDataFrame(
+        rows, "source string, event_time timestamp, v long"
+    ).repartition(7)
+    got = {
+        r["bucket_start"]: (
+            r["bucket_end"], r["cnt"], r["sum_v"], r["min_v"], r["max_v"]
+        )
+        for r in calendar_rollup(df, "month", value_col="v").collect()
+    }
+    exp: dict = {}
+    for s, ts, v in rows:
+        b = ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        exp.setdefault(b, []).append(v)
+    assert set(got) == set(exp)
+    # exact calendar widths: Jan 31d, LEAP Feb 29d, Mar 31d, Apr 30d
+    assert got[datetime(2024, 1, 1)][0] == datetime(2024, 2, 1)
+    assert got[datetime(2024, 2, 1)][0] == datetime(2024, 3, 1)
+    ndays = {datetime(2024, 1, 1): 31, datetime(2024, 2, 1): 29,
+             datetime(2024, 3, 1): 31, datetime(2024, 4, 1): 30}
+    for b, vals in exp.items():
+        end, cnt, sv, mn, mx = got[b]
+        assert (end - b).days == ndays[b]
+        assert (cnt, sv, mn, mx) == (
+            len(vals), sum(vals), min(vals), max(vals)
+        ), b
+
+    with pytest.raises(ValueError, match="calendar grain"):
+        calendar_rollup(df, "fortnight", value_col="v")
+
+
+def test_week_window_start_offset_matches_date_trunc(spark):
+    """The streaming '1w' window ('7 days' + '4 days' startTime) must
+    land on the same Monday anchor as the batch tier's
+    date_trunc('week') — epoch-aligned 604800s windows anchor on
+    Thursday without the offset."""
+    import pyspark.sql.functions as F
+
+    rng = random.Random(55)
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(hours=rng.randint(0, 2000)),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_time timestamp")
+    bad = df.filter(
+        F.window("event_time", "7 days", "7 days", "4 days").start
+        != F.date_trunc("week", "event_time")
+    ).count()
+    assert bad == 0
+    # and WITHOUT the offset they disagree (Thursday anchor)
+    assert df.filter(
+        F.window("event_time", "7 days").start
+        != F.date_trunc("week", "event_time")
+    ).count() > 0
