@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     # round-5 weekly named tier + monthly calendar rollup
     "rollup_1w",
     "rollup_1mo",
+    # round-5 declarative expectations screen (one agg pass)
+    "expectations",
 ]
 
 

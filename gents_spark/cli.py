@@ -121,7 +121,8 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
                         "reformatted-artifact analog); needs --export-dir")
     p.add_argument("--export-dir", default=None,
                    help="destination directory for --export-tier")
-    p.add_argument("--export-format", choices=["parquet", "csv", "json"],
+    p.add_argument("--export-format",
+                   choices=["parquet", "csv", "json", "orc"],
                    default="parquet")
     p.add_argument("--gap-report", metavar="TIER", default=None,
                    help="after the build, print a per-source gap census "

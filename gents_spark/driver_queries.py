@@ -2768,6 +2768,28 @@ def q_volume_gini_1d(spark, sf_dir):
     )
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality expectations over the events table
+    (operators/expectations.py::check_expectations) — five invariants
+    evaluated in ONE map-side aggregation pass (every rule a
+    sum(CASE WHEN) in the same partial agg; NULL predicates count as
+    violations in both engines via the shared CASE ... ELSE 1 shape)."""
+    from gents_spark.operators.expectations import check_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_le_150": F.col("value") <= 150.0,
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),
+        "user_id_nonneg": F.col("user_id") >= 0,
+        "ts_in_2024": (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2025-01-01").cast("timestamp")),
+        "props_shape": F.col("props").startswith('{"k":'),
+    }
+    return check_expectations(ev, rules)
+
+
 def q_spearman_1h(spark, sf_dir):
     """Spearman rank correlation of hourly event counts between every
     event-type pair — the ROBUST companion to source_correlation's
@@ -3042,6 +3064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # saturated with unstamped-new queries; evidence = check_oracles
     # (the weekly tier reuses the thrice-stamped _events_tiers shape)
     "rollup_1mo": q_rollup_1mo,  # new r05 tail-top: calendar grains
+    "expectations": q_expectations,  # new r05 tail-top: declarative
+    # data-quality rules, one agg pass
     "range_label": q_range_label,
     "counter_agg_1h": q_counter_agg_1h,
     "embedding_label_stats": q_embedding_label_stats,
@@ -4056,6 +4080,38 @@ ORACLES: dict[str, str] = {
                          / CAST(total_cents AS DOUBLE), 9)
                END AS top_share
         FROM g
+    """,
+    # expectations twin: identical CASE WHEN ... ELSE 1 shape (NULL
+    # predicate = violation in both engines); one agg row exploded to
+    # the long (rule, counts) form via UNION ALL.
+    "expectations": """
+        WITH g AS (
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN value <= 150.0 THEN 0 ELSE 1 END)::BIGINT
+                       AS v0,
+                   sum(CASE WHEN event_type IN
+                            ('click','view','purchase','signup')
+                       THEN 0 ELSE 1 END)::BIGINT AS v1,
+                   sum(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END)::BIGINT
+                       AS v2,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                             AND ts < TIMESTAMP '2025-01-01'
+                       THEN 0 ELSE 1 END)::BIGINT AS v3,
+                   sum(CASE WHEN props LIKE '{"k":%' THEN 0 ELSE 1
+                       END)::BIGINT AS v4
+            FROM events
+        ), long AS (
+            SELECT 'value_le_150' AS rule, n_rows, v0 AS n_violations
+            FROM g
+            UNION ALL SELECT 'known_event_type', n_rows, v1 FROM g
+            UNION ALL SELECT 'user_id_nonneg', n_rows, v2 FROM g
+            UNION ALL SELECT 'ts_in_2024', n_rows, v3 FROM g
+            UNION ALL SELECT 'props_shape', n_rows, v4 FROM g
+        )
+        SELECT rule, n_rows, n_violations,
+               round(CAST(n_violations AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE), 9) AS violation_rate
+        FROM long
     """,
     # Spearman twin: the doubled average-rank transform (2*rank +
     # tie_count - 1, exact bigint) then source_correlation's exact

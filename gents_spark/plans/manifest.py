@@ -758,8 +758,10 @@ def export_timeseries(
 
     Returns {sources, rows}.
     """
-    if fmt not in ("parquet", "csv", "json"):
-        raise ValueError(f"fmt={fmt}: expected parquet|csv|json")
+    if fmt not in ("parquet", "csv", "json", "orc"):
+        raise ValueError(f"fmt={fmt}: expected parquet|csv|json|orc")
+    if fmt == "orc" and compression == "gzip":
+        compression = "zlib"  # ORC's deflate spelling
     df = read_tier(spark, tiers_dir, tier).drop("tier", "chunk")
     if fmt == "csv":
         # CSV cannot hold binary/array/map columns (tier payloads,

@@ -411,6 +411,15 @@ def test_export_timeseries_per_source_sorted(spark, seqs, tmp_path):
     assert rep2["rows"] == rep["rows"]
     assert glob.glob(csv_dir + "/source=*/part-*")
 
+    # orc path round-trips (gzip transparently remapped to ORC's zlib)
+    orc_dir = str(tmp_path / "export_orc")
+    rep3 = export_timeseries(
+        spark, out + "/tiers", "1d", orc_dir, fmt="orc", compression="gzip"
+    )
+    assert rep3["rows"] == rep["rows"]
+    back = spark.read.orc(orc_dir)
+    assert back.count() == rep["rows"]
+
     with pytest.raises(ValueError):
         export_timeseries(spark, out + "/tiers", "1d", exp_dir, fmt="xml")
 

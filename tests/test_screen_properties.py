@@ -1005,3 +1005,49 @@ def test_week_window_start_offset_matches_date_trunc(spark):
         F.window("event_time", "7 days").start
         != F.date_trunc("week", "event_time")
     ).count() > 0
+
+
+def test_check_expectations_counts_and_null_semantics(spark):
+    from gents_spark.operators.expectations import check_expectations
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (None, "a"), (12, None), (7, "c")],
+        "v long, cat string",
+    ).repartition(3)
+    got = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["violation_rate"])
+        for r in check_expectations(
+            df,
+            {
+                "v_le_10": F.col("v") <= 10,       # NULL v -> violation
+                "cat_known": F.col("cat").isin("a", "b"),
+                "v_not_null": F.col("v").isNotNull(),
+            },
+        ).collect()
+    }
+    assert got == {
+        "v_le_10": (5, 2, 0.4),       # 12 and NULL
+        "cat_known": (5, 2, 0.4),     # 'c' and NULL
+        "v_not_null": (5, 1, 0.2),
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        check_expectations(df, {})
+
+
+def test_check_expectations_single_aggregation_plan(spark):
+    """50 rules must cost ONE aggregation over one scan — no join, no
+    per-rule pass."""
+    from gents_spark.operators.expectations import check_expectations
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    out = check_expectations(
+        df, {f"r{i}": F.col("v") <= i for i in range(50)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert out.count() == 50
