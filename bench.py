@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "rollup_1mo",
     # round-5 declarative expectations screen (one agg pass)
     "expectations",
+    # round-5 sliding-window training chunks (map-side fan-out)
+    "chunk_documents",
 ]
 
 

@@ -2768,6 +2768,19 @@ def q_volume_gini_1d(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window training chunks (operators/packing.py::
+    chunk_documents): max 32 words per chunk, 8-word overlap (stride
+    24) — entirely map-side sequence->explode->slice fan-out; all
+    chunk arithmetic exact integers, chunk text re-joined for the
+    hash."""
+    from gents_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
+
+
 def q_expectations(spark, sf_dir):
     """Declarative data-quality expectations over the events table
     (operators/expectations.py::check_expectations) — five invariants
@@ -3066,6 +3079,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1mo": q_rollup_1mo,  # new r05 tail-top: calendar grains
     "expectations": q_expectations,  # new r05 tail-top: declarative
     # data-quality rules, one agg pass
+    "chunk_documents": q_chunk_documents,  # new r05 tail-top:
+    # sliding-window training chunks, map-side fan-out
     "range_label": q_range_label,
     "counter_agg_1h": q_counter_agg_1h,
     "embedding_label_stats": q_embedding_label_stats,
@@ -4080,6 +4095,28 @@ ORACLES: dict[str, str] = {
                          / CAST(total_cents AS DOUBLE), 9)
                END AS top_share
         FROM g
+    """,
+    # chunking twin: DuckDB 1-based inclusive list slice ws[a:b] ==
+    # Spark slice(ws, a, len); ceil via exact integer (n-max+stride-1)
+    # floor-div; range(0, nc) mirrors sequence(0, nc-1).
+    "chunk_documents": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), p AS (
+            SELECT doc_id, ws, len(ws)::BIGINT AS n,
+                   (CASE WHEN len(ws) <= 32 THEN 1
+                         ELSE (len(ws) - 32 + 23) // 24 + 1
+                    END)::INT AS n_chunks
+            FROM w
+        )
+        SELECT doc_id, i::INT AS chunk_idx, n_chunks,
+               (i * 24)::INT AS word_start,
+               least(32, n - i * 24)::INT AS n_words,
+               array_to_string(ws[(i * 24 + 1)::BIGINT
+                                  : (i * 24 + 32)::BIGINT], ' ')
+                   AS chunk_text
+        FROM p, unnest(range(0, n_chunks)) AS t(i)
     """,
     # expectations twin: identical CASE WHEN ... ELSE 1 shape (NULL
     # predicate = violation in both engines); one agg row exploded to

@@ -189,3 +189,69 @@ def pack_stats(
             ).cast("long").alias("max_overhang"),
         ]
     return packed.groupBy(key, "pack_id").agg(*aggs)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document's whitespace token stream into fixed-size
+    OVERLAPPING training chunks — the context-window prep step between
+    curation and packing: stride = ``max_tokens - overlap``; chunk i
+    covers words ``[i*stride, i*stride + max_tokens)``, so every token
+    appears in at least one chunk and boundary context is repeated
+    ``overlap`` words into the next chunk (the standard sliding-window
+    tokenizer-prep shape; ``pack_documents`` then bins the chunks).
+
+    Chunk count is the exact integer ``1`` if ``n <= max_tokens`` else
+    ``ceil((n - max_tokens)/stride) + 1`` — the last chunk may be
+    shorter, never empty.  A NULL text yields no rows; an empty string
+    is one one-word chunk (both engines split '' to ['']).
+
+    ENTIRELY map-side: per-row sequence(0, n_chunks-1) -> explode ->
+    slice — no shuffle, no join, no window; at 100 TB this is pure
+    whole-stage-codegen fan-out bounded by tokens/stride per doc.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens={max_tokens}: expected >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap={overlap}: expected 0 <= overlap < max_tokens"
+        )
+    stride = max_tokens - overlap
+    ws = F.split(F.col(text), " ")
+    n = F.size(ws)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        (n - max_tokens + stride - 1) / F.lit(stride) + 1
+    ).cast("int")
+    d = (
+        docs.filter(F.col(text).isNotNull())
+        .select(
+            F.col(doc_id).alias("doc_id"),
+            ws.alias("_ws"),
+            n.alias("_n"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            "_ws",
+            "_n",
+            "n_chunks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    piece = F.slice(F.col("_ws"), start + 1, F.lit(max_tokens))
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunks",
+        start.alias("word_start"),
+        F.least(F.lit(max_tokens), F.col("_n") - start).alias("n_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1051,3 +1051,52 @@ def test_check_expectations_single_aggregation_plan(spark):
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
     assert out.count() == 50
+
+
+def test_chunk_documents_matches_python_exact(spark):
+    from gents_spark.operators.packing import chunk_documents
+
+    rng = random.Random(56)
+    alphabet = [f"w{i}" for i in range(30)]
+    docs = [(d, " ".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(0, 90))))
+            for d in range(50)]
+    docs.append((99, None))
+    MAX, OV = 32, 8
+    stride = MAX - OV
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    out = chunk_documents(df.repartition(7), max_tokens=MAX, overlap=OV)
+    for r in out.collect():
+        got[(r["doc_id"], r["chunk_idx"])] = (
+            r["n_chunks"], r["word_start"], r["n_words"], r["chunk_text"]
+        )
+    # plan: entirely map-side — no exchange beyond the input's own
+    plain = chunk_documents(df, max_tokens=MAX, overlap=OV)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    exp = {}
+    for d, text in docs:
+        if text is None:
+            continue
+        ws = text.split(" ")  # '' -> [''] like both engines
+        n = len(ws)
+        nc = 1 if n <= MAX else -((n - MAX) // -stride) + 1
+        for i in range(nc):
+            piece = ws[i * stride: i * stride + MAX]
+            exp[(d, i)] = (nc, i * stride, min(MAX, n - i * stride),
+                           " ".join(piece))
+    assert got == exp
+    # coverage: every word index of every doc appears in >= 1 chunk
+    for d, text in docs:
+        if not text:
+            continue
+        n = len(text.split(" "))
+        covered = set()
+        for (dd, i), (_, start, nw, _) in exp.items():
+            if dd == d:
+                covered.update(range(start, start + nw))
+        assert covered == set(range(n)), d
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
