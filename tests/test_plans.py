@@ -259,3 +259,30 @@ def test_token_entropy_is_map_side(spark):
     )
     assert not re.search(r"^\(\d+\) Exchange", p, flags=re.M), p
     assert "HashAggregate" not in p and "SortAggregate" not in p, p
+
+
+def test_oracle_paired_queries_emit_no_array_or_map_columns(spark):
+    """Gate-shape guard: the driver's correctness gate canonicalizes
+    each oracle-paired result with a pandas ``sort_values`` over every
+    column, which raises ``TypeError: unhashable type: 'list'`` on any
+    array- or map-typed output (the r04 ``quality_filter`` red row).
+    Operators may RETURN arrays (quality_filter's drop_reasons does) —
+    the GATE projection must flatten them (``array_join``).  Analysis
+    only (``df.schema``), so the full registry stays cheap to sweep."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql.types import ArrayType, MapType
+
+    oracles = entry_mod.oracle_sql()
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name not in oracles:
+            continue  # rows-only queries are never value-canonicalized
+        df = fn(spark, SF)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
