@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "expectations",
     # round-5 sliding-window training chunks (map-side fan-out)
     "chunk_documents",
+    # late-r05 vocabulary-shape screens
+    "token_coverage",
+    "zipf_fit",
 ]
 
 

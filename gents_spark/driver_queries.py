@@ -2922,6 +2922,28 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_token_coverage(spark, sf_dir):
+    """Head-coverage census (operators/vocab.py::token_coverage): what
+    fraction of each source's token occurrences the top-10 token types
+    carry — the tokenizer/vocab-sizing question and a boilerplate-
+    collapse screen.  All exact bigints except one final division."""
+    from gents_spark.operators.vocab import token_coverage
+
+    return token_coverage(_doc_tokens_by_day(spark, sf_dir), k=10)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit per source (operators/vocab.py::zipf_fit):
+    OLS slope of ln(tf) on ln(rank) over the top-20 ranked types.
+    Natural text sits near -1; flat = synthetic/uniform streams.  The
+    four OLS moments are left-to-right folds over a rank-sorted
+    bounded array, replayed bit-for-bit by the oracle's ordered
+    list_reduce (the token_entropy recipe)."""
+    from gents_spark.operators.vocab import zipf_fit
+
+    return zipf_fit(_doc_tokens_by_day(spark, sf_dir), max_rank=20)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3142,6 +3164,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_segment": q_topk_orders_per_segment,
     "revenue_by_segment": q_revenue_by_segment,
     "customers_with_recent_orders": q_customers_with_recent_orders,
+    # --- late-r05 tail additions (first stamps next rotation; evidence
+    # until then = tools/check_oracles.py + pytest value pins) ---
+    "token_coverage": q_token_coverage,
+    "zipf_fit": q_zipf_fit,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -4983,8 +5009,76 @@ ORACLES: dict[str, str] = {
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
 
+ORACLES["token_coverage"] = """
+    , c AS (
+        SELECT source, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT source, tf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, term ASC) AS rank
+        FROM c
+    )
+    SELECT source, 10 AS k_types,
+           count(*)::BIGINT AS n_types,
+           sum(tf)::BIGINT AS n_tokens,
+           sum(CASE WHEN rank <= 10 THEN tf ELSE 0 END)::BIGINT
+               AS covered_tokens,
+           round(sum(CASE WHEN rank <= 10 THEN tf ELSE 0 END)::DOUBLE
+                 / sum(tf)::DOUBLE, 6) AS coverage
+    FROM r GROUP BY 1
+"""
+
+ORACLES["zipf_fit"] = """
+    , c AS (
+        SELECT source, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT source, tf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, term ASC) AS rank
+        FROM c
+    ), t AS (
+        SELECT source, rank, tf FROM r WHERE rank <= 20
+    ), l AS (
+        -- four OLS moments as ordered folds: list(... ORDER BY rank)
+        -- + list_reduce replays the engine's left-to-right
+        -- F.aggregate over the rank-sorted array bit-for-bit
+        SELECT source, count(*)::BIGINT AS n_ranks,
+               list(ln(rank::DOUBLE) ORDER BY rank) AS lx,
+               list(ln(tf::DOUBLE) ORDER BY rank) AS ly,
+               list(ln(rank::DOUBLE) * ln(rank::DOUBLE)
+                    ORDER BY rank) AS lxx,
+               list(ln(rank::DOUBLE) * ln(tf::DOUBLE)
+                    ORDER BY rank) AS lxy
+        FROM t GROUP BY 1
+    ), s AS (
+        SELECT source, n_ranks, n_ranks::DOUBLE AS n,
+               list_reduce(list_prepend(0.0, lx), (a, b) -> a + b) AS sx,
+               list_reduce(list_prepend(0.0, ly), (a, b) -> a + b) AS sy,
+               list_reduce(list_prepend(0.0, lxx), (a, b) -> a + b) AS sxx,
+               list_reduce(list_prepend(0.0, lxy), (a, b) -> a + b) AS sxy
+        FROM l
+    )
+    SELECT source, n_ranks,
+           round(CASE WHEN n_ranks >= 2 AND n * sxx - sx * sx != 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS zipf_slope,
+           CASE WHEN n_ranks >= 2 AND n * sxx - sx * sx != 0
+                THEN round((sy - ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx)) * sx) / n, 6)
+                END AS zipf_intercept
+    FROM s
+"""
+
 # the vocabulary-timeseries oracles share the token-by-day CTE prefix
-for _q in ("vocab_drift_1d", "vocab_growth_1d", "token_topk_1d"):
+for _q in (
+    "vocab_drift_1d",
+    "vocab_growth_1d",
+    "token_topk_1d",
+    "token_coverage",
+    "zipf_fit",
+):
     ORACLES[_q] = _TOK_DAY_SQL + ORACLES[_q]
 
 

@@ -237,3 +237,120 @@ def collocation_lift(
             "n_total", lift.alias("lift"),
         )
     )
+
+
+def token_coverage(
+    toks: DataFrame,
+    key: str = "source",
+    term: str = "term",
+    k: int = 100,
+) -> DataFrame:
+    """Head-coverage census: what fraction of all token OCCURRENCES the
+    top-``k`` token TYPES carry, per key — the tokenizer/vocab-sizing
+    question ("how big a vocabulary covers 95% of this source?") and a
+    concentration screen (coverage jumping toward 1.0 = the source
+    collapsed onto boilerplate; ``topk_terms_per_bucket`` then names
+    the offenders).
+
+    Output: (key, k_types, n_types, n_tokens, covered_tokens,
+    coverage) — all exact bigints except the one final division.
+
+    Scale shape: the raw stream collapses to (key, term) counts in one
+    map-side-combined shuffle; the rank window and the final aggregate
+    run over the AGGREGATED vocabulary (bounded by |vocab| per key,
+    never |tokens|) — the same accepted contract as
+    ``topk_terms_per_bucket``.
+    """
+    if k < 1:
+        raise ValueError(f"k={k}: expected >= 1")
+    counts = toks.groupBy(key, term).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(key).orderBy(F.desc("tf"), F.asc(term))
+    r = counts.withColumn("rank", F.row_number().over(w))
+    out = r.groupBy(key).agg(
+        F.count("*").alias("n_types"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("rank") <= k, F.col("tf")).otherwise(F.lit(0))
+        ).alias("covered_tokens"),
+    )
+    return out.select(
+        key,
+        F.lit(k).alias("k_types"),
+        "n_types",
+        "n_tokens",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def zipf_fit(
+    toks: DataFrame,
+    key: str = "source",
+    term: str = "term",
+    max_rank: int = 200,
+) -> DataFrame:
+    """Zipf power-law fit per key: OLS slope of ln(tf) on ln(rank)
+    over the top-``max_rank`` ranked token types — natural text sits
+    near slope -1 (Zipf 1949); a much flatter slope flags synthetic/
+    uniform token streams, a much steeper one flags boilerplate
+    collapse.  The vocabulary-shape sibling of ``anomaly.trend_slope``
+    (OLS over time) and ``token_entropy`` (per-doc diversity).
+
+    Determinism (the repo's ordered-fold recipe, proven by
+    ``token_entropy``): the per-key (rank, tf) head is gathered into a
+    rank-sorted array — bounded at ``max_rank`` elements, the
+    ``theil_sen_slope`` bounded-gather contract — and each OLS moment
+    (Sx, Sy, Sxx, Sxy) is a LEFT-TO-RIGHT ``F.aggregate`` fold in rank
+    order, which the DuckDB twin replays with ``list(... ORDER BY
+    rank)`` + ``list_reduce`` bit-for-bit.  The slope/intercept chain
+    is a fixed shape over those four identical doubles.
+
+    Output: (key, n_ranks, zipf_slope, zipf_intercept) — slope NULL
+    when fewer than 2 ranks or a degenerate (all-equal-rank) head.
+    """
+    if max_rank < 1:
+        raise ValueError(f"max_rank={max_rank}: expected >= 1")
+    counts = toks.groupBy(key, term).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(key).orderBy(F.desc("tf"), F.asc(term))
+    head = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= max_rank
+    )
+    g = head.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "tf"))
+        ).alias("_h")
+    )
+
+    def _fold(arr: F.Column, f) -> F.Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, e: a + f(e))
+
+    def _body(arr: F.Column) -> F.Column:
+        lnr = lambda e: F.log(e["rank"].cast("double"))  # noqa: E731
+        lnt = lambda e: F.log(e["tf"].cast("double"))  # noqa: E731
+        n = F.size(arr).cast("double")
+        sx = _fold(arr, lnr)
+        sy = _fold(arr, lnt)
+        sxx = _fold(arr, lambda e: lnr(e) * lnr(e))
+        sxy = _fold(arr, lambda e: lnr(e) * lnt(e))
+        den = n * sxx - sx * sx
+        slope = F.when(
+            (F.size(arr) >= 2) & (den != F.lit(0.0)),
+            (n * sxy - sx * sy) / den,
+        )
+        intercept = (sy - ((n * sxy - sx * sy) / den) * sx) / n
+        return F.struct(
+            F.size(arr).alias("n_ranks"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.when(slope.isNotNull(), F.round(intercept, 6)).alias(
+                "zipf_intercept"
+            ),
+        )
+
+    st = F.element_at(F.transform(F.array(F.col("_h")), _body), 1)
+    return g.select(key, st.alias("_z")).select(
+        key, "_z.n_ranks", "_z.zipf_slope", "_z.zipf_intercept"
+    )

@@ -1100,3 +1100,73 @@ def test_chunk_documents_matches_python_exact(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_token_coverage_matches_python(spark):
+    """Head-coverage census vs brute force with the deterministic
+    (tf desc, term asc) rank tie-break; all-integer until the one
+    final division, so equality is exact."""
+    from collections import Counter
+
+    from gents_spark.operators.vocab import token_coverage
+
+    rng = random.Random(49)
+    rows = []
+    for s in range(3):
+        for _ in range(400):
+            rows.append((f"s{s}", f"w{min(int(rng.paretovariate(1.1)), 25)}"))
+    df = spark.createDataFrame(rows, "source string, term string")
+    got = {
+        r["source"]: (
+            r["k_types"], r["n_types"], r["n_tokens"],
+            r["covered_tokens"], r["coverage"],
+        )
+        for r in token_coverage(df.repartition(5), k=4).collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        c = Counter(t for src, t in rows if src == s)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        covered = sum(tf for _, tf in ranked[:4])
+        total = sum(c.values())
+        assert got[s] == (
+            4, len(c), total, covered, round(covered / total, 6)
+        ), s
+
+
+def test_zipf_fit_matches_python(spark):
+    """OLS slope/intercept of ln(tf) on ln(rank) vs a pure-Python
+    left-to-right recomputation in the same rank order (the fold order
+    both engines use), plus the degenerate one-rank edge (NULL)."""
+    import math
+    from collections import Counter
+
+    from gents_spark.operators.vocab import zipf_fit
+
+    rng = random.Random(50)
+    rows = [("mono", "only")] * 5  # single type -> n_ranks=1 -> NULLs
+    for s in range(3):
+        for _ in range(600):
+            rows.append((f"s{s}", f"w{min(int(rng.paretovariate(1.0)), 40)}"))
+    df = spark.createDataFrame(rows, "source string, term string")
+    got = {
+        r["source"]: (r["n_ranks"], r["zipf_slope"], r["zipf_intercept"])
+        for r in zipf_fit(df.repartition(6), max_rank=15).collect()
+    }
+    assert got["mono"] == (1, None, None)
+    for s in ("s0", "s1", "s2"):
+        c = Counter(t for src, t in rows if src == s)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        sx = sy = sxx = sxy = 0.0
+        for i, (_, tf) in enumerate(ranked):  # rank order == fold order
+            x, y = math.log(i + 1), math.log(tf)
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        n = float(len(ranked))
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        assert got[s] == (
+            len(ranked), round(slope, 6), round(intercept, 6)
+        ), s
