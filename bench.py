@@ -147,9 +147,10 @@ BENCH_QUERIES = [
     "expectations",
     # round-5 sliding-window training chunks (map-side fan-out)
     "chunk_documents",
-    # late-r05 vocabulary-shape screens
+    # late-r05 vocabulary-shape screens + robust daily mean
     "token_coverage",
     "zipf_fit",
+    "winsorized_1d",
 ]
 
 

@@ -2922,6 +2922,27 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_winsorized_1d(spark, sf_dir):
+    """Daily winsorized mean per event type
+    (operators/anomaly.py::winsorized_stats): values clamped at the
+    exact p05/p95 before averaging — the robust location estimate a
+    metric pipeline publishes when tails are untrusted; raw_mean is
+    emitted alongside so the gap IS the outlier-pull diagnostic.  Cut
+    points via sorted_percentile (== quantile_cont bitwise); both
+    means are ordered folds over the sorted array, replayed by the
+    oracle's list_reduce."""
+    from gents_spark.operators.anomaly import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    return winsorized_stats(
+        ev, key="source", bucket="day", value="value"
+    )
+
+
 def q_token_coverage(spark, sf_dir):
     """Head-coverage census (operators/vocab.py::token_coverage): what
     fraction of each source's token occurrences the top-10 token types
@@ -3168,6 +3189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # until then = tools/check_oracles.py + pytest value pins) ---
     "token_coverage": q_token_coverage,
     "zipf_fit": q_zipf_fit,
+    "winsorized_1d": q_winsorized_1d,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5008,6 +5030,36 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["winsorized_1d"] = """
+    WITH g AS (
+        SELECT event_type AS source,
+               date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*)::BIGINT AS n,
+               list(value::DOUBLE ORDER BY value) AS sv,
+               quantile_cont(value::DOUBLE, 0.05)::DOUBLE AS lo,
+               quantile_cont(value::DOUBLE, 0.95)::DOUBLE AS hi
+        FROM events GROUP BY 1, 2
+    )
+    SELECT source, day, n,
+           round(lo, 6) AS p_lo, round(hi, 6) AS p_hi,
+           len(list_filter(sv, x -> x < lo))::BIGINT AS n_clamped_lo,
+           len(list_filter(sv, x -> x > hi))::BIGINT AS n_clamped_hi,
+           round(list_reduce(list_prepend(0.0, sv),
+                             (a, b) -> a + b) / n::DOUBLE, 6)
+               AS raw_mean,
+           round(list_reduce(
+                     list_prepend(
+                         0.0,
+                         list_transform(
+                             sv,
+                             x -> CASE WHEN x < lo THEN lo
+                                       WHEN x > hi THEN hi
+                                       ELSE x END)),
+                     (a, b) -> a + b) / n::DOUBLE, 6)
+               AS winsorized_mean
+    FROM g
+"""
 
 ORACLES["token_coverage"] = """
     , c AS (

@@ -1316,3 +1316,72 @@ def max_drawdown(
         F.col("_b.pk").alias("peak_cum"),
         F.col("_b.cm").alias("trough_cum"),
     )
+
+
+def winsorized_stats(
+    points: DataFrame,
+    key: str = "user_id",
+    bucket: str = "day",
+    value: str = "value",
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per (key, bucket): clamp values at the exact
+    ``lo_p``/``hi_p`` percentiles, then average — the standard robust
+    location estimate metric pipelines publish when a feed's tails are
+    untrusted (Tukey 1962; Dixon & Yost 1973).  Where ``mad_outliers``
+    FLAGS tail points, this REPORTS the statistic with the tails'
+    influence bounded; raw_mean is emitted alongside so the gap between
+    the two is itself the outlier-pull diagnostic.
+
+    Shape: ONE groupBy gathers the per-(key, bucket) sorted value
+    array (the documented exact-percentile trade — rollup.py
+    HOT_BUCKET_LIMIT; pre-bucket or sketch a 10^7-point bucket).  Both
+    cut points come from ``sorted_percentile`` (bitwise ==
+    ``quantile_cont``); both means are LEFT-TO-RIGHT ``F.aggregate``
+    folds over the already-sorted array, so the DuckDB twin's ordered
+    ``list_reduce`` replays every double op in the same order.  The
+    cut points are bound as materialized columns BEFORE the clamp
+    lambda (the HOF-CSE trap: an inline expression would re-derive the
+    percentile per element).
+
+    Output: (key, bucket, n, p_lo, p_hi, n_clamped_lo, n_clamped_hi,
+    raw_mean, winsorized_mean), floats rounded to 6 dp.
+    """
+    if not (0.0 <= lo_p <= hi_p <= 1.0):
+        raise ValueError(f"need 0 <= lo_p <= hi_p <= 1, got {lo_p}, {hi_p}")
+    from gents_spark.operators.rollup import sorted_percentile
+
+    sv = F.sort_array(F.collect_list(F.col(value).cast("double")))
+    g = (
+        points.groupBy(key, bucket)
+        .agg(sv.alias("_sv"), F.count("*").alias("n"))
+        .withColumn("_lo", sorted_percentile(F.col("_sv"), lo_p))
+        .withColumn("_hi", sorted_percentile(F.col("_sv"), hi_p))
+    )
+
+    def _fold(arr, f):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + f(x))
+
+    clamp = lambda x: (  # noqa: E731
+        F.when(x < F.col("_lo"), F.col("_lo"))
+        .when(x > F.col("_hi"), F.col("_hi"))
+        .otherwise(x)
+    )
+    raw_mean = _fold(F.col("_sv"), lambda x: x) / F.col("n").cast("double")
+    win_mean = _fold(F.col("_sv"), clamp) / F.col("n").cast("double")
+    return g.select(
+        key,
+        bucket,
+        "n",
+        F.round("_lo", 6).alias("p_lo"),
+        F.round("_hi", 6).alias("p_hi"),
+        F.size(
+            F.filter(F.col("_sv"), lambda x: x < F.col("_lo"))
+        ).alias("n_clamped_lo"),
+        F.size(
+            F.filter(F.col("_sv"), lambda x: x > F.col("_hi"))
+        ).alias("n_clamped_hi"),
+        F.round(raw_mean, 6).alias("raw_mean"),
+        F.round(win_mean, 6).alias("winsorized_mean"),
+    )

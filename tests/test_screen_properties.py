@@ -1170,3 +1170,68 @@ def test_zipf_fit_matches_python(spark):
         assert got[s] == (
             len(ranked), round(slope, 6), round(intercept, 6)
         ), s
+
+
+def test_winsorized_stats_matches_python(spark):
+    """Winsorized mean vs a pure-Python replay: same interpolated
+    percentile formula, same sorted fold order, exact clamp counts —
+    including a bucket with a planted extreme outlier (raw mean moves,
+    winsorized mean barely does) and a tiny all-equal bucket
+    (p05 == p95, winsorized == raw)."""
+    from gents_spark.operators.anomaly import winsorized_stats
+
+    rng = random.Random(51)
+    t0 = datetime(2024, 5, 1)
+    rows = [("flat", t0, 7.0)] * 5  # degenerate: all equal
+    for s in range(2):
+        for d in range(3):
+            for _ in range(40):
+                rows.append((f"s{s}", t0 + timedelta(days=d),
+                             round(rng.gauss(100, 15), 2)))
+            rows.append((f"s{s}", t0 + timedelta(days=d), 10_000.0))
+    df = spark.createDataFrame(rows, "source string, day timestamp, value double")
+    got = {
+        (r["source"], r["day"]): (
+            r["n"], r["p_lo"], r["p_hi"], r["n_clamped_lo"],
+            r["n_clamped_hi"], r["raw_mean"], r["winsorized_mean"],
+        )
+        for r in winsorized_stats(
+            df.repartition(6), key="source", bucket="day"
+        ).collect()
+    }
+
+    def pctl(sv, p):  # the sorted_percentile formula
+        import math
+
+        pos = p * (len(sv) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            return sv[lo]
+        return (hi - pos) * sv[lo] + (pos - lo) * sv[hi]
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for s, d, v in rows:
+        buckets[(s, d)].append(v)
+    for kb, vals in buckets.items():
+        sv = sorted(vals)
+        lo, hi = pctl(sv, 0.05), pctl(sv, 0.95)
+        raw = 0.0
+        win = 0.0
+        for x in sv:  # fold order both engines use
+            raw += x
+            win += min(max(x, lo), hi)
+        n = len(sv)
+        exp = (
+            n, round(lo, 6), round(hi, 6),
+            sum(1 for x in sv if x < lo), sum(1 for x in sv if x > hi),
+            round(raw / n, 6), round(win / n, 6),
+        )
+        assert got[kb] == exp, (kb, got[kb], exp)
+    f = got[("flat", t0)]
+    assert f[1] == f[2] == 7.0 and f[5] == f[6] == 7.0
+    for s in ("s0", "s1"):
+        for d in range(3):
+            r = got[(s, t0 + timedelta(days=d))]
+            assert r[5] > r[6] + 100  # outlier pulls raw mean far up
