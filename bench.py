@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "token_coverage",
     "zipf_fit",
     "winsorized_1d",
+    "seasonal_naive_1h",
 ]
 
 

@@ -2922,6 +2922,29 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_seasonal_naive_1h(spark, sf_dir):
+    """Forecastability census per event type
+    (operators/anomaly.py::seasonal_naive_error): MAE of the naive
+    (lag-1h) vs seasonal-naive (lag-24h) forecast over hourly cents
+    sums on the strict grid, plus their MASE-style ratio — decides
+    whether seasonal_1h's decomposition is even applicable.  Exact
+    DECIMAL sums (HUGEINT twin); fixed-shape final divisions."""
+    from gents_spark.operators.anomaly import seasonal_naive_error
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+    )
+    return seasonal_naive_error(
+        hourly, key="source", ts="bucket_start", value="s",
+        season_lag=24, step_s=3600, min_pairs=8,
+    )
+
+
 def q_winsorized_1d(spark, sf_dir):
     """Daily winsorized mean per event type
     (operators/anomaly.py::winsorized_stats): values clamped at the
@@ -3190,6 +3213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_coverage": q_token_coverage,
     "zipf_fit": q_zipf_fit,
     "winsorized_1d": q_winsorized_1d,
+    "seasonal_naive_1h": q_seasonal_naive_1h,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5030,6 +5054,47 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["seasonal_naive_1h"] = """
+    WITH h AS (
+        SELECT event_type AS source,
+               date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+        FROM events GROUP BY 1, 2
+    ), e AS (
+        -- time-keyed pairs (not row-lag): each bucket pairs with the
+        -- bucket exactly one step / one season older when it exists
+        SELECT c.source,
+               CASE WHEN p1.s IS NOT NULL
+                    THEN abs(c.s::HUGEINT - p1.s::HUGEINT) END AS e1,
+               CASE WHEN ps.s IS NOT NULL
+                    THEN abs(c.s::HUGEINT - ps.s::HUGEINT) END AS es
+        FROM h c
+        LEFT JOIN h p1 ON p1.source = c.source
+           AND p1.bucket_start = c.bucket_start - INTERVAL 1 HOUR
+        LEFT JOIN h ps ON ps.source = c.source
+           AND ps.bucket_start = c.bucket_start - INTERVAL 24 HOUR
+    ), g AS (
+        SELECT source,
+               count(e1)::BIGINT AS n_pairs_1, sum(e1) AS sae1,
+               count(es)::BIGINT AS n_pairs_season, sum(es) AS saes
+        FROM e GROUP BY source
+    )
+    SELECT source, n_pairs_1,
+           round(CASE WHEN n_pairs_1 > 0
+                 THEN sae1::DOUBLE / n_pairs_1::DOUBLE END, 6)
+               AS mae_naive,
+           n_pairs_season,
+           round(CASE WHEN n_pairs_season > 0
+                 THEN saes::DOUBLE / n_pairs_season::DOUBLE END, 6)
+               AS mae_seasonal,
+           round(CASE WHEN n_pairs_1 >= 8 AND n_pairs_season >= 8
+                       AND sae1 > 0
+                 THEN (saes * n_pairs_1)::DOUBLE
+                      / (sae1 * n_pairs_season)::DOUBLE END, 6)
+               AS mase_seasonal
+    FROM g
+"""
 
 ORACLES["winsorized_1d"] = """
     WITH g AS (

@@ -1385,3 +1385,104 @@ def winsorized_stats(
         F.round(raw_mean, 6).alias("raw_mean"),
         F.round(win_mean, 6).alias("winsorized_mean"),
     )
+
+
+def seasonal_naive_error(
+    series: DataFrame,
+    key: str = "source",
+    ts: str = "bucket_start",
+    value: str = "s",
+    season_lag: int = 24,
+    step_s: int = 3600,
+    min_pairs: int = 8,
+) -> DataFrame:
+    """Per-key forecastability census: the mean absolute error of the
+    naive forecast (last bucket) vs the SEASONAL naive forecast (same
+    bucket one season ago), plus their ratio — the MASE denominator
+    pair (Hyndman & Koehler 2006).  ``mase_seasonal < 1`` means the
+    daily pattern predicts the feed better than persistence does
+    (schedule-driven load); ``>> 1`` means no usable seasonality —
+    the triage that decides whether ``seasonal_baseline``'s
+    decomposition is even applicable to a source.
+
+    Pairs are TIME-keyed, not row-keyed: each bucket pairs with the
+    bucket exactly ``lag*step_s`` older whenever THAT bucket exists —
+    a row-lag would additionally demand every intermediate bucket
+    present (one hole would erase a whole season of pairs), which is
+    the wrong contract for "same bucket one season ago".  Keys with
+    fewer than ``min_pairs`` valid pairs on either lag — or a zero
+    persistence error (constant feed) — yield NULL ``mase_seasonal``.
+    ``series`` must be bucket-unique per key (any rollup output is).
+
+    Exactness: ``value`` must be an exact integer column (cents-sums);
+    absolute errors are integer differences summed as DECIMAL(38,0)
+    (overflow-safe, order-independent), and the two MAEs and the ratio
+    are one fixed-shape double expression each — the ratio cross-
+    multiplied from the exact sums (``(sae_s*n_1)/(sae_1*n_s)``), not
+    from the rounded MAEs.  DuckDB twin: HUGEINT sums, same shapes.
+
+    Scale shape: two equi self-joins on (key, bucket) — all sides
+    hash-partition on the same key pair, so Catalyst reuses one
+    exchange per side and co-locates the joins — then one grouped
+    aggregation; no window sort over the full series, no UDF.
+
+    Output: (key, n_pairs_1, mae_naive, n_pairs_season, mae_seasonal,
+    mase_seasonal), floats rounded to 6 dp.
+    """
+    if season_lag < 2:
+        raise ValueError(f"season_lag={season_lag}: expected >= 2")
+    v = F.col(value).cast("decimal(38,0)")
+
+    def _shifted(lag: int, out: str) -> DataFrame:
+        return series.select(
+            F.col(key).alias(key),
+            (
+                F.col(ts)
+                + F.expr(f"INTERVAL {lag * step_s} SECONDS")
+            ).alias(ts),
+            v.alias(out),
+        )
+
+    joined = (
+        series.select(key, ts, v.alias("_v"))
+        .join(_shifted(1, "_v1"), [key, ts], "left")
+        .join(_shifted(season_lag, "_vs"), [key, ts], "left")
+    )
+    pairs = joined.select(
+        key,
+        F.when(
+            F.col("_v1").isNotNull(), F.abs(F.col("_v") - F.col("_v1"))
+        ).alias("_e1"),
+        F.when(
+            F.col("_vs").isNotNull(), F.abs(F.col("_v") - F.col("_vs"))
+        ).alias("_es"),
+    )
+    g = pairs.groupBy(key).agg(
+        F.count("_e1").alias("n_pairs_1"),
+        F.sum("_e1").alias("_sae1"),
+        F.count("_es").alias("n_pairs_season"),
+        F.sum("_es").alias("_saes"),
+    )
+    n1 = F.col("n_pairs_1")
+    ns = F.col("n_pairs_season")
+    mae1 = F.when(
+        n1 > 0, F.col("_sae1").cast("double") / n1.cast("double")
+    )
+    maes = F.when(
+        ns > 0, F.col("_saes").cast("double") / ns.cast("double")
+    )
+    mase = F.when(
+        (n1 >= min_pairs)
+        & (ns >= min_pairs)
+        & (F.col("_sae1") > 0),
+        (F.col("_saes") * n1.cast("decimal(38,0)")).cast("double")
+        / (F.col("_sae1") * ns.cast("decimal(38,0)")).cast("double"),
+    )
+    return g.select(
+        key,
+        "n_pairs_1",
+        F.round(mae1, 6).alias("mae_naive"),
+        "n_pairs_season",
+        F.round(maes, 6).alias("mae_seasonal"),
+        F.round(mase, 6).alias("mase_seasonal"),
+    )

@@ -1235,3 +1235,52 @@ def test_winsorized_stats_matches_python(spark):
         for d in range(3):
             r = got[(s, t0 + timedelta(days=d))]
             assert r[5] > r[6] + 100  # outlier pulls raw mean far up
+
+
+def test_seasonal_naive_error_matches_python(spark):
+    """MAE/MASE census vs brute force on a planted daily-periodic
+    series with holes: the periodic source must come out
+    mase_seasonal < 1, the random-walk source > 1, and every count/
+    MAE must equal the strict-grid recomputation exactly."""
+    from gents_spark.operators.anomaly import seasonal_naive_error
+
+    rng = random.Random(52)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    daily = [100 + 80 * (h % 24 in (9, 10, 11)) for h in range(24)]
+    for h in range(120):
+        if rng.random() < 0.1:
+            continue  # holes -> off-grid pairs must be excluded
+        rows.append(("periodic", t0 + timedelta(hours=h),
+                     daily[h % 24] + rng.randint(-2, 2)))
+    v = 500
+    for h in range(120):
+        v += rng.randint(-40, 40)
+        rows.append(("walk", t0 + timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "source string, bucket_start timestamp, s long")
+    got = {
+        r["source"]: (
+            r["n_pairs_1"], r["mae_naive"], r["n_pairs_season"],
+            r["mae_seasonal"], r["mase_seasonal"],
+        )
+        for r in seasonal_naive_error(df.repartition(5)).collect()
+    }
+    by = {}
+    for s, t, val in rows:
+        by.setdefault(s, {})[t] = val
+    for s, series in by.items():
+        e1, es = [], []
+        for t, val in series.items():
+            p1 = series.get(t - timedelta(hours=1))
+            ps = series.get(t - timedelta(hours=24))
+            if p1 is not None:
+                e1.append(abs(val - p1))
+            if ps is not None:
+                es.append(abs(val - ps))
+        exp = (
+            len(e1), round(sum(e1) / len(e1), 6),
+            len(es), round(sum(es) / len(es), 6),
+            round((sum(es) * len(e1)) / (sum(e1) * len(es)), 6),
+        )
+        assert got[s] == exp, (s, got[s], exp)
+    assert got["periodic"][4] < 1 < got["walk"][4]
