@@ -2928,7 +2928,11 @@ def q_seasonal_naive_1h(spark, sf_dir):
     (lag-1h) vs seasonal-naive (lag-24h) forecast over hourly cents
     sums on the strict grid, plus their MASE-style ratio — decides
     whether seasonal_1h's decomposition is even applicable.  Exact
-    DECIMAL sums (HUGEINT twin); fixed-shape final divisions."""
+    DECIMAL sums (HUGEINT twin); fixed-shape final divisions.  The
+    hourly table is PERSISTED (the _hourly_counts rule): the operator
+    self-joins it twice and Spark does not reuse the aggregation
+    exchange across join sides, so without the persist the raw table
+    would be scanned once per side."""
     from gents_spark.operators.anomaly import seasonal_naive_error
 
     hourly = (
@@ -2938,6 +2942,7 @@ def q_seasonal_naive_1h(spark, sf_dir):
             F.date_trunc("hour", "ts").alias("bucket_start"),
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+        .persist()
     )
     return seasonal_naive_error(
         hourly, key="source", ts="bucket_start", value="s",

@@ -1421,10 +1421,13 @@ def seasonal_naive_error(
     multiplied from the exact sums (``(sae_s*n_1)/(sae_1*n_s)``), not
     from the rounded MAEs.  DuckDB twin: HUGEINT sums, same shapes.
 
-    Scale shape: two equi self-joins on (key, bucket) — all sides
-    hash-partition on the same key pair, so Catalyst reuses one
-    exchange per side and co-locates the joins — then one grouped
-    aggregation; no window sort over the full series, no UDF.
+    Scale shape: two equi self-joins on (key, bucket) over the
+    ALREADY-AGGREGATED series (|keys| x |buckets| rows — tiny relative
+    to raw), then one grouped aggregation; no window sort over the
+    full series, no UDF.  Spark does not reuse an upstream
+    aggregation's exchange across a self-join's sides, so callers
+    deriving ``series`` from a raw scan should persist it first (the
+    ``_hourly_counts`` rule; ``q_seasonal_naive_1h`` does).
 
     Output: (key, n_pairs_1, mae_naive, n_pairs_season, mae_seasonal,
     mase_seasonal), floats rounded to 6 dp.
