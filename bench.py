@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "winsorized_1d",
     "seasonal_naive_1h",
+    "embedding_drift_1d",
 ]
 
 

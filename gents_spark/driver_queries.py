@@ -2922,6 +2922,27 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_embedding_drift_1d(spark, sf_dir):
+    """Day-over-day L2 drift of each label's embedding centroid
+    (operators/similarity.py::centroid_drift) — embedding-space domain
+    shift as a timeseries.  Vectors quantize to exact ints (the
+    similarity family's discipline); ingest day derives from vec_id
+    (the _doc_tokens_by_day convention, embeddings carry no
+    timestamp); the L2 fold is index-ordered on both engines."""
+    from gents_spark.operators.similarity import centroid_drift, quantized
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.timestamp_add(
+            "DAY",
+            (F.expr("vec_id DIV 20") % 14).cast("int"),
+            F.lit("2026-01-01").cast("timestamp"),
+        ).alias("day"),
+        quantized().alias("q"),
+    )
+    return centroid_drift(emb, key="label", bucket="day", vec="q")
+
+
 def q_seasonal_naive_1h(spark, sf_dir):
     """Forecastability census per event type
     (operators/anomaly.py::seasonal_naive_error): MAE of the naive
@@ -3219,6 +3240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "winsorized_1d": q_winsorized_1d,
     "seasonal_naive_1h": q_seasonal_naive_1h,
+    "embedding_drift_1d": q_embedding_drift_1d,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5059,6 +5081,41 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["embedding_drift_1d"] = """
+    WITH q0 AS (
+        SELECT label,
+               TIMESTAMP '2026-01-01'
+                   + ((vec_id // 20) % 14) * INTERVAL 1 DAY AS day,
+               list_transform(embedding,
+                   e -> CAST(floor(e::DOUBLE * 1000) AS BIGINT)) AS qe
+        FROM embeddings
+    ), d AS (
+        SELECT label, day, unnest(qe) AS v,
+               generate_subscripts(qe, 1) AS pos
+        FROM q0
+    ), g AS (
+        SELECT label, day, pos, sum(v) AS sx, count(*)::BIGINT AS n
+        FROM d GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT label, day, max(n)::BIGINT AS n_vectors,
+               list(sx::DOUBLE / n::DOUBLE ORDER BY pos) AS cent
+        FROM g GROUP BY 1, 2
+    ), w AS (
+        SELECT label, day, n_vectors, cent,
+               lag(cent) OVER (PARTITION BY label ORDER BY day) AS pcent
+        FROM c
+    )
+    SELECT label, day, n_vectors,
+           CASE WHEN pcent IS NOT NULL THEN
+               round(sqrt(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(list_zip(cent, pcent),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (a, b) -> a + b)), 6)
+           END AS l2_shift
+    FROM w
+"""
 
 ORACLES["seasonal_naive_1h"] = """
     WITH h AS (

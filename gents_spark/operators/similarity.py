@@ -684,3 +684,80 @@ def kmeans_lloyd(
     # until ContextCleaner GC
     base.unpersist()
     return out, cents
+
+
+def centroid_drift(
+    emb: DataFrame,
+    key: str = "label",
+    bucket: str = "day",
+    vec: str = "q",
+) -> DataFrame:
+    """Bucket-over-bucket L2 shift of each key's centroid over a
+    quantized integer vector column — embedding-space drift as a
+    TIMESERIES: a crawl source or annotation label whose centroid
+    starts walking is changing meaning (domain shift, label noise,
+    encoder version skew) long before downstream eval catches it.
+    The time-axis sibling of ``label_stats`` (static norms) and
+    ``anomaly.categorical_drift`` (token histograms).
+
+    ``emb`` must carry (key, bucket, ``vec``: array<long>) — quantize
+    floats first with ``quantized()`` (the family's exact-integer
+    discipline).  Per-dim sums are exact integers; the centroid is one
+    division per dim, and the L2 shift is an index-ordered fold over
+    the zipped consecutive centroids (``zip_with`` + ``F.aggregate``
+    == the DuckDB twin's ``list_zip`` + ordered ``list_reduce``,
+    bit-for-bit).
+
+    Scale shape: one posexplode to (key, bucket, pos) — dim x |rows|
+    rows into a map-side-combined sum, the standard elementwise-
+    centroid shuffle — then all remaining work on |keys x buckets x
+    dim| aggregated rows; the lag window sorts only |buckets| rows per
+    key.  No joins, no UDF, no collect.
+
+    Output: (key, bucket, n_vectors, l2_shift); l2_shift is NULL on
+    each key's first bucket, and is in QUANTIZED units (divide by the
+    quantization scale for embedding units).
+    """
+    d = emb.select(key, bucket, F.posexplode(vec).alias("pos", "v"))
+    g = d.groupBy(key, bucket, "pos").agg(
+        F.sum("v").alias("sx"), F.count("*").alias("n")
+    )
+    cent = (
+        g.groupBy(key, bucket)
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sx"))
+            ).alias("_ps"),
+        )
+        .withColumn(
+            "_cent",
+            F.transform(
+                F.col("_ps"),
+                lambda s: s["sx"].cast("double")
+                / F.col("n_vectors").cast("double"),
+            ),
+        )
+        .drop("_ps")
+    )
+    w = Window.partitionBy(key).orderBy(bucket)
+    shifted = cent.withColumn("_prev", F.lag("_cent").over(w))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cent"),
+                F.col("_prev"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return shifted.select(
+        key,
+        bucket,
+        "n_vectors",
+        F.when(
+            F.col("_prev").isNotNull(), F.round(l2, 6)
+        ).alias("l2_shift"),
+    )

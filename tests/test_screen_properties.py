@@ -1284,3 +1284,60 @@ def test_seasonal_naive_error_matches_python(spark):
         )
         assert got[s] == exp, (s, got[s], exp)
     assert got["periodic"][4] < 1 < got["walk"][4]
+
+
+def test_centroid_drift_matches_python(spark):
+    """Centroid L2 drift vs brute force in the same index-ordered fold,
+    including a planted shift: label 'move' jumps +50 quantized units
+    on every dim on day 2 (expected shift = 50*sqrt(dim)), label
+    'still' repeats the same vectors (shift == 0.0)."""
+    import math
+
+    from gents_spark.operators.similarity import centroid_drift
+
+    rng = random.Random(53)
+    t0 = datetime(2024, 5, 1)
+    dim = 4
+    bases = [
+        [rng.randint(-100, 100) for _ in range(dim)] for _ in range(30)
+    ]
+    rows = []
+    for d in range(3):
+        for i in range(30):
+            rows.append(
+                ("move", t0 + timedelta(days=d),
+                 [b + 50 * d for b in bases[i]])
+            )
+            rows.append(("still", t0 + timedelta(days=d),
+                         [(i * 7 + j) % 40 for j in range(dim)]))
+    df = spark.createDataFrame(
+        rows, "label string, day timestamp, q array<long>"
+    )
+    got = {
+        (r["label"], r["day"]): (r["n_vectors"], r["l2_shift"])
+        for r in centroid_drift(df.repartition(6)).collect()
+    }
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for lab, d, q in rows:
+        cells[(lab, d)].append(q)
+    cents = {
+        kb: [sum(v[i] for v in vs) / len(vs) for i in range(dim)]
+        for kb, vs in cells.items()
+    }
+    for (lab, d), vs in cells.items():
+        prev = cents.get((lab, d - timedelta(days=1)))
+        if prev is None:
+            exp = None
+        else:
+            acc = 0.0
+            for a, b in zip(cents[(lab, d)], prev):  # index order
+                acc += (a - b) * (a - b)
+            exp = round(math.sqrt(acc), 6)
+        assert got[(lab, d)] == (len(vs), exp), (lab, d)
+    assert got[("still", t0 + timedelta(days=2))][1] == 0.0
+    # the planted +50/dim jump: centroid moves exactly 50*sqrt(dim)
+    assert got[("move", t0 + timedelta(days=1))][1] == round(
+        50 * math.sqrt(dim), 6
+    )
