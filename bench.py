@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "winsorized_1d",
     "seasonal_naive_1h",
     "embedding_drift_1d",
+    "freshness",
 ]
 
 

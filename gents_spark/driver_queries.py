@@ -2922,6 +2922,19 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_freshness(spark, sf_dir):
+    """Per-user freshness census against the corpus watermark
+    (operators/screens.py::freshness_report) — who has stopped
+    sending?  One map-side-combined groupBy + a broadcast one-row
+    watermark crossJoin; all exact integers plus one division."""
+    from gents_spark.operators.screens import freshness_report
+
+    return freshness_report(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        stale_after_h=24,
+    )
+
+
 def q_embedding_drift_1d(spark, sf_dir):
     """Day-over-day L2 drift of each label's embedding centroid
     (operators/similarity.py::centroid_drift) — embedding-space domain
@@ -3241,6 +3254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_1d": q_winsorized_1d,
     "seasonal_naive_1h": q_seasonal_naive_1h,
     "embedding_drift_1d": q_embedding_drift_1d,
+    "freshness": q_freshness,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5081,6 +5095,34 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["freshness"] = """
+    WITH g AS (
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               min(ts)::TIMESTAMP AS first_ts,
+               max(ts)::TIMESTAMP AS last_ts,
+               count(DISTINCT date_trunc('hour', ts))::BIGINT
+                   AS active_hours
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT max(ts)::TIMESTAMP AS wm FROM events
+    ), j AS (
+        SELECT g.*, w.wm,
+               CAST(floor((epoch(w.wm) - epoch(g.last_ts)) / 3600)
+                    AS BIGINT) AS hours_stale,
+               CAST(floor((epoch(date_trunc('hour', g.last_ts))
+                           - epoch(date_trunc('hour', g.first_ts)))
+                          / 3600) AS BIGINT) + 1 AS span_hours
+        FROM g, w
+    )
+    SELECT user_id, n_events, first_ts, last_ts, hours_stale,
+           active_hours, span_hours,
+           round(active_hours::DOUBLE / span_hours::DOUBLE, 6)
+               AS activity_ratio,
+           hours_stale >= 24 AS is_stale
+    FROM j
+"""
 
 ORACLES["embedding_drift_1d"] = """
     WITH q0 AS (

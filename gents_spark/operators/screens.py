@@ -139,3 +139,69 @@ def screen_report(
     )
 
     return flat.unionByName(gaps).unionByName(shifts)
+
+
+def freshness_report(
+    events: DataFrame,
+    key: str = "source",
+    ts: str = "ts",
+    stale_after_h: int = 24,
+) -> DataFrame:
+    """Per-key freshness census against the corpus watermark — the
+    first question an on-call asks of a feed table: who has stopped
+    sending?  ``gap_report``/``flatline_runs`` census HISTORICAL holes
+    inside a series; this reports each key's CURRENT staleness
+    relative to the newest event anywhere (the corpus watermark — the
+    only "now" a batch table can know), so a dead feed surfaces even
+    though it contributes no rows to bucket-level screens anymore.
+
+    Output per key: (key, n_events, first_ts, last_ts, hours_stale,
+    active_hours, span_hours, activity_ratio, is_stale) — hours_stale
+    = whole hours between the key's last event and the watermark;
+    active_hours = distinct hours with >=1 event; span_hours = whole
+    hours first->last + 1; activity_ratio = active/span (the duty
+    cycle).  All exact integers plus one final division.
+
+    Scale shape: ONE map-side-combined groupBy over (key) — the
+    distinct-hour count pre-aggregates as (key, hour) partials — plus
+    a broadcast one-row crossJoin for the watermark; no window, no
+    UDF.
+    """
+    if stale_after_h < 0:
+        raise ValueError(f"stale_after_h={stale_after_h}: expected >= 0")
+    hour = F.date_trunc("hour", F.col(ts))
+    g = events.groupBy(key).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+        F.count_distinct(hour).alias("active_hours"),
+    )
+    wm = events.agg(F.max(ts).alias("_wm"))
+    out = g.crossJoin(F.broadcast(wm))
+    hours_stale = F.floor(
+        (F.unix_timestamp("_wm") - F.unix_timestamp("last_ts"))
+        / F.lit(3600)
+    ).cast("bigint")
+    span = (
+        F.floor(
+            (
+                F.unix_timestamp(F.date_trunc("hour", "last_ts"))
+                - F.unix_timestamp(F.date_trunc("hour", "first_ts"))
+            )
+            / F.lit(3600)
+        ).cast("bigint")
+        + 1
+    )
+    return out.select(
+        key,
+        "n_events",
+        "first_ts",
+        "last_ts",
+        hours_stale.alias("hours_stale"),
+        "active_hours",
+        span.alias("span_hours"),
+        F.round(
+            F.col("active_hours").cast("double") / span.cast("double"), 6
+        ).alias("activity_ratio"),
+        (hours_stale >= F.lit(stale_after_h)).alias("is_stale"),
+    )

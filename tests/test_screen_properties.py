@@ -1341,3 +1341,53 @@ def test_centroid_drift_matches_python(spark):
     assert got[("move", t0 + timedelta(days=1))][1] == round(
         50 * math.sqrt(dim), 6
     )
+
+
+def test_freshness_report_matches_python(spark):
+    """Freshness census vs brute force: a feed that stops mid-history
+    must read stale against the corpus watermark; duty cycle counts
+    only hours with events."""
+    from gents_spark.operators.screens import freshness_report
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for h in range(72):
+        rows.append(("live", t0 + timedelta(hours=h, minutes=7)))
+        if h % 3 == 0:
+            rows.append(("sparse", t0 + timedelta(hours=h, minutes=40)))
+        if h < 30:
+            rows.append(("dead", t0 + timedelta(hours=h, minutes=2)))
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    got = {
+        r["source"]: (
+            r["n_events"], r["hours_stale"], r["active_hours"],
+            r["span_hours"], r["activity_ratio"], r["is_stale"],
+        )
+        for r in freshness_report(
+            df.repartition(5), key="source", ts="ts", stale_after_h=24
+        ).collect()
+    }
+    wm = max(t for _, t in rows)
+    by = {}
+    for s, t in rows:
+        by.setdefault(s, []).append(t)
+    for s, ts in by.items():
+        first, last = min(ts), max(ts)
+        stale = int((wm - last).total_seconds() // 3600)
+        active = len({t.replace(minute=0, second=0) for t in ts})
+        span = (
+            int(
+                (
+                    last.replace(minute=0) - first.replace(minute=0)
+                ).total_seconds()
+                // 3600
+            )
+            + 1
+        )
+        exp = (
+            len(ts), stale, active, span,
+            round(active / span, 6), stale >= 24,
+        )
+        assert got[s] == exp, (s, got[s], exp)
+    assert got["dead"][5] is True and got["live"][5] is False
+    assert got["live"][4] == 1.0 and got["sparse"][4] < 0.4
