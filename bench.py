@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "seasonal_naive_1h",
     "embedding_drift_1d",
     "freshness",
+    "user_growth_1d",
+    "gap_percentiles",
 ]
 
 

@@ -2922,6 +2922,68 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_user_growth_1d(spark, sf_dir):
+    """New-vs-returning user census per event type: first-seen users
+    per day + the running distinct-user count — vocab_growth
+    (operators/vocab.py) applied verbatim with user_id as the "term":
+    the first-seen census is the same aggregation whether the alphabet
+    is tokens or users (the operator's generality is the point).
+    All-integer; the min-day agg shuffles |users|, never |events|."""
+    from gents_spark.operators.vocab import vocab_growth
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("user_id").alias("term"),
+    )
+    return (
+        vocab_growth(ev)
+        .withColumnRenamed("new_terms", "new_users")
+        .withColumnRenamed("vocab_size", "known_users")
+    )
+
+
+def q_gap_percentiles(spark, sf_dir):
+    """Inter-event gap percentiles per user: p50/p95/max of the
+    seconds between consecutive events — the cadence census behind
+    sessionize_events' gap threshold (pick the threshold FROM this
+    table, not by folklore).  Gaps are exact integer MICROSECONDS
+    (unix_micros == epoch_us — raw event timestamps carry micros, the
+    funnel_latency convention) off one lag window; percentiles via
+    sorted_percentile over the per-user gathered array (the
+    mad_outliers bounded-gather trade).  The oracle replays the SAME
+    interpolation shape explicitly — quantile_cont's algebraically-
+    equal form differs in the last ulp at 1e11-scale values — and
+    neither side rounds (round(x, 6) is itself engine-divergent once
+    x*1e6 exceeds 2^53)."""
+    from gents_spark.operators.rollup import sorted_percentile
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn(
+        "_gap", us - F.lag(us).over(w)
+    ).filter(F.col("_gap").isNotNull())
+    g = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.max("_gap").alias("max_gap_us"),
+        F.sort_array(
+            F.collect_list(F.col("_gap").cast("double"))
+        ).alias("_sv"),
+    )
+    # NOT rounded: at 1e11-magnitude micros, round(x, 6) is itself
+    # lossy AND engine-divergent (x*1e6 exceeds 2^53, so the scale/
+    # descale step perturbs the value differently per engine); the
+    # unrounded interpolation is bitwise-identical across engines
+    return g.select(
+        "user_id",
+        "n_gaps",
+        sorted_percentile(F.col("_sv"), 0.5).alias("p50_gap_us"),
+        sorted_percentile(F.col("_sv"), 0.95).alias("p95_gap_us"),
+        "max_gap_us",
+    )
+
+
 def q_freshness(spark, sf_dir):
     """Per-user freshness census against the corpus watermark
     (operators/screens.py::freshness_report) — who has stopped
@@ -3255,6 +3317,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_naive_1h": q_seasonal_naive_1h,
     "embedding_drift_1d": q_embedding_drift_1d,
     "freshness": q_freshness,
+    "user_growth_1d": q_user_growth_1d,
+    "gap_percentiles": q_gap_percentiles,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5095,6 +5159,65 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["user_growth_1d"] = """
+    WITH e AS (
+        SELECT event_type AS source,
+               date_trunc('day', ts)::TIMESTAMP AS day,
+               user_id AS term
+        FROM events
+    ), f AS (
+        SELECT source, term, min(day) AS day FROM e GROUP BY 1, 2
+    ), n AS (
+        SELECT source, day, count(*)::BIGINT AS new_users
+        FROM f GROUP BY 1, 2
+    )
+    SELECT source, day, new_users,
+           (sum(new_users) OVER (PARTITION BY source ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT
+               AS known_users
+    FROM n
+"""
+
+ORACLES["gap_percentiles"] = """
+    WITH l AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS g
+        FROM events
+    ), f AS (
+        SELECT user_id, g FROM l WHERE g IS NOT NULL
+    ), a AS (
+        SELECT user_id, count(*)::BIGINT AS n_gaps,
+               max(g)::BIGINT AS max_gap_us,
+               list(g::DOUBLE ORDER BY g) AS sv
+        FROM f GROUP BY 1
+    )
+    -- sorted_percentile's EXACT shape ((hi-pos)*vlo + (pos-lo)*vhi):
+    -- quantile_cont uses the algebraically-equal vlo+(pos-lo)*(vhi-vlo)
+    -- form, which differs in the last ulp at 1e11-scale micros values
+    SELECT user_id, n_gaps,
+           CASE WHEN floor(0.5::DOUBLE * (n_gaps - 1)::DOUBLE)
+                           = ceil(0.5::DOUBLE * (n_gaps - 1)::DOUBLE)
+                 THEN sv[CAST(floor(0.5::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                 ELSE (ceil(0.5::DOUBLE * (n_gaps - 1)::DOUBLE) - 0.5::DOUBLE * (n_gaps - 1)::DOUBLE)
+                      * sv[CAST(floor(0.5::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                      + (0.5::DOUBLE * (n_gaps - 1)::DOUBLE - floor(0.5::DOUBLE * (n_gaps - 1)::DOUBLE))
+                      * sv[CAST(ceil(0.5::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                 END AS p50_gap_us,
+           CASE WHEN floor(0.95::DOUBLE * (n_gaps - 1)::DOUBLE)
+                           = ceil(0.95::DOUBLE * (n_gaps - 1)::DOUBLE)
+                 THEN sv[CAST(floor(0.95::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                 ELSE (ceil(0.95::DOUBLE * (n_gaps - 1)::DOUBLE) - 0.95::DOUBLE * (n_gaps - 1)::DOUBLE)
+                      * sv[CAST(floor(0.95::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                      + (0.95::DOUBLE * (n_gaps - 1)::DOUBLE
+                         - floor(0.95::DOUBLE * (n_gaps - 1)::DOUBLE))
+                      * sv[CAST(ceil(0.95::DOUBLE * (n_gaps - 1)::DOUBLE) AS BIGINT) + 1]
+                 END AS p95_gap_us,
+           max_gap_us
+    FROM a
+"""
 
 ORACLES["freshness"] = """
     WITH g AS (

@@ -1391,3 +1391,49 @@ def test_freshness_report_matches_python(spark):
         assert got[s] == exp, (s, got[s], exp)
     assert got["dead"][5] is True and got["live"][5] is False
     assert got["live"][4] == 1.0 and got["sparse"][4] < 0.4
+
+
+def test_gap_percentiles_matches_python(spark):
+    """Inter-event gap percentiles vs a pure-Python replay of the same
+    interpolation formula over exact integer-micros gaps (UNROUNDED:
+    at 1e11 magnitude, 6dp rounding is itself lossy)."""
+    import math
+
+    from gents_spark.driver_queries import q_gap_percentiles
+
+    got = {
+        r["user_id"]: (
+            r["n_gaps"], r["p50_gap_us"], r["p95_gap_us"],
+            r["max_gap_us"],
+        )
+        for r in q_gap_percentiles(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        """
+        WITH l AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS g
+            FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        )
+        SELECT user_id, list(g ORDER BY g) FROM l
+        WHERE g IS NOT NULL GROUP BY 1
+        """
+    ).fetchall()
+
+    def pctl(sv, p):
+        pos = p * (len(sv) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            return float(sv[lo])
+        return (hi - pos) * float(sv[lo]) + (pos - lo) * float(sv[hi])
+
+    assert len(rows) > 0 and len(got) == len(rows)
+    for uid, sv in rows:
+        exp = (len(sv), pctl(sv, 0.5), pctl(sv, 0.95), max(sv))
+        assert got[uid] == exp, (uid, got[uid], exp)
