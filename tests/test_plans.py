@@ -286,3 +286,33 @@ def test_oracle_paired_queries_emit_no_array_or_map_columns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_late_r05_screens_plan_shapes(spark):
+    """Scale-discipline pins for the late-r05 screens: winsorized_1d
+    gathers and folds in ONE exchange (groupBy carries the sorted
+    array; percentiles/means are projections over it); freshness joins
+    its one-row corpus watermark by broadcast, never a shuffle; and
+    none of the four compiles to per-row Python."""
+    import re
+
+    from gents_spark.driver_queries import QUERIES
+
+    def plan(name):
+        df = QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    p = plan("winsorized_1d")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 1, p
+    p = plan("freshness")
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p, p
+    for name in (
+        "winsorized_1d", "freshness", "embedding_drift_1d",
+        "token_coverage", "zipf_fit", "seasonal_naive_1h",
+        "gap_percentiles",
+    ):
+        assert "BatchEvalPython" not in plan(name), name
