@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "freshness",
     "user_growth_1d",
     "gap_percentiles",
+    "length_histogram",
 ]
 
 

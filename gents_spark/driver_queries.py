@@ -2922,6 +2922,17 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_length_histogram(spark, sf_dir):
+    """Log2-bucketed doc-length census per source
+    (operators/textstats.py::length_histogram) — the sequence-length
+    distribution packing/truncation planning reads.  Buckets via
+    base-2 string length (exact integer floor(log2), both engines);
+    all-integer except the one share division."""
+    from gents_spark.operators.textstats import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_user_growth_1d(spark, sf_dir):
     """New-vs-returning user census per event type: first-seen users
     per day + the running distinct-user count — vocab_growth
@@ -3319,6 +3330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness": q_freshness,
     "user_growth_1d": q_user_growth_1d,
     "gap_percentiles": q_gap_percentiles,
+    "length_histogram": q_length_histogram,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5159,6 +5171,31 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["length_histogram"] = """
+    WITH d AS (
+        -- coalesce mirrors the engine: NULL text -> n = 0 -> bucket -1
+        SELECT source,
+               CASE WHEN coalesce(len(string_split(text, ' ')), 0) <= 0
+                    THEN -1
+                    ELSE CAST(length(bin(coalesce(
+                             len(string_split(text, ' ')), 0)))
+                              AS INTEGER) - 1
+               END AS bucket
+        FROM documents
+    ), g AS (
+        SELECT source, bucket, count(*)::BIGINT AS n_docs
+        FROM d GROUP BY 1, 2
+    )
+    SELECT source, bucket,
+           CASE WHEN bucket < 0 THEN 0
+                ELSE (1::BIGINT << bucket) END AS lo_words,
+           n_docs,
+           round(n_docs::DOUBLE
+                 / (sum(n_docs) OVER (PARTITION BY source))::DOUBLE,
+                 6) AS share
+    FROM g
+"""
 
 ORACLES["user_growth_1d"] = """
     WITH e AS (

@@ -253,3 +253,54 @@ def quality_filter(
         reasons.alias("drop_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def length_histogram(
+    docs: DataFrame,
+    key: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Log2-bucketed document-length census per key — the
+    sequence-length distribution a packing/curation pipeline plans
+    against (``packing.pack_tokens``' token budget, truncation-loss
+    estimates, batch-shape tuning): bucket b holds docs with
+    ``2^b <= n_words < 2^(b+1)`` (b = 0 for single-word docs, -1 for
+    empty).  Log buckets keep the table tiny (~40 rows per key covers
+    any length) while exposing exactly the head/tail shape uniform
+    bins blur.
+
+    All-integer except the one final share division; ``floor(log2(n))``
+    is computed by BIT LENGTH (63 - number of leading zeros via a
+    comparison ladder is unnecessary — ``bit_length(n) - 1`` is exact
+    integer arithmetic in both engines, where a floating ``log2`` can
+    land on the wrong side of a power of two).  One map-side projection
+    + one map-side-combined groupBy; no window, no UDF.
+
+    Output: (key, bucket, lo_words, n_docs, share) — ``lo_words`` =
+    2^bucket, the bucket's inclusive lower edge (0 for the empty
+    bucket); share = bucket fraction of the key's docs.
+    """
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.size(words_col(text)), F.lit(0))
+    # length of the base-2 string == bit length == floor(log2(n)) + 1
+    # for n >= 1 — exact integer arithmetic where a floating log2 can
+    # land on the wrong side of a power of two
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2)).cast("int") - 1
+    )
+    d = docs.select(F.col(key), bucket.alias("bucket"))
+    g = d.groupBy(key, "bucket").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy(key))
+    return g.select(
+        key,
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .cast("bigint")
+        .alias("lo_words"),
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / tot.cast("double"), 6
+        ).alias("share"),
+    )

@@ -1437,3 +1437,41 @@ def test_gap_percentiles_matches_python(spark):
     for uid, sv in rows:
         exp = (len(sv), pctl(sv, 0.5), pctl(sv, 0.95), max(sv))
         assert got[uid] == exp, (uid, got[uid], exp)
+
+
+def test_length_histogram_matches_python(spark):
+    """Log2 length census vs brute force, with power-of-two edge
+    lengths planted on both sides of every boundary (the floating-log2
+    trap the bit-length formula exists to avoid) and an empty doc."""
+    from gents_spark.operators.textstats import length_histogram
+
+    rng = random.Random(54)
+    # split('', ' ') == [''] (n=1, bucket 0) in BOTH engines — the
+    # words_col convention; only NULL text lands in bucket -1
+    rows = [("edge", ""), ("edge", "w"), ("edge", None)]
+    for b in (2, 4, 8, 16, 32, 64):
+        rows.append(("edge", " ".join(["x"] * b)))        # == 2^k
+        rows.append(("edge", " ".join(["x"] * (b - 1))))  # 2^k - 1
+        rows.append(("edge", " ".join(["x"] * (b + 1))))  # 2^k + 1
+    for i in range(200):
+        rows.append(("bulk", " ".join(["t"] * rng.randint(1, 500))))
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source"], r["bucket"]): (r["lo_words"], r["n_docs"], r["share"])
+        for r in length_histogram(df.repartition(5)).collect()
+    }
+    from collections import Counter
+
+    c = Counter()
+    for s, t in rows:
+        n = len(t.split(" ")) if t is not None else 0
+        c[(s, n.bit_length() - 1 if n > 0 else -1)] += 1
+    tot = Counter()
+    for (s, _), k in c.items():
+        tot[s] += k
+    assert len(got) == len(c)
+    for (s, b), k in c.items():
+        exp = (0 if b < 0 else 2 ** b, k, round(k / tot[s], 6))
+        assert got[(s, b)] == exp, (s, b, got[(s, b)], exp)
+    # 2^k lands in bucket k, 2^k - 1 in bucket k-1: both present
+    assert got[("edge", 5)][0] == 32 and got[("edge", 4)][0] == 16
