@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "user_growth_1d",
     "gap_percentiles",
     "length_histogram",
+    "record_highs_1h",
 ]
 
 

@@ -2922,6 +2922,44 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_record_highs_1h(spark, sf_dir):
+    """Record-breaking census per event type: how many hourly buckets
+    set a new all-time volume high, when the last record fell, and the
+    standing peak — growth plateaus read directly off n_records /
+    last_record_ts (a feed whose records stopped months ago has
+    flattened; drawdown_1h then sizes the decline).  One running-max
+    window (rows to 1 PRECEDING, so a bucket never competes with
+    itself) + one groupBy; all exact integers and timestamps."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hourly.withColumn(
+        "_rec",
+        F.lag("s").over(
+            Window.partitionBy("source").orderBy("bucket_start")
+        ).isNull()
+        | (F.col("s") > F.max("s").over(w)),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.col("_rec").cast("int")).alias("n_records"),
+        F.max(F.when(F.col("_rec"), F.col("bucket_start"))).alias(
+            "last_record_ts"
+        ),
+        F.max("s").alias("peak"),
+    )
+
+
 def q_length_histogram(spark, sf_dir):
     """Log2-bucketed doc-length census per source
     (operators/textstats.py::length_histogram) — the sequence-length
@@ -3331,6 +3369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_growth_1d": q_user_growth_1d,
     "gap_percentiles": q_gap_percentiles,
     "length_histogram": q_length_histogram,
+    "record_highs_1h": q_record_highs_1h,
 }
 
 #: md5-based uniform [0,1) key hash — mirrors sampling.hash_frac
@@ -5171,6 +5210,29 @@ ORACLES: dict[str, str] = {
 # the chunked packer is exactly equal to the plain one by construction
 # (pinned by test_pack_tokens_chunked_equals_plain) — same SQL oracle
 ORACLES["pack_documents_chunked"] = ORACLES["pack_documents"]
+
+ORACLES["record_highs_1h"] = """
+    WITH h AS (
+        SELECT event_type AS source,
+               date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT source, bucket_start, s,
+               (lag(s) OVER w IS NULL
+                OR s > max(s) OVER (PARTITION BY source
+                                    ORDER BY bucket_start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)) AS rec
+        FROM h WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+    )
+    SELECT source, count(*)::BIGINT AS n_buckets,
+           sum(CASE WHEN rec THEN 1 ELSE 0 END)::BIGINT AS n_records,
+           max(CASE WHEN rec THEN bucket_start END)::TIMESTAMP
+               AS last_record_ts,
+           max(s)::BIGINT AS peak
+    FROM r GROUP BY 1
+"""
 
 ORACLES["length_histogram"] = """
     WITH d AS (

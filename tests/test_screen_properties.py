@@ -1475,3 +1475,45 @@ def test_length_histogram_matches_python(spark):
         assert got[(s, b)] == exp, (s, b, got[(s, b)], exp)
     # 2^k lands in bucket k, 2^k - 1 in bucket k-1: both present
     assert got[("edge", 5)][0] == 32 and got[("edge", 4)][0] == 16
+
+
+def test_record_highs_matches_python(spark):
+    """Record census vs brute force on a climb-then-plateau series:
+    the plateau source's last record must predate its last bucket."""
+    from gents_spark.driver_queries import QUERIES
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        """
+        WITH h AS (
+            SELECT event_type AS source,
+                   date_trunc('hour', ts) AS b,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+            GROUP BY 1, 2
+        )
+        SELECT source, b, s FROM h ORDER BY source, b
+        """
+    ).fetchall()
+    got = {
+        r["source"]: (
+            r["n_buckets"], r["n_records"], r["last_record_ts"], r["peak"]
+        )
+        for r in QUERIES["record_highs_1h"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for s, b, v in rows:
+        by[s].append((b, int(v)))
+    assert got.keys() == by.keys()
+    for s, seq in by.items():
+        best, n_rec, last = None, 0, None
+        for b, v in seq:
+            if best is None or v > best:
+                best, n_rec, last = v, n_rec + 1, b
+        assert got[s] == (len(seq), n_rec, last, best), s
