@@ -1245,10 +1245,15 @@ def q_m4_downsample(spark, sf_dir):
     tiebreaks so the oracle matches bit-for-bit."""
     from gents_spark.operators.downsample import m4
 
-    return m4(
-        _t(spark, sf_dir, "events"), series="user_id", ts="ts",
-        value="value", n_buckets=64,
+    # repartition on ts (high-cardinality, no pre-shuffle sort like the
+    # keyless form): the gate/bench events file is ONE parquet row
+    # group, so the scan — and with it m4's whole map side — runs on a
+    # single core without it.  m4's two aggregation passes both hang
+    # off this one exchange (AQE ReusedExchange).
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "ts"
     )
+    return m4(ev, series="user_id", ts="ts", value="value", n_buckets=64)
 
 
 def q_lttb_downsample(spark, sf_dir):

@@ -7,9 +7,12 @@ here on DataFrames:
 
 - **M4** (Jugel et al., VLDB 2014): per pixel-column time bucket keep
   the first, last, min and max points — the exact set needed for a
-  pixel-perfect line rendering.  Pure codegen aggregation (min_by /
-  max_by with struct ordering for deterministic ties): ONE shuffle on
-  (series, bucket), fully SQL-expressible, scales like any groupBy.
+  pixel-perfect line rendering.  Two chained HASH aggregations on
+  (series, bucket) — extremes first, then the paired coordinates via
+  conditional aggregates against the broadcast extremes (min_by/max_by
+  with STRUCT ordering keys are not hash-aggregable, so the one-pass
+  form sort-aggregated the whole input; r06).  Fully SQL-expressible,
+  scales like any groupBy.
 
 - **LTTB** (Steinarsson 2013, "largest triangle three buckets"): picks
   per bucket the point maximizing the triangle area with the previously
@@ -47,12 +50,32 @@ def m4(
 
     Tie rules (pinned so the SQL oracle matches bit-for-bit):
     t_min/t_max take the EARLIEST ts among equal values; v_first/v_last
-    take the SMALLEST value among equal timestamps — both via struct
-    lexicographic ordering under min_by/max_by.
+    take the SMALLEST value among equal timestamps.
+
+    Physical shape (r06): the one-pass min_by/max_by(x, struct(...))
+    formulation kept the SAME tie rules but struct ordering keys are
+    not hash-aggregable, so Catalyst planned a SortAggregate — a full
+    sort of the input on (series, bucket) (measured 3.5s of the 3.5s
+    query at sf1.0).  Instead: pass 1 hash-aggregates the per-bucket
+    EXTREMES (min/max ts and value — all atomic buffers), pass 2
+    re-scans the input, broadcast-joins the tiny extremes table and
+    hash-aggregates the paired coordinates as conditional min/max
+    (rows at ts == t_first etc.), which encodes the identical tie
+    rules: v_first = min(v | ts = min ts), v_last = max(v | ts = max
+    ts), t_min = min(ts | v = min v), t_max = min(ts | v = max v).
+    Two hash aggs + one broadcast replace the global sort; both
+    passes prune to the 3 needed columns.
     """
     us = F.unix_micros(F.col(ts).cast("timestamp"))  # NTZ-safe
+    # min/max over the RAW ts column (unix_micros applied after): a
+    # plain-column min/max is eligible for parquet aggregate pushdown
+    # (row-group statistics, no data read), where min(f(ts)) is not —
+    # unix_micros∘cast is monotonic, so the values are identical (r06)
     bounds = points.agg(
-        F.min(us).alias("_t0"), F.max(us).alias("_t1")
+        F.min(ts).alias("_rt0"), F.max(ts).alias("_rt1")
+    ).select(
+        F.unix_micros(F.col("_rt0").cast("timestamp")).alias("_t0"),
+        F.unix_micros(F.col("_rt1").cast("timestamp")).alias("_t1"),
     )
     b = points.crossJoin(F.broadcast(bounds))
     # span+1 so the max point lands in bucket n_buckets-1, not n_buckets
@@ -60,20 +83,35 @@ def m4(
         (us - F.col("_t0")) * n_buckets / (F.col("_t1") - F.col("_t0") + 1)
     ).cast("bigint")
     v, t = F.col(value), F.col(ts)
-    return (
-        b.withColumn("bucket", bucket)
-        .groupBy(F.col(series), F.col("bucket"))
+    keyed = b.withColumn("bucket", bucket).select(
+        F.col(series), F.col("bucket"), t.alias("_ts"), v.alias("_v")
+    )
+    ext = keyed.groupBy(series, "bucket").agg(
+        F.min("_ts").alias("_tmin"),
+        F.max("_ts").alias("_tmax"),
+        F.min("_v").alias("_vmin"),
+        F.max("_v").alias("_vmax"),
+        F.count("*").alias("n_points"),
+    )
+    ts_, v_ = F.col("_ts"), F.col("_v")
+    paired = (
+        keyed.join(F.broadcast(ext), [series, "bucket"])
+        .groupBy(series, "bucket")
         .agg(
-            F.min_by(t, F.struct(t, v)).alias("t_first"),
-            F.min_by(v, F.struct(t, v)).alias("v_first"),
-            F.max_by(t, F.struct(t, v)).alias("t_last"),
-            F.max_by(v, F.struct(t, v)).alias("v_last"),
-            F.min_by(t, F.struct(v, t)).alias("t_min"),
-            F.min(v).alias("v_min"),
-            F.min_by(t, F.struct((-v).alias("nv"), t)).alias("t_max"),
-            F.max(v).alias("v_max"),
-            F.count("*").alias("n_points"),
+            F.min(F.when(ts_ == F.col("_tmin"), v_)).alias("v_first"),
+            F.max(F.when(ts_ == F.col("_tmax"), v_)).alias("v_last"),
+            F.min(F.when(v_ == F.col("_vmin"), ts_)).alias("t_min"),
+            F.min(F.when(v_ == F.col("_vmax"), ts_)).alias("t_max"),
+            F.first("_tmin").alias("t_first"),
+            F.first("_tmax").alias("t_last"),
+            F.first("_vmin").alias("v_min"),
+            F.first("_vmax").alias("v_max"),
+            F.first("n_points").alias("n_points"),
         )
+    )
+    return paired.select(
+        series, "bucket", "t_first", "v_first", "t_last", "v_last",
+        "t_min", "v_min", "t_max", "v_max", "n_points",
     )
 
 

@@ -51,16 +51,152 @@ def with_quantized(emb: DataFrame) -> DataFrame:
     ).filter(F.col("n2") > 0)
 
 
+def _collect_queries(base: DataFrame, n_queries: int):
+    """Driver-side (query_id, q, n2) for the first ``n_queries``
+    vectors — tiny (n_queries x dim ints), the same collect shape as
+    ``ivf_topk``'s centroid seed."""
+    rows = (
+        base.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    return [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
+            for r in rows]
+
+
+def _np_quantize(vm32):
+    """numpy twin of ``quantized`` + ``_sq_norm`` over a batch matrix:
+    float32 -> float64 is exact, *Q and floor are the same IEEE-754
+    double ops as the JVM expressions, the int64 cast is lossless —
+    bit-identical q/n2 without the per-element interpreted lambdas."""
+    import numpy as np
+
+    q = np.floor(vm32.astype(np.float64) * Q).astype(np.int64)
+    return q, (q * q).sum(axis=1)
+
+
+def _score_batches(queries, k, probe_sets=None, cents=None):
+    """mapInPandas closure over RAW (vec_id, embedding) batches:
+    quantize (``_np_quantize``), score every corpus vector against the
+    (driver-collected, closure-shipped) query matrix with ONE int64
+    matmul, keep each query's per-batch top-k by (cos desc,
+    neighbor_id asc), and emit only those candidate rows.
+
+    The global top-k of each query is a subset of the union of its
+    per-batch top-k's, so the downstream exact window over the emitted
+    candidates returns results identical to scoring every pair — while
+    the JVM<->Python traffic and the window shuffle carry
+    O(batches x n_queries x k) rows instead of |corpus| x n_queries.
+
+    Bit-equality with the HOF formulation (same argument as
+    ``_assign_batches``): dots are exact int64, |dot| < 2^53 so the
+    float64 cast is lossless, and the cosine is the same IEEE-754
+    double sqrt/divide.
+
+    ``probe_sets``/``cents`` switch on IVF mode: each corpus vector is
+    first assigned its argmax-cosine cell (the ``_assign_batches``
+    matmul, ties to the smallest cid) and query j only scores vectors
+    whose cell is in ``probe_sets[j]``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.int64)  # nq x dim
+    qn2 = np.array([q[2] for q in queries], dtype=np.int64)
+    if cents is not None:
+        cids, cmat, cn2 = _cent_arrays(cents)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm, n2 = _np_quantize(np.stack(pdf["embedding"].to_numpy()))
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            keep = n2 > 0  # with_quantized's zero-norm guard
+            if not keep.all():
+                vm, n2, vid = vm[keep], n2[keep], vid[keep]
+            if len(vid) == 0:
+                continue
+            dots = vm @ qmat.T  # batch x nq
+            cos = dots / np.sqrt((n2[:, None] * qn2[None, :]).astype(np.float64))
+            if cents is not None:
+                cdots = vm @ cmat.T
+                cden = np.sqrt((n2[:, None] * cn2[None, :]).astype(np.float64))
+                cell = cids[np.argmax(cdots / cden, axis=1)]
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                mask = vid != qids[j]
+                if cents is not None:
+                    mask &= np.isin(cell, probe_sets[j])
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                cj = cos[idx, j]
+                order = np.lexsort((vid[idx], -cj))[:k]
+                pick = idx[order]
+                out_q.append(np.full(len(pick), qids[j], dtype=np.int64))
+                out_n.append(vid[pick])
+                out_c.append(cos[pick, j])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    return gen
+
+
+def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Exact (cos desc, neighbor_id asc) top-k window over a candidate
+    table — the shared tail of both top-k paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )
+
+
 def cosine_topk(
-    emb: DataFrame, k: int = 5, n_queries: int = 20
+    emb: DataFrame, k: int = 5, n_queries: int = 20, method: str = "arrow"
 ) -> DataFrame:
     """Brute-force top-k neighbors for the first ``n_queries`` vectors.
 
-    Output: (query_id, neighbor_id, rank, cos).  The query side is tiny
-    and broadcast; the big side streams — at scale this is the classic
-    broadcast-NN scan (one pass over the corpus per query batch).
+    Output: (query_id, neighbor_id, rank, cos).  One pass over the
+    corpus per query batch — the classic broadcast-NN scan.
+
+    ``method="arrow"`` (default): the query matrix is collected once
+    (n_queries x dim ints, the ``ivf_topk`` centroid-collect shape) and
+    scoring runs as one numpy int64 matmul per Arrow batch with
+    per-batch top-k pruning (``_score_batches``) — the exact window
+    then ranks O(batches x n_queries x k) candidate rows instead of
+    |corpus| x n_queries scored pairs.  ``method="hof"`` keeps the
+    pure-JVM crossJoin formulation (zero driver actions); both produce
+    identical rows (pinned by test_cosine_topk_arrow_hof_equal).
     """
+    if method not in ("hof", "arrow"):
+        raise ValueError(f"method={method!r}: expected 'hof' or 'arrow'")
     base = with_quantized(emb)
+    if method == "arrow":
+        queries = _collect_queries(base, n_queries)
+        if not queries:
+            sch = "query_id long, neighbor_id long, cos_raw double"
+            return _rank_candidates(
+                emb.sparkSession.createDataFrame([], sch), k
+            )
+        cand = emb.select("vec_id", "embedding").mapInPandas(
+            _score_batches(queries, k),
+            "query_id long, neighbor_id long, cos_raw double",
+        )
+        return _rank_candidates(cand, k)
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
@@ -79,16 +215,7 @@ def cosine_topk(
         _dot(F.col("qa"), F.col("qb"))
         / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cos")
-        )
-    )
+    return _rank_candidates(scored, k)
 
 
 def lsh_bucket_pairs(
@@ -489,14 +616,22 @@ def ivf_topk(
             "production index sizes)"
         )
     base = with_quantized(emb)
+    shared_rows = None
     if centroids is None:
-        rows = (
-            base.filter(F.col("vec_id") < n_centroids)
+        # ONE collect serves both the seed centroids and (arrow path)
+        # the query matrix — the two prefixes overlap, so fetching
+        # max(n_centroids, n_queries) rows replaces two driver jobs
+        # with one (r06).
+        n_fetch = max(n_centroids, n_queries) if assign == "arrow" else (
+            n_centroids
+        )
+        shared_rows = (
+            base.filter(F.col("vec_id") < n_fetch)
             .orderBy("vec_id")
             .collect()
         )
         cents = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
-                 for r in rows]
+                 for r in shared_rows if r["vec_id"] < n_centroids]
     else:
         cents = [
             (i, [int(x) for x in c], sum(int(x) * int(x) for x in c))
@@ -504,6 +639,45 @@ def ivf_topk(
         ]
     if not cents:
         raise ValueError("empty centroid set")
+    if assign == "arrow":
+        # Fused scorer (r06): ONE mapInPandas pass assigns each corpus
+        # vector its cell (the ``_assign_batches`` matmul), restricts
+        # each query to its probed cells, scores with the same int64
+        # matmul, and emits per-batch top-k candidates — replacing the
+        # probes-broadcast join + per-pair HOF dot + corpus-sized
+        # window with an O(batches x n_queries x k)-row exact window.
+        # The probe ranking is replayed on the driver in numpy: cos
+        # desc then cid asc, identical to the reversed array_sort of
+        # ``_cent_cos_arr`` structs (same IEEE doubles, same
+        # tie-break), pinned by test_ivf_topk_hof_arrow_equal.
+        import numpy as np
+
+        if shared_rows is not None:
+            queries = [
+                (int(r["vec_id"]), [int(x) for x in r["q"]], int(r["n2"]))
+                for r in shared_rows if r["vec_id"] < n_queries
+            ]
+        else:
+            queries = _collect_queries(base, n_queries)
+        if not queries:
+            sch = "query_id long, neighbor_id long, cos_raw double"
+            return _rank_candidates(
+                emb.sparkSession.createDataFrame([], sch), k
+            )
+        cids, cmat, cn2 = _cent_arrays(cents)
+        probe_sets = []
+        for _qid, qvec, qn2 in queries:
+            qv = np.array(qvec, dtype=np.int64)
+            cos_c = (cmat @ qv) / np.sqrt(
+                (cn2 * np.int64(qn2)).astype(np.float64)
+            )
+            order = np.lexsort((cids, -cos_c))[:n_probe]
+            probe_sets.append(np.sort(cids[order]))
+        cand = emb.select("vec_id", "embedding").mapInPandas(
+            _score_batches(queries, k, probe_sets=probe_sets, cents=cents),
+            "query_id long, neighbor_id long, cos_raw double",
+        )
+        return _rank_candidates(cand, k)
     # probe ranking: default array_sort orders ascending (cos asc, ncid
     # asc = cid desc); reversed, that is (cos desc, cid asc) — slice
     # n_probe and explode, map-side on a tiny query set
@@ -529,28 +703,14 @@ def ivf_topk(
     # cell id is a pure per-row function of (q, n2) over centroid
     # literals — project it INLINE instead of joining ``ivf_assign``'s
     # output back onto the corpus (that join shuffled the corpus twice
-    # on vec_id for what is a map-side expression).  assign="arrow"
-    # swaps the interpreted HOF argmax for the numpy-matmul batch twin
-    # (``ivf_assign_arrow``) — same values, same no-Exchange shape, the
-    # right default once k reaches index size (1024+ cells)
-    if assign == "arrow":
-        cside = base.select("vec_id", "q", "n2").mapInPandas(
-            _assign_batches(cents, ("q", "n2")),
-            "vec_id long, cid int, q array<long>, n2 long",
-        ).select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("qb"),
-            F.col("n2").alias("nb"),
-            "cid",
-        )
-    else:
-        cside = base.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("qb"),
-            F.col("n2").alias("nb"),
-            (-F.array_max(_cent_cos_arr(cents))["ncid"]).cast("int")
-            .alias("cid"),
-        )
+    # on vec_id for what is a map-side expression)
+    cside = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+        (-F.array_max(_cent_cos_arr(cents))["ncid"]).cast("int")
+        .alias("cid"),
+    )
     cand = (
         F.broadcast(probes)
         .join(cside, "cid")
@@ -562,17 +722,7 @@ def ivf_topk(
         _dot(F.col("qa"), F.col("qb"))
         / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank",
-            F.round("cos_raw", 6).alias("cos"),
-        )
-    )
+    return _rank_candidates(scored, k)
 
 
 def label_stats(emb: DataFrame) -> DataFrame:

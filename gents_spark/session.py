@@ -31,6 +31,14 @@ SCALE_CONFS: dict[str, str] = {
     # inference would read "1d" as the Java double literal 1.0 and
     # day-grain chunks as DATE.
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # Let the planner pick shuffled-hash over sort-merge when the
+    # per-partition build side fits (guide §3.1): same shuffle bytes,
+    # no sort of either side.  AQE's runtime rewrite threshold below
+    # converts planned sort-merge joins whose post-shuffle partitions
+    # turn out small — both are size-gated, so genuinely large joins
+    # still sort-merge and spill gracefully.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
 
 
