@@ -62,6 +62,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition on a unique key to spread a SINGLE-row-group
+    gate/bench file across cores before heavy per-row map work (the
+    fixture files are one parquet row group, so their scans — and
+    everything map-side above them — otherwise run on ONE task).  Hash
+    repartition, unlike the keyless round-robin form, needs no
+    sort-before-repartition pass.  At production scale the scan
+    arrives in thousands of splits and this exchange is a no-op cost
+    the operator wrappers would not carry (the operators themselves
+    never repartition)."""
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def _events_tiers(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
     """Continuous aggregate of events as (source, bucket) tier rows —
     the flagship rollup (SURVEY.md §2.4 A8) on the shared table."""
@@ -1001,7 +1014,9 @@ def q_pii_scrub(spark, sf_dir):
     tests/test_pipeline_ops.py::test_pii_scrub_redacts."""
     from gents_spark.operators.textstats import pii_scrub
 
-    return pii_scrub(_t(spark, sf_dir, "documents"))
+    # _spread: three Java-regex counts + a chained replace per doc —
+    # heavy map work that a single-row-group scan serializes
+    return pii_scrub(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_weighted_mix(spark, sf_dir):
@@ -1644,7 +1659,9 @@ def _doc_tokens_by_day(spark, sf_dir):
     crawl days.  ``doc_id DIV 20`` first, because source == doc_id % 20
     in the fixture: a plain ``doc_id % 14`` gives every source only
     every other day (gcd tangle) and the drift query zero day pairs."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the split+explode fan-out is the map-heavy first stage
+    # of every vocabulary query and the corpus is one row group
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     from gents_spark.operators.textstats import words_col
 
     day = F.timestamp_add(
@@ -1701,7 +1718,9 @@ def q_token_entropy(spark, sf_dir):
     entropy fold, mirrored by the oracle's ordered list_reduce."""
     from gents_spark.operators.vocab import token_entropy
 
-    return token_entropy(_t(spark, sf_dir, "documents"))
+    # _spread: the sort+fold chain is the heaviest per-row expression
+    # in the battery; single-row-group scan would run it on one core
+    return token_entropy(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_token_topk_1d(spark, sf_dir):
@@ -2922,8 +2941,11 @@ def q_collocations(spark, sf_dir):
     mirrored shape-for-shape by the twin, so the row hash-matches."""
     from gents_spark.operators.vocab import collocation_lift
 
+    # _spread: the adjacent-pair zip_with + explode is map-heavy and
+    # the single-row-group corpus scans as one task
     return collocation_lift(
-        _t(spark, sf_dir, "documents"), text="text", min_count=5
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        text="text", min_count=5,
     )
 
 

@@ -60,6 +60,80 @@ def shingles_col(n: int = 3) -> F.Column:
     return F.coalesce(acc, F.array().cast("array<string>"))
 
 
+def _shingle_batches(n: int, distinct: bool):
+    """mapInPandas closure: (doc_id, text) batches -> (doc_id, _sh)
+    where ``_sh`` is the doc's 60-bit shingle-hash array — the Python
+    twin of ``transform(shingles_col(n), word_hash)`` (plus
+    ``array_distinct`` when ``distinct``).
+
+    Semantics replicated exactly (pinned by
+    test_shingle_arrays_matches_hof): ``split(text, ' ')`` keeps
+    leading/trailing/interior empty tokens in both engines (Java regex
+    split with limit -1 == Python ``str.split(' ')``); the hash is
+    ``conv(substring(md5(utf8), 1, 15), 16, 10)`` ==
+    ``int(hashlib.md5(utf8).hexdigest()[:15], 16)``; NULL text -> empty
+    array (the ``coalesce`` contract of ``shingles_col``);
+    ``array_distinct`` keeps first-occurrence order, as does the
+    set-guarded append.
+
+    Why Python here (guide §4.2): the JVM formulation evaluates an
+    interpreted zip_with concat chain + md5 + conv + substring PER
+    SHINGLE (~50µs each; 4s over 32 cores for sf1.0's 2.5M shingles,
+    measured) — hashlib's C md5 plus a str.join does the same work in
+    ~2µs.  Arrow batches in, Arrow batches out; no per-row UDF."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for txt in pdf["text"]:
+                if txt is None:
+                    out.append([])
+                    continue
+                w = txt.split(" ")
+                m = len(w) - (n - 1)
+                hs = []
+                if distinct:
+                    seen = set()
+                    for i in range(m if m > 0 else 0):
+                        h = int(
+                            hashlib.md5(
+                                " ".join(w[i:i + n]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        if h not in seen:
+                            seen.add(h)
+                            hs.append(h)
+                else:
+                    for i in range(m if m > 0 else 0):
+                        hs.append(
+                            int(
+                                hashlib.md5(
+                                    " ".join(w[i:i + n]).encode("utf-8")
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                        )
+                out.append(hs)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_sh": out})
+
+    return gen
+
+
+def shingle_hash_arrays(
+    docs: DataFrame, n: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, _sh: array<long>) per document — the per-doc shingle
+    working set of every n-gram operator, computed in one Arrow pass
+    (``_shingle_batches``)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _shingle_batches(n, distinct), "doc_id long, _sh array<long>"
+    )
+
+
 def exact_dedup_groups(docs: DataFrame, prefix_words: int = 5) -> DataFrame:
     """Exact dedup on a prefix fingerprint: group size, canonical doc
     (min doc_id), is_dup flag per doc.  With prefix_words=None the key is
@@ -187,104 +261,150 @@ def _pair_common_counts(
     """(doc_a, doc_b, n_common, n_a, n_b) for every candidate pair
     sharing >=1 (optionally df-capped) shingle — the shared core of
     ``ngram_jaccard_pairs`` and ``containment_pairs``; see the former
-    for the cap semantics and the persist rationale."""
+    for the cap semantics.
+
+    Shape (r06 rewrite of the capped path): the unit of state is the
+    PER-DOC distinct shingle-hash array (map-side, one row per doc)
+    instead of the exploded (doc, shingle) index.
+
+    - candidates: explode the array once, group by shingle, keep
+      buckets with df <= cap, and emit each bucket's C(df,2) ordered
+      pairs map-side from the sorted doc list (bounded by the cap) —
+      ONE aggregation replaces the df-count agg + df join + index
+      self-join of the old plan;
+    - exact verify: join the (small, candidate-driven) pair table back
+      to the per-doc arrays on each side and count common shingles
+      with ``array_intersect`` — n_common over the FULL sets, exactly
+      as before, but the two joins carry |cand| rows against |docs|
+      rows instead of shuffling the whole exploded index twice, and
+      the per-pair count needs no groupBy at all;
+    - sizes: ``size(array)`` map-side, replacing the per-doc count agg.
+
+    The old plan's exploded-index verify (2 index-wide shuffles + a
+    pair groupBy) measured 3.9s/5.9s (sf1.0/sf0.1) for
+    dedup_containment; this shape removes every index-sized exchange
+    except the one candidate aggregation.
+    """
     from pyspark import StorageLevel
 
-    s = shingle_sets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    arrs = shingle_hash_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     if cache_handles is not None:
-        cache_handles.append(s)
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand_src = s
+        cache_handles.append(arrs)
+    s = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     if max_shingle_df is not None:
-        dfreq = s.groupBy("shingle").agg(F.count("*").alias("_df"))
-        cand_src = (
-            s.join(dfreq, "shingle")
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("doc_id", "shingle")
+        buckets = (
+            s.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+            .filter(F.size("_ds") <= max_shingle_df)
+        )
+        # C(df,2) ordered pairs per surviving bucket, map-side: df is
+        # bounded by the cap, so the fan-out is <= C(cap,2) per bucket
+        combos = F.flatten(
+            F.transform(
+                F.col("_ds"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ds"), i + 2, F.size(F.col("_ds"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
         )
         cand = (
-            cand_src.alias("a")
-            .join(
-                cand_src.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
+            buckets.select(F.explode(combos).alias("_p"))
+            .select("_p.doc_a", "_p.doc_b")
+            .distinct()
+        )
+    else:
+        a = s.alias("a")
+        b = s.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
             )
             .distinct()
         )
-        # exact verify: count ALL common shingles of each candidate pair
-        # (candidate-driven joins — hot shingles never form pairs here).
-        # REJECTED r05 experiment: semi-filtering each verify side to
-        # candidate docs first (plain AND broadcast semi) measured
-        # SLOWER at sf0.1 (8.5s -> 14-16s) — the extra scans of the
-        # cached index cost more than the saved (doc, shingle) shuffle
-        # at any SF we can measure; at cluster scale AQE converts the
-        # cand-side joins below to broadcasts, which bounds the shuffle
-        # to the candidates' rows anyway.
-        sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-        common = (
-            cand.join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_common"))
+    # exact verify over the FULL per-doc sets; the candidate side is
+    # small, so AQE broadcasts it at runtime — the array table itself
+    # is never shuffled (no hint: at a scale where cand outgrows the
+    # broadcast threshold these degrade to partitioned joins instead
+    # of OOMing the driver)
+    wa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.size("_sh").cast("long").alias("n_a"),
+    )
+    wb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.size("_sh").cast("long").alias("n_b"),
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias(
+                "n_common"
+            ),
+            "n_a",
+            "n_b",
         )
-    else:
-        a = s.alias("a")
-        b = s.alias("b")
-        common = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .agg(F.count("*").alias("n_common"))
-        )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return common.join(sa, "doc_a").join(sb, "doc_b")
+    )
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """k=12 MinHash components per doc (columns mh0..mh11).
 
-    ENTIRELY map-side: the per-doc shingle-hash array is materialized
-    once, and each component is an ``array_min`` over a transformed
-    copy — no explode, no groupBy, zero shuffle (min over the raw
-    multiset equals min over the distinct shingle set, so no distinct
-    either).  Signatures are per-doc functions of the doc alone; at
-    100 TB this is a pure scan-project whose parallelism equals the
-    scan partitioning.  Docs shorter than one shingle produce no row,
-    matching the old explode+groupBy semantics.
+    ENTIRELY map-side: one Arrow pass per partition — no explode, no
+    groupBy, zero shuffle (min over the raw multiset equals min over
+    the distinct shingle set, so no distinct either).  Signatures are
+    per-doc functions of the doc alone; at 100 TB this is a pure
+    scan-project whose parallelism equals the scan partitioning.
     """
-    hs = F.transform(
-        shingles_col(n),
-        lambda s: F.pmod(word_hash(s), F.lit(MINHASH_P)),
+    # Arrow/numpy path (r06): the shingle hashing runs through the
+    # hashlib shingler (``_shingle_batches``) and all 12 permutation
+    # minima come from one vectorized (12 x |shingles|) int64
+    # ``(a*h + b) % P`` min-reduce per doc — replacing 12 interpreted
+    # transform lambdas per shingle.  Exact-integer equal to the HOF
+    # formulation: every operand is positive so numpy ``%`` == pmod,
+    # and a*h < 2^63 (a < 2^32, h < P = 2^31-1) never overflows.
+    # Docs shorter than one shingle emit no row, as before (pinned by
+    # test_minhash_signatures_matches_hof).
+    import numpy as np
+    import pandas as pd
+
+    amat = np.array([a for a, _ in MINHASH_AB], dtype=np.int64)[:, None]
+    bmat = np.array([b for _, b in MINHASH_AB], dtype=np.int64)[:, None]
+    names = [f"mh{i}" for i in range(len(MINHASH_AB))]
+    shingler = _shingle_batches(n, distinct=False)
+
+    def gen(batches):
+        for pdf in shingler(batches):
+            ids, sigs = [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["_sh"]):
+                if not hs:
+                    continue
+                h = np.asarray(hs, dtype=np.int64) % MINHASH_P
+                ids.append(doc_id)
+                sigs.append(((amat * h + bmat) % MINHASH_P).min(axis=1))
+            if not ids:
+                continue
+            sig = np.stack(sigs)
+            out = {"doc_id": ids}
+            for i, name in enumerate(names):
+                out[name] = sig[:, i]
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, " + ", ".join(f"{c} long" for c in names)
     )
-    # guard on size(words) >= n (== size(_hs) > 0: a slice/zip_with
-    # chain preserves greatest(size(w)-(n-1),0) elements): filtering on
-    # the _hs alias would collapse into the projection and re-evaluate
-    # the whole shingle+hash transform per row (no cross-operator
-    # subexpression elimination between Filter and Project)
-    d = docs.filter(F.size(words_col()) >= n).select(
-        "doc_id", hs.alias("_hs")
-    )
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda h: F.pmod(
-                    F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)
-                ),
-            )
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
-    return d.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -570,12 +690,17 @@ def duplicate_spans(
     """
     from pyspark import StorageLevel
 
-    hashed = F.transform(shingles_col(n), word_hash)
-    spans = docs.select(
-        "doc_id", F.explode(hashed).alias("span")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Arrow/hashlib shingler with multiplicity (r06): one Python md5
+    # pass replaces the interpreted per-shingle concat+md5+conv chain
+    # (see ``_shingle_batches``), and the span count falls out of the
+    # SAME array (len == greatest(|words|-(n-1), 0) by construction,
+    # NULL text -> empty), so the sizes side needs no second text scan.
+    arrs = shingle_hash_arrays(docs, n, distinct=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if cache_handles is not None:
-        cache_handles.append(spans)
+        cache_handles.append(arrs)
+    spans = arrs.select("doc_id", F.explode("_sh").alias("span"))
     totals = spans.groupBy("span").agg(F.count("*").alias("total"))
     dup = (
         spans.join(totals.filter(F.col("total") >= min_count), "span")
@@ -585,14 +710,7 @@ def duplicate_spans(
             F.max("total").alias("max_span_count"),
         )
     )
-    # the span COUNT needs neither hashing nor the concatenated shingle
-    # strings: it is greatest(|words| - (n-1), 0) directly (coalesce
-    # keeps NULL text at 0, matching shingles_col's empty-array
-    # contract) — one split, zero concat/md5 on this side
-    n_spans = F.greatest(
-        F.coalesce(F.size(words_col()), F.lit(0)) - (n - 1), F.lit(0)
-    )
-    sizes = docs.select("doc_id", n_spans.alias("n_spans"))
+    sizes = arrs.select("doc_id", F.size("_sh").alias("n_spans"))
     return sizes.join(dup, "doc_id", "left").select(
         "doc_id",
         "n_spans",

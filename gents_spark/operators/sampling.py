@@ -85,10 +85,6 @@ def ngram_contamination(
     ``h.unpersist()`` each after consuming the result (round-3 ADVICE —
     otherwise reclamation waits for the ContextCleaner GC hook).
     """
-    from gents_spark.operators.dedup import shingles_col
-    from gents_spark.operators.textstats import word_hash
-
-    split = split_train_test(docs, "doc_id", test_frac)
     # shingles join/aggregate as 60-bit md5 keys, not ~30-char strings:
     # the inverted index and both verify joins shuffle on this column,
     # so narrowing it cuts most of the operator's shuffle bytes.  The
@@ -100,53 +96,91 @@ def ngram_contamination(
     # set semantics (doc_id unique, is_test functionally dependent on
     # it) — a post-explode .distinct() would shuffle the entire
     # exploded index once more for nothing (r05)
-    hashed = F.array_distinct(F.transform(shingles_col(n), word_hash))
-    sh = split.select(
-        "doc_id", "is_test", F.explode(hashed).alias("shingle")
-    )
-    # the shingle index feeds FOUR consumers (df counts, capped
-    # candidates, and both exact-verify sides); without a persist Spark
-    # re-explodes and re-distincts the corpus four times.  MEMORY_AND_DISK:
-    # the index is |docs| x shingles rows — at 100 TB this is the
-    # materialized inverted index every industrial near-dup pipeline
-    # builds once and reuses.  Unpersist is left to the ContextCleaner
-    # (the returned DataFrame is lazy; callers hold no handle).
+    # Shape (r06, mirrors dedup._pair_common_counts): the unit of
+    # state is the PER-DOC distinct shingle-hash array (map-side, one
+    # row per doc, persisted — it feeds the candidate explode and both
+    # exact-verify sides).  Candidates come from ONE aggregation of
+    # the exploded index: per shingle bucket with df <= cap, the
+    # test x train cross pairs are emitted map-side from the two
+    # sorted per-split doc lists (fan-out bounded by C(cap/2, cap/2)).
+    # The exact verify then joins the small candidate table back to
+    # the arrays on each side and counts shared shingles with
+    # array_intersect — n_shared over the FULL sets as before, with
+    # no index-wide verify shuffles and no per-pair groupBy.
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    from gents_spark.operators.dedup import shingle_hash_arrays
+
+    # is_test is a pure function of doc_id, so it re-attaches map-side
+    # AFTER the Arrow shingler (which passes through doc_id only)
+    arrs = shingle_hash_arrays(docs, n).withColumn(
+        "is_test", hash_frac(F.col("doc_id")) < F.lit(test_frac)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if cache_handles is not None:
-        cache_handles.append(sh)
-    cand_src = sh
+        cache_handles.append(arrs)
+    s = arrs.select("doc_id", "is_test", F.explode("_sh").alias("shingle"))
     if max_shingle_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        cand_src = (
-            sh.join(dfreq, "shingle")
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("doc_id", "is_test", "shingle")
+        buckets = (
+            s.groupBy("shingle")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("is_test"), F.col("doc_id")))
+                ).alias("_tests"),
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("is_test"), F.col("doc_id")))
+                ).alias("_trains"),
+            )
+            .filter(
+                F.size("_tests") + F.size("_trains") <= max_shingle_df
+            )
         )
-    test_sh = cand_src.filter(F.col("is_test")).select(
-        F.col("doc_id").alias("test_doc_id"), "shingle"
+        combos = F.flatten(
+            F.transform(
+                F.col("_tests"),
+                lambda t: F.transform(
+                    F.col("_trains"),
+                    lambda r: F.struct(
+                        t.alias("test_doc_id"), r.alias("train_doc_id")
+                    ),
+                ),
+            )
+        )
+        cand = (
+            buckets.select(F.explode(combos).alias("_p"))
+            .select("_p.test_doc_id", "_p.train_doc_id")
+            .distinct()
+        )
+    else:
+        test_sh = s.filter(F.col("is_test")).select(
+            F.col("doc_id").alias("test_doc_id"), "shingle"
+        )
+        train_sh = s.filter(~F.col("is_test")).select(
+            F.col("doc_id").alias("train_doc_id"), "shingle"
+        )
+        cand = (
+            test_sh.join(train_sh, "shingle")
+            .select("test_doc_id", "train_doc_id")
+            .distinct()
+        )
+    # exact verify over FULL shingle sets (uncapped); candidate side is
+    # small — AQE broadcasts it at runtime, the array table is never
+    # shuffled
+    wt = arrs.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc_id"), F.col("_sh").alias("_sh_t")
     )
-    train_sh = cand_src.filter(~F.col("is_test")).select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
-    )
-    cand = (
-        test_sh.join(train_sh, "shingle")
-        .select("test_doc_id", "train_doc_id")
-        .distinct()
-    )
-    # exact verify over FULL shingle sets (uncapped)
-    full_test = sh.filter(F.col("is_test")).select(
-        F.col("doc_id").alias("test_doc_id"), "shingle"
-    )
-    full_train = sh.filter(~F.col("is_test")).select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
+    wr = arrs.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_doc_id"), F.col("_sh").alias("_sh_r")
     )
     return (
-        cand.join(full_test, "test_doc_id")
-        .join(full_train, ["train_doc_id", "shingle"])
-        .groupBy("test_doc_id", "train_doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        cand.join(wt, "test_doc_id")
+        .join(wr, "train_doc_id")
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            F.size(F.array_intersect("_sh_t", "_sh_r")).cast("long").alias(
+                "n_shared"
+            ),
+        )
         .filter(F.col("n_shared") >= min_shared)
     )
 

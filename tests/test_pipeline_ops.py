@@ -63,6 +63,91 @@ def test_short_doc_has_no_shingles(spark, docs):
     assert shingle_sets(docs).filter(F.col("doc_id") == 5).count() == 0
 
 
+def test_shingle_arrays_matches_hof(spark):
+    """The Arrow/hashlib shingler (r06) must replicate the JVM
+    ``transform(shingles_col(n), word_hash)`` expression exactly —
+    including empty tokens from repeated/leading/trailing spaces, NULL
+    text -> empty array, first-occurrence distinct order, and the
+    60-bit md5-prefix values — because every n-gram oracle replays the
+    JVM expression's semantics in SQL."""
+    from gents_spark.operators.dedup import (
+        shingle_hash_arrays,
+        shingles_col,
+    )
+    from gents_spark.operators.textstats import word_hash
+
+    rows = [
+        (1, "the quick brown fox the quick brown fox"),
+        (2, "a  b c  d"),          # empty tokens between double spaces
+        (3, " leading and trailing "),
+        (4, None),                 # NULL text
+        (5, "two words"),          # shorter than one 3-shingle
+        (6, "unicode éè café 中文 tokens here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n, distinct in [(3, True), (5, True), (5, False)]:
+        hof_expr = F.transform(shingles_col(n), word_hash)
+        if distinct:
+            hof_expr = F.array_distinct(hof_expr)
+        hof = {
+            r["doc_id"]: r["_sh"]
+            for r in docs.select(
+                "doc_id", hof_expr.alias("_sh")
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r["_sh"]
+            for r in shingle_hash_arrays(
+                docs, n, distinct=distinct
+            ).collect()
+        }
+        assert hof == arrow, f"n={n} distinct={distinct}"
+
+
+def test_minhash_signatures_matches_hof(spark):
+    """The numpy permutation-min path (r06) must equal the previous
+    HOF formulation value-for-value: same 60-bit md5 shingle hashes,
+    same (a*h+b) % P permutations, same row set (docs shorter than one
+    shingle emit no row)."""
+    from gents_spark.operators.dedup import (
+        MINHASH_AB,
+        MINHASH_P,
+        minhash_signatures,
+        shingles_col,
+    )
+    from gents_spark.operators.textstats import word_hash, words_col
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a  b c  d e"),
+        (3, None),
+        (4, "two words"),
+        (5, "one two three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = F.transform(
+        shingles_col(3), lambda s: F.pmod(word_hash(s), F.lit(MINHASH_P))
+    )
+    d = docs.filter(F.size(words_col()) >= 3).select(
+        "doc_id", hs.alias("_hs")
+    )
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)),
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    hof = {r["doc_id"]: tuple(r)[1:] for r in d.select("doc_id", *cols).collect()}
+    new = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in minhash_signatures(docs, n=3).collect()
+    }
+    assert hof == new
+
+
 def test_null_text_shingles_empty_not_null(spark):
     """shingles_col's contract is empty array (size 0), never NULL —
     split/slice/zip_with would otherwise propagate NULL text to a NULL
