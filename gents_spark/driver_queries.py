@@ -82,6 +82,17 @@ def _events_tiers(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     unit = TIER_UNITS[tier]
+    # Repartition on the GROUP KEYS themselves (r06): the groupBy then
+    # clusters on the existing partitioning — still exactly one
+    # exchange, but the collect_list+sort_array percentile build (the
+    # heavy part; partial aggregation ships every value anyway, so
+    # map-side combine saved nothing) runs AFTER the shuffle on all
+    # cores instead of inside the one-row-group scan task.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("event_type"),
+        F.date_trunc(unit, "ts"),
+    )
     agg = ev.groupBy(
         F.col("event_type").alias("source"),
         F.date_trunc(unit, "ts").alias("bucket_start"),
@@ -397,19 +408,34 @@ def q_sketch_merge_1h(spark, sf_dir):
     alone — raw data untouched, so the same derivation works after
     retention expires it.  Integer measures keep the histogram exact,
     hence a full value-hash oracle (plain exact 1h percentiles)."""
+    from gents_spark.operators.rollup import bucket_col
     from gents_spark.operators.sketches import (
         histogram_percentiles,
         merge_histograms,
         value_histogram,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("source"),
-        F.col("ts").alias("event_time"),
-        F.col("value").alias("n_tok"),
+    # ONE exchange for the whole chain (r06, guide §2.4): partition on
+    # (source, 1h bucket) up front and thread that same column through
+    # both sketch stages as their gchunk key — every groupBy below
+    # (per-value 1m census, 1m map build, 1h regroup, 1h map build)
+    # then clusters on a SUPERSET of the partitioning and plans
+    # exchange-free.  The previous shape paid 4 exchanges; this also
+    # replaces the one-row-group scan's single-core map side.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("source"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("n_tok"),
+        )
+        .withColumn("_g1h", bucket_col("event_time", "1h"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "_g1h"
+        )
     )
-    h1m = value_histogram(ev, "1m", scale=1)
-    h1h = merge_histograms(h1m, "1h")
+    h1m = value_histogram(ev, "1m", scale=1, gchunk_col="_g1h")
+    h1h = merge_histograms(h1m, "1h", gchunk_col="_g1h")
     out = histogram_percentiles(h1h, scale=1)
     return out.select(
         "source",
@@ -716,7 +742,12 @@ def q_customers_with_recent_orders(spark, sf_dir):
 
 
 def q_topk_orders_per_segment(spark, sf_dir):
-    """Top-3 per group with unique tiebreak (O5 generalized)."""
+    """Top-3 per group with unique tiebreak (O5 generalized).
+
+    r06 note: a two-phase top-k (rank within (segment, 64-way hash
+    subkey), keep 3, re-rank survivors) was tried and measured ~0.2s
+    SLOWER at sf1.0 — the query is scan/join-bound, not sort-bound,
+    so the extra exchange only added overhead.  Kept single-window."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -1757,7 +1788,8 @@ def q_rolling_zscore(spark, sf_dir):
     from gents_spark.operators.anomaly import rolling_zscore
 
     out = rolling_zscore(
-        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
+        key="user_id", ts="ts",
         value="value", window=24, min_points=8, scale=2,
         tiebreak="event_id",
     )
@@ -1775,9 +1807,10 @@ def q_mad_outliers(spark, sf_dir):
     a single sorted array via sorted_percentile == quantile_cont."""
     from gents_spark.operators.anomaly import mad_outliers
 
+    # _spread: the per-user sorted-percentile aggregation is map-heavy
     return mad_outliers(
-        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
-        value="value", threshold=3.5,
+        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
+        key="user_id", ts="ts", value="value", threshold=3.5,
     )
 
 
@@ -2021,7 +2054,7 @@ def q_gap_report_1h(spark, sf_dir):
     from gents_spark.operators.gapfill import gap_report
 
     hourly = (
-        _t(spark, sf_dir, "events")
+        _spread(spark, _t(spark, sf_dir, "events"), "event_id")
         .groupBy(
             F.col("user_id").alias("source"),
             F.date_trunc("hour", "ts").alias("bucket_start"),
@@ -2062,7 +2095,7 @@ def q_rank_shift_1h(spark, sf_dir):
     from gents_spark.operators.leaderboard import rank_shift
 
     hourly = (
-        _t(spark, sf_dir, "events")
+        _spread(spark, _t(spark, sf_dir, "events"), "event_id")
         .groupBy(
             F.col("user_id").alias("source"),
             F.date_trunc("hour", "ts").alias("bucket_start"),
@@ -3068,8 +3101,8 @@ def q_freshness(spark, sf_dir):
     from gents_spark.operators.screens import freshness_report
 
     return freshness_report(
-        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
-        stale_after_h=24,
+        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
+        key="user_id", ts="ts", stale_after_h=24,
     )
 
 

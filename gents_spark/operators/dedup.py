@@ -420,17 +420,17 @@ def minhash_lsh_pairs(
     groupBy(band_key) — never an all-pairs product.
 
     ``max_band_df`` is the band-bucket frequency cap (round-2 VERDICT:
-    a band bucket of k docs still emits C(k,2) candidate rows from the
-    self-join, so a degenerate corpus — many near-empty docs collapsing
-    to identical signatures — makes one bucket quadratic, the same
-    failure mode ``ngram_jaccard_pairs.max_shingle_df`` fixes).  When
-    set, only (band, key) buckets with document frequency <= the cap
-    form candidates; pairs lost share a boilerplate-hot signature and
-    would be re-found by the exact-verify stage of a full dedup chain.
+    a band bucket of k docs emits C(k,2) candidate rows, so a
+    degenerate corpus — many near-empty docs collapsing to identical
+    signatures — makes one bucket quadratic, the same failure mode
+    ``ngram_jaccard_pairs.max_shingle_df`` fixes).  When set, only
+    (band, key) buckets with document frequency <= the cap form
+    candidates; pairs lost share a boilerplate-hot signature and would
+    be re-found by the exact-verify stage of a full dedup chain.
 
-    ``cache_handles``: pass a list to receive the persisted band table
-    so a long-lived session can ``unpersist()`` it after consuming the
-    result (round-3 ADVICE).
+    ``cache_handles``: kept for API compatibility; since the r06
+    bucket-combos rewrite nothing is persisted here (the band table
+    has exactly one consumer), so the list is left untouched.
     """
     sig = minhash_signatures(docs, n)
     # Band extraction is a map-side posexplode over the signature row —
@@ -453,33 +453,33 @@ def minhash_lsh_pairs(
     allbands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
+    # ONE aggregation on (band, key) replaces the old window-count +
+    # persisted self-join (r06): each bucket keeps its sorted doc list,
+    # the df cap filters map-side on the list size (same semantics as
+    # the window count), and the bucket's C(k,2) ordered pairs are
+    # emitted by a map-side combination explode bounded by the cap —
+    # the ``_pair_common_counts`` candidate shape.  The pair count per
+    # (doc_a, doc_b) is then n_common_bands exactly as the join
+    # produced it.  Single consumer of the band table, so the persist
+    # (and its cache_handles contract) is gone with the self-join.
+    buckets = allbands.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("_ds")
+    )
     if max_band_df is not None:
-        # Window count instead of agg+join: one shuffle on (band, key),
-        # which is ALSO the self-join key — the exchange is reused.
-        wdf = Window.partitionBy("band", "key")
-        allbands = allbands.withColumn("_bdf", F.count("*").over(wdf)).filter(
-            F.col("_bdf") <= max_band_df
-        ).select("doc_id", "band", "key")
-    # The capped band table feeds BOTH self-join sides; persist it so
-    # the signature job (corpus explode + 12 min-aggs) runs exactly
-    # once.  |docs| x 4 narrow rows — the artifact a production LSH
-    # pipeline materializes.  Unpersist falls to the ContextCleaner
-    # (result is lazy; no caller handle).
-    from pyspark import StorageLevel
-
-    allbands = allbands.persist(StorageLevel.MEMORY_AND_DISK)
-    if cache_handles is not None:
-        cache_handles.append(allbands)
-    a = allbands.alias("a")
-    b = allbands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets = buckets.filter(F.size("_ds") <= max_band_df)
+    combos = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + 2, F.size(F.col("_ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common_bands"))
     )
 
