@@ -912,9 +912,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # repartition: the shingle explode+hash that materializes the
     # persisted index is map-side, so its parallelism equals the scan's
     # — and the single-file gate corpus scans as ONE partition
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=50)
 
 
@@ -925,9 +923,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # many identical signatures stay linear, never C(k,2) in one bucket.
     # repartition: signatures are map-side, so their parallelism equals
     # the scan partitioning; the gate corpus is one file
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, n=3, max_band_df=50)
 
 
@@ -936,9 +932,7 @@ def q_dedup_clusters(spark, sf_dir):
     become transitive GROUPS before keep-one-representative dedup."""
     from gents_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dup_clusters(minhash_lsh_pairs(docs, n=3, max_band_df=50))
 
 
@@ -951,9 +945,7 @@ def q_dedup_keep(spark, sf_dir):
         minhash_lsh_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     clusters = dup_clusters(minhash_lsh_pairs(docs, n=3, max_band_df=50))
     return keep_representatives(docs, clusters)
 
@@ -961,9 +953,7 @@ def q_dedup_keep(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     from gents_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return simhash(docs, bits=16)
 
 
@@ -975,9 +965,7 @@ def q_dedup_containment(spark, sf_dir):
     the same lazy-gate reason as q_dedup_ngram_jaccard."""
     from gents_spark.operators.dedup import containment_pairs
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return containment_pairs(docs, n=3, threshold=0.8, max_shingle_df=50)
 
 
@@ -990,9 +978,7 @@ def q_duplicate_spans(spark, sf_dir):
     enumeration; all-integer except the final rounded ratio."""
     from gents_spark.operators.dedup import duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return duplicate_spans(docs, n=5, min_count=2)
 
 
@@ -1029,9 +1015,7 @@ def q_repetition_stats(spark, sf_dir):
     # the operator is pure map-side, so its parallelism equals the scan
     # partitioning; the single-file gate corpus reads as ONE partition,
     # so spread it first (a real corpus has many files/splits)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return repetition_stats(docs)
 
 
@@ -1145,9 +1129,7 @@ def q_quality_filter(spark, sf_dir):
     canonicalizer cannot hash list cells (r04 VERDICT item #1)."""
     from gents_spark.operators.textstats import quality_filter
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = quality_filter(docs)
     return out.withColumn(
         "drop_reasons", F.array_join("drop_reasons", ",")
@@ -1162,9 +1144,7 @@ def q_curate_corpus(spark, sf_dir):
     this pins the COMPOSITION."""
     from gents_spark.operators.curate import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return curate_corpus(docs, sample_frac=0.5)
 
 
@@ -1453,9 +1433,7 @@ def q_contamination_ngram(spark, sf_dir):
 
     # repartition: the index-materializing explode+hash is map-side and
     # the single-file gate corpus scans as ONE partition
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return ngram_contamination(docs, n=5, test_frac=0.2, max_shingle_df=50)
 
 
@@ -1787,9 +1765,11 @@ def q_rolling_zscore(spark, sf_dir):
     stddev hash-matches the oracle bit-for-bit."""
     from gents_spark.operators.anomaly import rolling_zscore
 
+    # no _spread here: measured 1.29s without vs 1.56s with at sf1.0 —
+    # the per-user window sort happens post-shuffle anyway, so the
+    # extra exchange only added overhead
     out = rolling_zscore(
-        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
-        key="user_id", ts="ts",
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
         value="value", window=24, min_points=8, scale=2,
         tiebreak="event_id",
     )

@@ -39,6 +39,10 @@ SCALE_CONFS: dict[str, str] = {
     # still sort-merge and spill gracefully.
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+    # autoBroadcastJoinThreshold stays at the 10 MB default: raising it
+    # to 32m was tried (r06) and measured 20-40% SLOWER on the n-gram
+    # verify joins — the driver-serial build+ship of a multi-MB hash
+    # relation costs more than a shuffled-hash join of the same table.
 }
 
 
