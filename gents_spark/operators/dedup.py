@@ -196,11 +196,9 @@ def ngram_jaccard_pairs(
     share boilerplate, not content).  The candidate join is the standard
     frequency-capped inverted-index shape of AllPairs/PPJoin.
 
-    The shingle index feeds FIVE consumers (sizes, df counts, the
-    candidate self-join, both verify sides); it is persisted so the
-    explode+md5 runs once — since ``shingle_sets`` went map-side (no
-    distinct Exchange to act as a ReusedExchange point, r05) an
-    unpersisted index would be recomputed per consumer.
+    The per-doc shingle-ARRAY table feeds three consumers (the
+    candidate explode and both verify sides) and is persisted so the
+    Arrow shingling pass runs once (see ``_pair_common_counts``).
     ``cache_handles``: same contract as ``ngram_contamination`` —
     pass a list to receive the handle and unpersist after consuming;
     otherwise reclamation is left to the ContextCleaner.
