@@ -985,7 +985,9 @@ def q_duplicate_spans(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     from gents_spark.operators.textstats import token_counts
 
-    return token_counts(_t(spark, sf_dir, "documents"))
+    # _spread: the BPE-ish regexp_extract_all is heavy map work on a
+    # one-row-group scan (measured 1.07 -> 0.73s at sf1.0)
+    return token_counts(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_text_quality(spark, sf_dir):
@@ -1233,7 +1235,10 @@ def q_multimodal_decode(spark, sf_dir):
         with_ppm_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the PPM synth + NumPy raster decode is per-row Python
+    # work and the one-row-group corpus scans as two tasks (measured
+    # 1.02 -> 0.84s at sf1.0)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = decode_ppm_features(with_ppm_payload(docs))
     return out.withColumn("mean_pixel", F.round("mean_pixel", 6))
 

@@ -485,37 +485,59 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: majority vote per bit over word hashes.
 
-    Map-side: the word-hash array is materialized once per doc and each
-    bit's vote is an ``aggregate`` fold over it — no double explode
-    (words x bits), no groupBys, zero shuffle.  Votes count word
-    OCCURRENCES (multiset), same as the exploded formulation.
+    Map-side: one Arrow pass per partition — no explode, no groupBys,
+    zero shuffle.  Votes count word OCCURRENCES (multiset), same as
+    the exploded formulation; NULL-text docs emit NO row (the
+    oracle's unnest semantics — r04 ADVICE; a non-NULL text always
+    splits to >= 1 token, so the old size(words) > 0 guard reduces to
+    text IS NOT NULL).
+
+    r06: the JVM form evaluated ``bits`` interpreted fold lambdas per
+    word occurrence (~140M lambda steps at sf1.0); here the word
+    hashes come from hashlib's C md5 (the ``_shingle_batches``
+    argument — identical conv(substring(md5..)) values, pinned by
+    test_simhash_matches_hof) and the per-bit votes are one vectorized
+    (|words| x bits) numpy reduction per doc.  Exact-integer equal:
+    votes are int sums, the sign test and bit assembly are the same.
     """
-    hw = F.transform(
-        words_col(), lambda w: F.pmod(word_hash(w), F.lit(1 << bits))
+    import numpy as np
+    import pandas as pd
+
+    mask = (1 << bits) - 1
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                if txt is None:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(w.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        & mask  # == pmod(word_hash, 2^bits): hash >= 0
+                        for w in txt.split(" ")
+                    ),
+                    dtype=np.int64,
+                )
+                bits_m = (hs[:, None] >> shifts) & 1  # |words| x bits
+                votes = (2 * bits_m - 1).sum(axis=0)
+                ids.append(doc_id)
+                out.append(
+                    int(((votes >= 0).astype(np.int64) << shifts).sum())
+                )
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, simhash long"
     )
-    # NULL/empty-text docs emit NO row (mirrors minhash_signatures'
-    # size guard and the oracle's unnest semantics — r04 ADVICE).
-    # Guard on size(words), not size(_hw): transform preserves length,
-    # and a filter on the _hw alias collapses into the projection and
-    # re-evaluates the whole split+hash transform per row (measured 2x
-    # on the bench corpus — filter/project pairs get no cross-operator
-    # subexpression elimination)
-    d = docs.filter(F.size(words_col()) > 0).select(
-        "doc_id", hw.alias("_hw")
-    )
-
-    def bit_vote(b):
-        def merge(acc, h):
-            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-        return F.aggregate(F.col("_hw"), F.lit(0).cast("long"), merge)
-
-    total = F.lit(0).cast("long")
-    for b in range(bits):
-        total = total + F.when(bit_vote(b) >= 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-    return d.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:

@@ -148,6 +148,51 @@ def test_minhash_signatures_matches_hof(spark):
     assert hof == new
 
 
+def test_simhash_matches_hof(spark):
+    """The numpy bit-vote path (r06) must equal the previous JVM fold
+    formulation value-for-value: same word hashes (md5-prefix mod
+    2^bits), same occurrence-counted votes, same row set (NULL text
+    emits no row; empty string splits to one token and does)."""
+    from gents_spark.operators.dedup import simhash
+    from gents_spark.operators.textstats import word_hash, words_col
+
+    rows = [
+        (1, "the quick brown fox the quick"),
+        (2, "a  b c"),
+        (3, None),
+        (4, ""),
+        (5, "unicode éè café 中文"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bits = 16
+    hw = F.transform(
+        words_col(), lambda w: F.pmod(word_hash(w), F.lit(1 << bits))
+    )
+    d = docs.filter(F.size(words_col()) > 0).select("doc_id", hw.alias("_hw"))
+
+    def bit_vote(b):
+        return F.aggregate(
+            F.col("_hw"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total + F.when(
+            bit_vote(b) >= 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    hof = {
+        r["doc_id"]: r["simhash"]
+        for r in d.select(
+            "doc_id", total.cast("long").alias("simhash")
+        ).collect()
+    }
+    new = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hof == new
+
+
 def test_null_text_shingles_empty_not_null(spark):
     """shingles_col's contract is empty array (size 0), never NULL —
     split/slice/zip_with would otherwise propagate NULL text to a NULL
