@@ -62,17 +62,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: _spread fires only when the input carries at least this many bytes
+#: PER CORE: below it, the repartition exchange costs more than the
+#: parallel map work it buys (measured at sf0.1: +0.2-0.5s per query
+#: for 0.6-2 MB inputs, vs 2-5x wins at sf1.0's 6-16 MB inputs).
+_SPREAD_MIN_BYTES_PER_CORE = 128 << 10
+
+
 def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Hash-repartition on a unique key to spread a SINGLE-row-group
     gate/bench file across cores before heavy per-row map work (the
     fixture files are one parquet row group, so their scans — and
     everything map-side above them — otherwise run on ONE task).  Hash
     repartition, unlike the keyless round-robin form, needs no
-    sort-before-repartition pass.  At production scale the scan
-    arrives in thousands of splits and this exchange is a no-op cost
-    the operator wrappers would not carry (the operators themselves
-    never repartition)."""
-    return df.repartition(spark.sparkContext.defaultParallelism, key)
+    sort-before-repartition pass.
+
+    SIZE-ADAPTIVE (r06, guide §2): the repartition only fires when the
+    input offers >= ``_SPREAD_MIN_BYTES_PER_CORE`` per core — tiny
+    fixtures (sf0.01/sf0.1) keep the plain one-task scan, where the
+    exchange was measured a net loss.  The operators themselves never
+    repartition; this is a fixture-shape adapter, and at production
+    scale the same operators are called on multi-split scans directly.
+    """
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            p = _urlparse(uri)
+            if p.scheme not in ("", "file"):
+                total = None  # remote storage: can't stat; keep spreading
+                break
+            total += _os.path.getsize(p.path)
+    except Exception:
+        total = None
+    if total is not None and total < par * _SPREAD_MIN_BYTES_PER_CORE:
+        return df
+    return df.repartition(par, key)
 
 
 def _events_tiers(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
@@ -1276,14 +1304,11 @@ def q_m4_downsample(spark, sf_dir):
     tiebreaks so the oracle matches bit-for-bit."""
     from gents_spark.operators.downsample import m4
 
-    # repartition on ts (high-cardinality, no pre-shuffle sort like the
-    # keyless form): the gate/bench events file is ONE parquet row
-    # group, so the scan — and with it m4's whole map side — runs on a
-    # single core without it.  m4's two aggregation passes both hang
-    # off this one exchange (AQE ReusedExchange).
-    ev = _t(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "ts"
-    )
+    # _spread on ts (high-cardinality): the gate/bench events file is
+    # ONE parquet row group, so the scan — and with it m4's whole map
+    # side — runs on a single core without it.  m4's two aggregation
+    # passes both hang off this one exchange (AQE ReusedExchange).
+    ev = _spread(spark, _t(spark, sf_dir, "events"), "ts")
     return m4(ev, series="user_id", ts="ts", value="value", n_buckets=64)
 
 
