@@ -1337,8 +1337,12 @@ def winsorized_stats(
     Shape: ONE groupBy gathers the per-(key, bucket) sorted value
     array (the documented exact-percentile trade — rollup.py
     HOT_BUCKET_LIMIT; pre-bucket or sketch a 10^7-point bucket).  Both
-    cut points come from ``sorted_percentile`` (bitwise ==
-    ``quantile_cont``); both means are LEFT-TO-RIGHT ``F.aggregate``
+    cut points come from ``sorted_percentile`` (NOTE r05 ADVICE: its
+    interpolation shape — (hi-pos)*vlo + (pos-lo)*vhi — can differ
+    from ``quantile_cont``'s vlo + (pos-lo)*(vhi-vlo) by one ulp; the
+    6 dp rounding absorbs it on every observed bucket, but the two
+    are equal-to-rounding, not bitwise); both means are
+    LEFT-TO-RIGHT ``F.aggregate``
     folds over the already-sorted array, so the DuckDB twin's ordered
     ``list_reduce`` replays every double op in the same order.  The
     cut points are bound as materialized columns BEFORE the clamp

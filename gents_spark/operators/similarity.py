@@ -876,19 +876,28 @@ def centroid_drift(
         g.groupBy(key, bucket)
         .agg(
             F.max("n").alias("n_vectors"),
+            F.min("n").alias("_n_min"),
             F.array_sort(
                 F.collect_list(F.struct("pos", "sx"))
             ).alias("_ps"),
         )
+        # uniform-dimension guard (r05 ADVICE): a ragged batch (vectors
+        # of differing length, or NULL elements dropped by posexplode)
+        # would silently skew the short dimensions' means — emit a NULL
+        # centroid for that (key, bucket) instead, which surfaces as
+        # NULL l2_shift rather than a wrong number
         .withColumn(
             "_cent",
-            F.transform(
-                F.col("_ps"),
-                lambda s: s["sx"].cast("double")
-                / F.col("n_vectors").cast("double"),
+            F.when(
+                F.col("_n_min") == F.col("n_vectors"),
+                F.transform(
+                    F.col("_ps"),
+                    lambda s: s["sx"].cast("double")
+                    / F.col("n_vectors").cast("double"),
+                ),
             ),
         )
-        .drop("_ps")
+        .drop("_ps", "_n_min")
     )
     w = Window.partitionBy(key).orderBy(bucket)
     shifted = cent.withColumn("_prev", F.lag("_cent").over(w))

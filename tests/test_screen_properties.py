@@ -1343,6 +1343,35 @@ def test_centroid_drift_matches_python(spark):
     )
 
 
+def test_centroid_drift_ragged_batch_nulls_not_wrong(spark):
+    """r05 ADVICE: a ragged vector batch (one vector shorter than the
+    rest) must NOT silently skew the short dimensions' means — the
+    uniform-dimension guard emits NULL l2_shift for the affected
+    bucket (and the one after it, whose lag is the bad centroid)
+    instead of a wrong number."""
+    from datetime import datetime, timedelta
+
+    from gents_spark.operators.similarity import centroid_drift
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        ("a", t0, [1, 2, 3]),
+        ("a", t0, [3, 4, 5]),
+        ("a", t0 + timedelta(days=1), [1, 2, 3]),
+        ("a", t0 + timedelta(days=1), [3, 4]),  # ragged!
+        ("a", t0 + timedelta(days=2), [1, 2, 3]),
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, day timestamp, q array<long>"
+    )
+    got = {
+        r["day"]: r["l2_shift"] for r in centroid_drift(df).collect()
+    }
+    assert got[t0] is None                        # first bucket
+    assert got[t0 + timedelta(days=1)] is None    # ragged bucket
+    assert got[t0 + timedelta(days=2)] is None    # lag of ragged
+
+
 def test_freshness_report_matches_python(spark):
     """Freshness census vs brute force: a feed that stops mid-history
     must read stale against the corpus watermark; duty cycle counts
