@@ -705,40 +705,59 @@ def _tvd_from_counts(
     cache_handles: list | None,
 ) -> DataFrame:
     """Shared exact-TVD core over a (key, day, bin, c DECIMAL(38,0))
-    count table — see ``histogram_drift`` for the numerics and the
-    persist rationale (four consumers, no exchange reuse)."""
-    counts = counts.persist()
-    if cache_handles is not None:
-        cache_handles.append(counts)
-    totals = counts.groupBy(key, "day").agg(F.sum("c").alias("n"))
-    prev_c = counts.select(
-        F.col(key),
-        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
-        F.col("bin"),
-        F.col("c").alias("cp"),
-    )
-    prev_n = totals.select(
-        F.col(key),
-        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
-        F.col("n").alias("np"),
-    )
-    # day pairs where BOTH days have data; bins full-outer within pair.
-    # The bin alignment is a UNION + re-aggregation, not a full-outer
-    # join: a full outer on (key, day, bin) plans as a sort-merge join
-    # (two sort exchanges) while the union re-agg is one hash shuffle
-    # of the same tiny table — same exact decimal sums either way.
-    pairs = totals.join(prev_n, on=[key, "day"], how="inner").filter(
-        (F.col("n") >= min_rows) & (F.col("np") >= min_rows)
-    )
+    count table.
+
+    Shape (r06 rewrite): each count row fans out MAP-SIDE into its own
+    day and the following day (one explode of a 2-struct array — no
+    self-union, so ``counts`` has exactly one consumer and needs no
+    persist), one aggregation aligns bins per (key, day), a window
+    over the same keys attaches the day totals (no extra exchange for
+    the final per-day aggregation, which groups on the window's
+    partition keys), and the both-days-present rule falls out of the
+    totals themselves: a day absent from ``counts`` contributes c = 0,
+    and every real bin row carries c >= 1, so presence == total >= 1.
+    The previous shape persisted ``counts`` for four consumers and ran
+    two aggregations plus three joins of it (5 exchanges); this is 3
+    exchanges, no joins, same exact decimal sums.
+
+    ``cache_handles`` is kept for API compatibility; nothing is
+    persisted here any more, so the list is left untouched."""
     zero = F.lit(0).cast("decimal(38,0)")
-    aligned = (
-        counts.select(key, "day", "bin", F.col("c"), zero.alias("cp"))
-        .unionByName(
-            prev_c.select(key, "day", "bin", zero.alias("c"), F.col("cp"))
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("day").alias("_d"),
+                F.col("c").alias("_c"),
+                zero.alias("_cp"),
+            ),
+            F.struct(
+                (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("_d"),
+                zero.alias("_c"),
+                F.col("c").alias("_cp"),
+            ),
         )
-        .groupBy(key, "day", "bin")
-        .agg(F.sum("c").alias("c"), F.sum("cp").alias("cp"))
-        .join(pairs, on=[key, "day"], how="inner")
+    )
+    fanned = counts.select(F.col(key), F.col("bin"), both.alias("_b")).select(
+        key,
+        F.col("_b._d").alias("day"),
+        "bin",
+        F.col("_b._c").alias("_c"),
+        F.col("_b._cp").alias("_cp"),
+    )
+    aligned = fanned.groupBy(key, "day", "bin").agg(
+        F.sum("_c").alias("c"), F.sum("_cp").alias("cp")
+    )
+    w = Window.partitionBy(key, "day")
+    aligned = (
+        aligned.withColumn("n", F.sum("c").over(w))
+        .withColumn("np", F.sum("cp").over(w))
+        # presence == total >= 1 (every bin row is a count >= 1), so
+        # the old inner joins' both-days-present rule is the same as
+        # requiring both totals >= max(min_rows, 1)
+        .filter(
+            (F.col("n") >= max(min_rows, 1))
+            & (F.col("np") >= max(min_rows, 1))
+        )
     )
     g = aligned.groupBy(key, "day").agg(
         F.max("n").alias("n_cur"),
