@@ -1817,10 +1817,11 @@ def q_mad_outliers(spark, sf_dir):
     a single sorted array via sorted_percentile == quantile_cont."""
     from gents_spark.operators.anomaly import mad_outliers
 
-    # _spread: the per-user sorted-percentile aggregation is map-heavy
+    # no _spread: the moody-window win (2.9->1.7s) did not replicate
+    # in quiet windows (1.63 plain vs 1.84 spread at sf1.0, r06 A/B)
     return mad_outliers(
-        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
-        key="user_id", ts="ts", value="value", threshold=3.5,
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value="value", threshold=3.5,
     )
 
 
@@ -2064,7 +2065,7 @@ def q_gap_report_1h(spark, sf_dir):
     from gents_spark.operators.gapfill import gap_report
 
     hourly = (
-        _spread(spark, _t(spark, sf_dir, "events"), "event_id")
+        _t(spark, sf_dir, "events")
         .groupBy(
             F.col("user_id").alias("source"),
             F.date_trunc("hour", "ts").alias("bucket_start"),
@@ -2105,7 +2106,7 @@ def q_rank_shift_1h(spark, sf_dir):
     from gents_spark.operators.leaderboard import rank_shift
 
     hourly = (
-        _spread(spark, _t(spark, sf_dir, "events"), "event_id")
+        _t(spark, sf_dir, "events")
         .groupBy(
             F.col("user_id").alias("source"),
             F.date_trunc("hour", "ts").alias("bucket_start"),
@@ -3111,8 +3112,8 @@ def q_freshness(spark, sf_dir):
     from gents_spark.operators.screens import freshness_report
 
     return freshness_report(
-        _spread(spark, _t(spark, sf_dir, "events"), "event_id"),
-        key="user_id", ts="ts", stale_after_h=24,
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        stale_after_h=24,
     )
 
 
